@@ -1,0 +1,144 @@
+package graft.core
+
+import scala.collection.immutable.SortedMap
+
+/** The query region of the engine: per-zoom `(xBounds, yBounds)` plus a
+  * grid. Immutable re-expression of the reference bounding pyramid
+  * (tilecloud/__init__.py:152-325) — the reference mutates in place, we
+  * return new values.
+  */
+final case class BoundingPyramid(
+    bounds: SortedMap[Int, (Bounds, Bounds)],
+    grid: TileGrid = TileGrids.Google) {
+
+  def contains(tc: TileCoord): Boolean =
+    bounds.get(tc.z).exists { case (xb, yb) =>
+      xb.contains(tc.x) && yb.contains(tc.y)
+    }
+
+  /** Total tile count = sum over z of |xb| * |yb| (__init__.py:187-189). */
+  def size: Long =
+    bounds.valuesIterator.map { case (xb, yb) => xb.length * yb.length }.sum
+
+  def add(tc: TileCoord): BoundingPyramid =
+    bounds.get(tc.z) match {
+      case Some((xb, yb)) =>
+        copy(bounds = bounds.updated(tc.z, (xb.add(tc.x), yb.add(tc.y))))
+      case None =>
+        copy(bounds =
+          bounds.updated(tc.z, (Bounds.single(tc.x), Bounds.single(tc.y))))
+    }
+
+  def addBounds(z: Int, b: (Bounds, Bounds)): BoundingPyramid =
+    bounds.get(z) match {
+      case Some((xb, yb)) =>
+        copy(bounds = bounds.updated(z, (xb.union(b._1), yb.union(b._2))))
+      case None => copy(bounds = bounds.updated(z, b))
+    }
+
+  /** Derive bounds at the given zooms from a geographic extent via the
+    * grid (__init__.py:217-231): add the tiles containing the min and max
+    * corners at each z. */
+  def fill(zs: Iterable[Int], extent: Extent): BoundingPyramid =
+    zs.foldLeft(this) { (bp, z) =>
+      bp.add(grid.tilecoord(z, extent.minX, extent.minY))
+        .add(grid.tilecoord(z, extent.maxX, extent.maxY))
+    }
+
+  /** Propagate bounds down to `bottom` (__init__.py:233-237). */
+  def fillDown(bottom: Int, startOpt: Option[Int] = None): BoundingPyramid = {
+    val start = startOpt.getOrElse(bounds.keys.max)
+    (start until bottom).foldLeft(this) { (bp, z) =>
+      bp.addBounds(z + 1, grid.fillDown(z, bp.bounds(z)))
+    }
+  }
+
+  /** Propagate bounds up to `top` (__init__.py:239-243). */
+  def fillUp(top: Int = 0): BoundingPyramid =
+    (bounds.keys.max until top by -1).foldLeft(this) { (bp, z) =>
+      bp.addBounds(z - 1, grid.fillUp(z, bp.bounds(z)))
+    }
+
+  def zget(z: Int): (Bounds, Bounds) = bounds(z)
+  def zs: Iterable[Int] = bounds.keys
+
+  /** Every coord at level z, x-major (__init__.py:302-309). */
+  def ziter(z: Int): Iterator[TileCoord] =
+    bounds.get(z) match {
+      case Some((xb, yb)) =>
+        for (x <- xb.iterator; y <- yb.iterator) yield TileCoord(z, x, y)
+      case None => Iterator.empty
+    }
+
+  def iterTopDown: Iterator[TileCoord] =
+    bounds.keysIterator.flatMap(ziter)
+
+  def iterBottomUp: Iterator[TileCoord] =
+    bounds.keys.toSeq.reverseIterator.flatMap(ziter)
+
+  /** Covering meta-tiles of span n, aligned to multiples of n, starting
+    * from the bounds' lower corner (__init__.py:253-267). */
+  def metatilecoords(n: Int = 8): Iterator[TileCoord] =
+    bounds.keysIterator.flatMap { z =>
+      val (xb, yb) = bounds(z)
+      if (xb.isEmpty || yb.isEmpty) Iterator.empty
+      else {
+        val m = TileCoord(z, xb.start, yb.start).metatilecoord(n)
+        for {
+          x <- Iterator.iterate(m.x)(_ + n).takeWhile(_ < xb.stop)
+          y <- Iterator.iterate(m.y)(_ + n).takeWhile(_ < yb.stop)
+        } yield TileCoord(z, x, y, n)
+      }
+    }
+}
+
+object BoundingPyramid {
+  def empty: BoundingPyramid =
+    BoundingPyramid(SortedMap.empty[Int, (Bounds, Bounds)])
+
+  def apply(levels: (Int, (Bounds, Bounds))*): BoundingPyramid =
+    BoundingPyramid(SortedMap(levels: _*))
+
+  /** Whole world per level for z in [zmin, zmax] (__init__.py:321-325). */
+  def full(zmin: Int, zmax: Int): BoundingPyramid =
+    BoundingPyramid(SortedMap.from((zmin to zmax).map { z =>
+      z -> (Bounds(0L, 1L << z), Bounds(0L, 1L << z))
+    }))
+
+  private val Spec =
+    """(\d+)/(\d+)/(\d+):(?:(\+)?(\d+)/)?(?:(\+)?(\d+)|(\*))/(?:(\+)?(\d+)|(\*))""".r
+
+  /** Parse the spec grammar `z1/x1/y1:(+)?(z2/)?(+)?x2|star/(+)?y2|star`
+    * where `star` is the asterisk character (reference __init__.py:284-319).
+    * Relative (`+`) coordinates are offsets; asterisk means the full range
+    * at z1; a z2 below/above z1 fills down/up through the grid. */
+  def fromString(
+      s: String,
+      grid: TileGrid = TileGrids.Google): BoundingPyramid = s match {
+    case Spec(z1s, x1s, y1s, plusZ, z2s, plusX, x2s, starX, plusY, y2s, starY) =>
+      val z1 = z1s.toInt
+      val x1 = x1s.toLong
+      val y1 = y1s.toLong
+      val x2 =
+        if (starX != null) 1L << z1
+        else if (plusX != null) x1 + x2s.toLong
+        else x2s.toLong
+      val y2 =
+        if (starY != null) 1L << z1
+        else if (plusY != null) y1 + y2s.toLong
+        else y2s.toLong
+      val base = BoundingPyramid(
+        SortedMap(z1 -> (Bounds(x1, x2), Bounds(y1, y2))),
+        grid)
+      if (z2s == null) base
+      else {
+        val z2 = if (plusZ != null) z1 + z2s.toInt else z2s.toInt
+        if (z1 < z2) base.fillDown(z2)
+        else if (z1 > z2) base.fillUp(z2)
+        else base
+      }
+    case _ =>
+      throw new IllegalArgumentException(
+        s"invalid literal for BoundingPyramid.fromString: $s")
+  }
+}

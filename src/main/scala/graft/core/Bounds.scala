@@ -1,0 +1,44 @@
+package graft.core
+
+/** Half-open 1-D integer interval `[start, stop)`.
+  *
+  * Semantics follow the reference's uni-dimensional bounds
+  * (tilecloud/__init__.py:44-149): `union`/`update` produce the interval
+  * *hull* (gaps between disjoint intervals are filled), membership is
+  * `start <= v < stop`, and the empty interval is falsy.
+  *
+  * Implementation note: empty is encoded as the inverted sentinel interval
+  * `(Long.MaxValue, Long.MinValue)` so that hull operations (`min` of
+  * starts, `max` of stops) need no special-casing.
+  */
+final case class Bounds(start: Long, stop: Long) {
+  def isEmpty: Boolean = stop <= start
+  def nonEmpty: Boolean = !isEmpty
+
+  /** Number of integers in the interval (0 when empty). */
+  def length: Long = if (isEmpty) 0L else stop - start
+
+  def contains(v: Long): Boolean = start <= v && v < stop
+
+  /** Extend to include `v` (reference `add`, __init__.py:112-121). */
+  def add(v: Long): Bounds =
+    Bounds(math.min(start, v), math.max(stop, v + 1))
+
+  /** Interval hull of this and `o` (reference `union`/`update`,
+    * __init__.py:123-149). Fills gaps between disjoint intervals. */
+  def union(o: Bounds): Bounds =
+    Bounds(math.min(start, o.start), math.max(stop, o.stop))
+
+  def iterator: Iterator[Long] =
+    if (isEmpty) Iterator.empty else Iterator.range(start, stop)
+
+  override def toString: String =
+    if (isEmpty) "Bounds()" else s"Bounds($start, $stop)"
+}
+
+object Bounds {
+  val empty: Bounds = Bounds(Long.MaxValue, Long.MinValue)
+
+  /** Single-value interval `[v, v+1)` (reference `Bounds(start)`). */
+  def single(v: Long): Bounds = Bounds(v, v + 1)
+}

@@ -1,0 +1,213 @@
+package graft.core
+
+/** Geographic extent `(minX, minY, maxX, maxY)` in CRS units. */
+final case class Extent(minX: Double, minY: Double, maxX: Double, maxY: Double) {
+  def width: Double = maxX - minX
+  def height: Double = maxY - minY
+  def contains(px: Double, py: Double): Boolean =
+    px >= minX && px < maxX && py >= minY && py < maxY
+}
+
+/** Geographic <-> tile mapping plus the z-hierarchy.
+  *
+  * Mirrors the reference grid interface (tilecloud/__init__.py:489-538):
+  * `children`, `parent`, `roots`, `extent`, `tilecoord`, `fillUp`,
+  * `fillDown`, `zs`.
+  */
+sealed trait TileGrid {
+  def maxExtent: Extent
+  def tileSize: Double
+  def flipY: Boolean
+
+  def children(tc: TileCoord): Seq[TileCoord]
+  def parent(tc: TileCoord): Option[TileCoord]
+  def roots: Seq[TileCoord]
+  def extent(tc: TileCoord, border: Double = 0.0): Extent
+  def tilecoord(z: Int, px: Double, py: Double): TileCoord
+  def fillDown(z: Int, bounds: (Bounds, Bounds)): (Bounds, Bounds)
+  def fillUp(z: Int, bounds: (Bounds, Bounds)): (Bounds, Bounds)
+  def zs: Iterator[Int]
+}
+
+/** Power-of-two quad-tree grid: each tile has exactly 4 children at the
+  * next zoom. Semantics from the reference quad grid
+  * (tilecloud/grid/quad.py:7-95), including the XYZ->TMS y-flip inside
+  * `extent` when `flipY` is false and int-truncation point->tile
+  * assignment.
+  */
+final case class QuadTileGrid(
+    maxExtent: Extent = Extent(0.0, 0.0, 1.0, 1.0),
+    tileSize: Double = 256.0,
+    maxZoom: Option[Int] = None,
+    flipY: Boolean = false)
+    extends TileGrid {
+
+  override def children(tc: TileCoord): Seq[TileCoord] =
+    if (maxZoom.exists(tc.z >= _)) Nil
+    else
+      Seq(
+        TileCoord(tc.z + 1, 2 * tc.x, 2 * tc.y),
+        TileCoord(tc.z + 1, 2 * tc.x + 1, 2 * tc.y),
+        TileCoord(tc.z + 1, 2 * tc.x, 2 * tc.y + 1),
+        TileCoord(tc.z + 1, 2 * tc.x + 1, 2 * tc.y + 1))
+
+  /** Tile extent in CRS units (reference quad.py:31-48). A positive
+    * `border` expands each edge by `border / tileSize` of a tile. */
+  override def extent(tc: TileCoord, border: Double = 0.0): Extent = {
+    val scale = (1L << tc.z).toDouble
+    val y = if (flipY) tc.y else (1L << tc.z) - tc.y - tc.n
+    val delta = if (border != 0) border / tileSize else 0.0
+    Extent(
+      maxExtent.minX + maxExtent.width * (tc.x - delta) / scale,
+      maxExtent.minY + maxExtent.height * (y - delta) / scale,
+      maxExtent.minX + maxExtent.width * (tc.x + tc.n + delta) / scale,
+      maxExtent.minY + maxExtent.height * (y + tc.n + delta) / scale)
+  }
+
+  override def fillDown(z: Int, bounds: (Bounds, Bounds)): (Bounds, Bounds) = {
+    val (xb, yb) = bounds
+    (Bounds(2 * xb.start, 2 * xb.stop), Bounds(2 * yb.start, 2 * yb.stop))
+  }
+
+  /** Note the `max(stop / 2, 1)` clamp (reference quad.py:66-67). */
+  override def fillUp(z: Int, bounds: (Bounds, Bounds)): (Bounds, Bounds) = {
+    require(z > 0, "fillUp needs z > 0")
+    val (xb, yb) = bounds
+    (
+      Bounds(xb.start / 2, math.max(xb.stop / 2, 1L)),
+      Bounds(yb.start / 2, math.max(yb.stop / 2, 1L)))
+  }
+
+  override def parent(tc: TileCoord): Option[TileCoord] =
+    if (tc.z == 0) None
+    else Some(TileCoord(tc.z - 1, tc.x / 2, tc.y / 2))
+
+  override def roots: Seq[TileCoord] = Seq(TileCoord(0, 0, 0))
+
+  /** Point -> containing tile at level z (reference quad.py:78-83).
+    * Uses toward-zero truncation like the reference's `int(...)`. */
+  override def tilecoord(z: Int, px: Double, py: Double): TileCoord = {
+    val scale = (1L << z).toDouble
+    val tx = ((px - maxExtent.minX) * scale / maxExtent.width).toLong
+    val ty0 = ((py - maxExtent.minY) * scale / maxExtent.height).toLong
+    val ty = if (flipY) ty0 else (1L << z) - ty0 - 1
+    TileCoord(z, tx, ty)
+  }
+
+  override def zs: Iterator[Int] = maxZoom match {
+    case Some(mz) => Iterator.range(0, mz + 1)
+    case None     => Iterator.from(0)
+  }
+}
+
+object TileGrids {
+  /** WebMercator extent +-20037508.34 (reference grid/google.py:3-6). */
+  val WebMercatorExtent: Extent =
+    Extent(-20037508.34, -20037508.34, 20037508.34, 20037508.34)
+
+  /** The engine's default CRS: WebMercator (EPSG:3857), 256 px tiles. */
+  val Google: QuadTileGrid = QuadTileGrid(WebMercatorExtent, 256.0)
+}
+
+/** Non-power-of-two pyramid defined by a descending resolutions list.
+  * Parent/child z relations come from divisibility of resolutions
+  * (reference grid/free.py:7-121). `fillUp`/`fillDown` are unsupported,
+  * as in the reference (free.py:117-121).
+  */
+final case class FreeTileGrid(
+    resolutions: IndexedSeq[Double],
+    maxExtent: Extent = Extent(0.0, 0.0, 1.0, 1.0),
+    tileSize: Double = 256.0,
+    scale: Double = 1.0,
+    flipY: Boolean = false)
+    extends TileGrid {
+  require(
+    resolutions == resolutions.sortBy(-_),
+    "resolutions must be in descending order")
+
+  /** parentZs(i) = nearest shallower level whose resolution is an integer
+    * multiple of resolutions(i); childZs is its inverse
+    * (reference free.py:28-37). */
+  val (parentZs: IndexedSeq[Option[Int]], childZs: IndexedSeq[List[Int]]) = {
+    val parents = Array.fill[Option[Int]](resolutions.length)(None)
+    val childs = Array.fill[List[Int]](resolutions.length)(Nil)
+    for (i <- resolutions.indices) {
+      val p = (i - 1).to(0, -1).find(j => resolutions(j) % resolutions(i) == 0.0)
+      parents(i) = p
+      p.foreach(j => childs(j) = childs(j) :+ i)
+    }
+    (parents.toIndexedSeq, childs.toIndexedSeq)
+  }
+
+  override def children(tc: TileCoord): Seq[TileCoord] =
+    if (tc.z >= resolutions.length) Nil
+    else
+      for {
+        childZ <- childZs(tc.z)
+        factor = resolutions(tc.z) / resolutions(childZ)
+        i <- 0 until factor.toInt
+        j <- 0 until factor.toInt
+      } yield TileCoord(
+        childZ,
+        math.rint(factor * tc.x + i).toLong,
+        math.rint(factor * tc.y + j).toLong)
+
+  override def extent(tc: TileCoord, border: Double = 0.0): Extent = {
+    val res = resolutions(tc.z)
+    val y: Double =
+      if (flipY) tc.y.toDouble
+      else {
+        val worldN = scale * maxExtent.height / (tileSize * res)
+        worldN - tc.y - tc.n
+      }
+    Extent(
+      maxExtent.minX + (tileSize * tc.x - border) * res / scale,
+      maxExtent.minY + (tileSize * y - border) * res / scale,
+      maxExtent.minX + (tileSize * (tc.x + tc.n) + border) * res / scale,
+      maxExtent.minY + (tileSize * (y + tc.n) + border) * res / scale)
+  }
+
+  override def parent(tc: TileCoord): Option[TileCoord] =
+    parentZs(tc.z).map { pz =>
+      val factor = resolutions(pz) / resolutions(tc.z)
+      TileCoord(pz, (tc.x / factor).toLong, (tc.y / factor).toLong)
+    }
+
+  override def roots: Seq[TileCoord] = {
+    val buf = Seq.newBuilder[TileCoord]
+    for ((pz, zoom) <- parentZs.zipWithIndex if pz.isEmpty) {
+      var x = 0L
+      var s = 0.0
+      while (s < resolutions(0)) {
+        var y = 0L
+        var t = 0.0
+        while (t < resolutions(0)) {
+          buf += TileCoord(zoom, x, y)
+          y += 1
+          t += resolutions(zoom)
+        }
+        x += 1
+        s += resolutions(zoom)
+      }
+    }
+    buf.result()
+  }
+
+  /** Floor-based point->tile assignment (reference free.py:96-112). */
+  override def tilecoord(z: Int, px: Double, py: Double): TileCoord = {
+    val res = resolutions(z)
+    val tx = scale * (px - maxExtent.minX) / (res * tileSize)
+    val ty0 = scale * (py - maxExtent.minY) / (res * tileSize)
+    val ty =
+      if (flipY) ty0
+      else scale * maxExtent.height / (tileSize * res) - ty0
+    TileCoord(z, math.floor(tx).toLong, math.floor(ty).toLong)
+  }
+
+  override def zs: Iterator[Int] = Iterator.range(0, resolutions.length)
+
+  override def fillDown(z: Int, bounds: (Bounds, Bounds)): (Bounds, Bounds) =
+    throw new UnsupportedOperationException("FreeTileGrid.fillDown")
+  override def fillUp(z: Int, bounds: (Bounds, Bounds)): (Bounds, Bounds) =
+    throw new UnsupportedOperationException("FreeTileGrid.fillUp")
+}

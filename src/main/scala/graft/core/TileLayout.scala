@@ -1,0 +1,266 @@
+package graft.core
+
+import java.net.URLEncoder
+import scala.util.matching.Regex
+
+/** Bijection (or one-way codec) between tile coordinates and strings
+  * (filenames / URLs / keys). Mirrors the reference layout interface
+  * (tilecloud/__init__.py:541-564).
+  */
+trait TileLayout {
+  def filename(tc: TileCoord, metadata: Map[String, String] = Map.empty): String
+  def tilecoord(filename: String): TileCoord
+
+  protected def parseError(filename: String): Nothing =
+    throw new IllegalArgumentException(
+      s"invalid literal for ${getClass.getSimpleName}.tilecoord: $filename")
+}
+
+/** `z/x/y` (reference layout/osm.py:9-23). */
+object OSMTileLayout extends TileLayout {
+  val pattern: String = """[0-9]+/[0-9]+/[0-9]+"""
+  private val Re = """([0-9]+)/([0-9]+)/([0-9]+)""".r
+
+  override def filename(tc: TileCoord, metadata: Map[String, String]): String =
+    s"${tc.z}/${tc.x}/${tc.y}"
+
+  override def tilecoord(filename: String): TileCoord = filename match {
+    case Re(z, x, y) => TileCoord(z.toInt, x.toLong, y.toLong)
+    case _           => parseError(filename)
+  }
+}
+
+/** printf-style template with `%(x)d %(y)d %(z)d` placeholders; the
+  * inverse regex is derived automatically (reference layout/template.py).
+  */
+final case class TemplateTileLayout(template: String) extends TileLayout {
+  private val Placeholder = """%\(([xyz])\)d""".r
+
+  val (pattern: String, prefix: String) = {
+    val sb = new StringBuilder
+    var index = 0
+    var pfx: Option[String] = None
+    for (m <- Placeholder.findAllMatchIn(template)) {
+      val pre = template.substring(index, m.start)
+      if (pfx.isEmpty) pfx = Some(pre)
+      sb.append(Regex.quote(pre)).append("""\d+""")
+      index = m.end
+    }
+    sb.append(Regex.quote(template.substring(index)))
+    (sb.toString, pfx.getOrElse(template))
+  }
+
+  private val filenameRe: Regex = {
+    val sb = new StringBuilder
+    var index = 0
+    for (m <- Placeholder.findAllMatchIn(template)) {
+      sb.append(Regex.quote(template.substring(index, m.start)))
+      sb.append(s"(?<${m.group(1)}>\\d+)")
+      index = m.end
+    }
+    sb.append(Regex.quote(template.substring(index)))
+    sb.toString.r
+  }
+
+  override def filename(tc: TileCoord, metadata: Map[String, String]): String =
+    Placeholder.replaceAllIn(
+      template,
+      m =>
+        m.group(1) match {
+          case "z" => tc.z.toString
+          case "x" => tc.x.toString
+          case "y" => tc.y.toString
+        })
+
+  override def tilecoord(filename: String): TileCoord =
+    filenameRe.findPrefixMatchOf(filename) match {
+      case Some(m) =>
+        TileCoord(m.group("z").toInt, m.group("x").toLong, m.group("y").toLong)
+      case None => parseError(filename)
+    }
+}
+
+/** prefix + inner layout + suffix (reference layout/wrapped.py:8-28). */
+final case class WrappedTileLayout(
+    inner: TileLayout,
+    prefix: String = "",
+    suffix: String = "")
+    extends TileLayout {
+
+  override def filename(tc: TileCoord, metadata: Map[String, String]): String =
+    prefix + inner.filename(tc, metadata) + suffix
+
+  override def tilecoord(filename: String): TileCoord =
+    if (filename.startsWith(prefix) && filename.endsWith(suffix) &&
+      filename.length >= prefix.length + suffix.length)
+      inner.tilecoord(
+        filename.substring(prefix.length, filename.length - suffix.length))
+    else parseError(filename)
+}
+
+/** Quadkey codec: interleave x/y bits per level into digits 0-3, grouped
+  * in slash-separated pairs (reference layout/i3d.py:8-43). The quadcode
+  * is the engine's hierarchical quadtree cell index — prefix containment
+  * equals spatial containment.
+  */
+object I3DTileLayout extends TileLayout {
+  val pattern: String = """(?:[0-3]{2}/)*[0-3]{1,2}"""
+
+  /** z digits, most significant level first (i3d.py:25-32). */
+  def quadcode(tc: TileCoord): String = {
+    val sb = new StringBuilder
+    var x = tc.x
+    var y = tc.y
+    var i = 0
+    while (i < tc.z) {
+      sb.append("0123".charAt(((x & 1) + ((y & 1) << 1)).toInt))
+      x >>= 1
+      y >>= 1
+      i += 1
+    }
+    sb.reverseInPlace().toString
+  }
+
+  /** Inverse codec (i3d.py:34-43). */
+  def fromQuadcode(quadcode: String): TileCoord = {
+    val z = quadcode.length
+    var x = 0L
+    var y = 0L
+    for ((c, i) <- quadcode.zipWithIndex) {
+      val mask = 1L << (z - i - 1)
+      if (c == '1' || c == '3') x |= mask
+      if (c == '2' || c == '3') y |= mask
+    }
+    TileCoord(z, x, y)
+  }
+
+  override def filename(tc: TileCoord, metadata: Map[String, String]): String =
+    quadcode(tc).grouped(2).mkString("/")
+
+  override def tilecoord(filename: String): TileCoord =
+    if (filename.matches(pattern + "\\z") || filename.isEmpty)
+      fromQuadcode(filename.replace("/", ""))
+    else parseError(filename)
+}
+
+/** `zz/xxx/xxx/xxx/yyy/yyy/yyy` zero-padded TileCache disk layout
+  * (reference layout/tilecache.py:9-40; the reference formats x/y with a
+  * float `%09f` — we use the sane `%09d`, which agrees with the
+  * reference's own test golden `01/123/456/789/987/654/321`). */
+object TileCacheDiskLayout extends TileLayout {
+  private val Re =
+    """([0-9]{2})/([0-9]{3})/([0-9]{3})/([0-9]{3})/([0-9]{3})/([0-9]{3})/([0-9]{3})""".r
+
+  override def filename(tc: TileCoord, metadata: Map[String, String]): String = {
+    val zs = f"${tc.z}%02d"
+    val xs = f"${tc.x}%09d"
+    val ys = f"${tc.y}%09d"
+    Seq(
+      zs,
+      xs.substring(0, 3), xs.substring(3, 6), xs.substring(6, 9),
+      ys.substring(0, 3), ys.substring(3, 6), ys.substring(6, 9)
+    ).mkString("/")
+  }
+
+  override def tilecoord(filename: String): TileCoord = filename match {
+    case Re(z, x1, x2, x3, y1, y2, y3) =>
+      TileCoord(
+        z.toInt,
+        1000000L * x1.toLong + 1000L * x2.toLong + x3.toLong,
+        1000000L * y1.toLong + 1000L * y2.toLong + y3.toLong)
+    case _ => parseError(filename)
+  }
+}
+
+/** WMTS GetTile URL builder, KVP or REST encoding (reference
+  * layout/wmts.py:6-63). One-way: `tilecoord` is unsupported. */
+final case class WMTSTileLayout(
+    url: String = "",
+    layer: String,
+    style: String,
+    format: String,
+    tileMatrixSet: String,
+    tileMatrix: Int => String = _.toString,
+    dimensionsName: Seq[String] = Nil,
+    requestEncoding: String = "KVP")
+    extends TileLayout {
+
+  private val baseUrl: String =
+    if (requestEncoding == "KVP") {
+      if (url.isEmpty || url.last != '?') url + "?" else url
+    } else if (url.nonEmpty && url.last != '/') url + "/"
+    else url
+
+  override def filename(tc: TileCoord, metadata: Map[String, String]): String = {
+    val query = Seq.newBuilder[(String, String)]
+    if (requestEncoding == "KVP")
+      query ++= Seq(
+        "Service" -> "WMTS",
+        "Request" -> "GetTile",
+        "Format" -> format)
+    query ++= Seq("Version" -> "1.0.0", "Layer" -> layer, "Style" -> style)
+    query ++= dimensionsName.map(n => n -> metadata("dimension_" + n))
+    query ++= Seq(
+      "TileMatrixSet" -> tileMatrixSet,
+      "TileMatrix" -> tileMatrix(tc.z),
+      "TileRow" -> tc.y.toString,
+      "TileCol" -> tc.x.toString)
+    val q = query.result()
+    if (requestEncoding == "KVP")
+      baseUrl + q.map { case (k, v) => s"$k=$v" }.mkString("&")
+    else baseUrl + q.map(_._2).mkString("/") + format
+  }
+
+  override def tilecoord(filename: String): TileCoord =
+    throw new UnsupportedOperationException("WMTSTileLayout.tilecoord")
+}
+
+/** WMS GetMap URL builder: BBOX from the grid extent, size
+  * `n * tileSize + 2 * border` (reference layout/wms.py:7-53). One-way. */
+final case class WMSTileLayout(
+    url: String,
+    layers: String,
+    srs: String,
+    format: String,
+    grid: TileGrid,
+    border: Int = 0,
+    params: Map[String, String] = Map.empty)
+    extends TileLayout {
+
+  private val baseParams: Seq[(String, String)] = {
+    val defaults = scala.collection.mutable.LinkedHashMap(
+      "LAYERS" -> layers,
+      "FORMAT" -> format,
+      "TRANSPARENT" -> (if (format == "image/png" || format == "image/webp")
+                          "TRUE"
+                        else "FALSE"),
+      "SERVICE" -> "WMS",
+      "VERSION" -> "1.1.1",
+      "REQUEST" -> "GetMap",
+      "STYLES" -> "",
+      "SRS" -> srs)
+    params.foreach { case (k, v) => defaults(k) = v }
+    defaults.toSeq
+  }
+
+  override def filename(tc: TileCoord, metadata: Map[String, String]): String = {
+    val bbox = grid.extent(tc, border.toDouble)
+    val size = (tc.n * grid.tileSize + 2 * border).toInt
+    val merged = scala.collection.mutable.LinkedHashMap(baseParams: _*)
+    metadata.foreach { case (k, v) =>
+      if (k.startsWith("dimension_")) merged(k.stripPrefix("dimension_")) = v
+    }
+    merged("BBOX") =
+      f"${bbox.minX}%f,${bbox.minY}%f,${bbox.maxX}%f,${bbox.maxY}%f"
+    merged("WIDTH") = size.toString
+    merged("HEIGHT") = size.toString
+    url + "?" + merged
+      .map { case (k, v) =>
+        s"${URLEncoder.encode(k, "UTF-8")}=${URLEncoder.encode(v, "UTF-8")}"
+      }
+      .mkString("&")
+  }
+
+  override def tilecoord(filename: String): TileCoord =
+    throw new UnsupportedOperationException("WMSTileLayout.tilecoord")
+}

@@ -1,0 +1,54 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.core._
+
+/** CLI: cross-check the core tile math against the reference
+  * implementation's output on identical inputs.
+  *
+  * Usage: ParityCheck <inputs.txt> <out.txt>
+  * where inputs.txt has one `z x y` triple per line. Emits the same
+  * pipe-separated record the reference driver script emits (str, hash,
+  * metatile, quadcode, extent, point->tile roundtrip), plus pyramid
+  * enumeration summaries for a fixed set of spec strings, so the two
+  * outputs can be diffed byte-for-byte.
+  */
+object ParityCheck {
+  def main(args: Array[String]): Unit = {
+    val Array(inPath, outPath) = args
+    val inputs = Files.readAllLines(Paths.get(inPath)).asScala
+    val sb = new StringBuilder
+    for (line <- inputs if line.nonEmpty) {
+      val Array(z, x, y) = line.trim.split("\\s+")
+      val tc = TileCoord(z.toInt, x.toLong, y.toLong)
+      val e = TileGrids.Google.extent(tc)
+      val rt = TileGrids.Google.tilecoord(tc.z, e.minX + 1e-9, e.minY + 1e-9)
+      sb.append(
+        Seq(
+          tc.toString,
+          tc.tcHash.toString,
+          tc.metatilecoord(8).toString,
+          I3DTileLayout.quadcode(tc),
+          f"${e.minX}%.9e,${e.minY}%.9e,${e.maxX}%.9e,${e.maxY}%.9e",
+          rt.toString).mkString("|"))
+      sb.append('\n')
+    }
+    for (
+      spec <- Seq(
+        "4/8/5:+3/+1/+1",
+        "0/0/0:2/*/*",
+        "2/1/3:+1/+1/+1",
+        "5/9/13:12/15",
+        "2/1/3:0/2/4")
+    ) {
+      val bp = BoundingPyramid.fromString(spec)
+      sb.append(
+        spec + "=>" + bp.size + ";" + bp.iterTopDown.take(5).mkString(","))
+      sb.append('\n')
+    }
+    Files.writeString(Paths.get(outPath), sb.toString)
+    println(s"[paritycheck] wrote $outPath")
+  }
+}

@@ -1,0 +1,352 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ports the reference's unit assertion values (tilecloud/tests/
+  * test_bounds.py, test_tilecoord.py, test_boundingpyramid.py,
+  * test_tilegrid.py, test_tilelayout.py) — values, not code.
+  */
+class BoundsSpec extends AnyFunSuite {
+  test("Bounds(1,3) iterates [1,2]") {
+    assert(Bounds(1, 3).iterator.toList == List(1L, 2L))
+    assert(Bounds(1, 3).length == 2)
+    assert(Bounds(1, 3).contains(1) && Bounds(1, 3).contains(2))
+    assert(!Bounds(1, 3).contains(3))
+  }
+  test("single / add / union hull semantics") {
+    assert(Bounds.single(1) == Bounds(1, 2))
+    assert(Bounds(1, 3).union(Bounds(3, 5)) == Bounds(1, 5))
+    // disjoint union fills the gap (interval hull)
+    assert(Bounds(1, 2).union(Bounds(5, 6)) == Bounds(1, 6))
+    assert(Bounds.empty.union(Bounds(3, 5)) == Bounds(3, 5))
+    assert(Bounds(3, 5).union(Bounds.empty) == Bounds(3, 5))
+    assert(Bounds.empty.add(7) == Bounds(7, 8))
+    assert(Bounds(1, 3).add(5) == Bounds(1, 6))
+    assert(Bounds.empty.isEmpty && Bounds.empty.length == 0)
+    assert(!Bounds.empty.contains(0))
+  }
+}
+
+class TileCoordSpec extends AnyFunSuite {
+  test("ordering by (n, z, x, y)") {
+    assert(TileCoord(1, 3, 4) < TileCoord(2, 3, 4))
+    assert(TileCoord(2, 2, 4) < TileCoord(2, 3, 4))
+    assert(TileCoord(2, 3, 3) < TileCoord(2, 3, 4))
+    assert(TileCoord(2, 3, 4) == TileCoord(2, 3, 4))
+    assert(TileCoord(2, 3, 4) < TileCoord(2, 3, 4, 2))
+  }
+  test("consistent hash") {
+    assert(TileCoord(1, 0, 0).tcHash == 0L)
+    assert(TileCoord(1, 0, 0).tcHash != TileCoord(1, 0, 1).tcHash)
+  }
+  test("hash unique across metatile grid at one z") {
+    val bp = BoundingPyramid(4 -> (Bounds(0, 16), Bounds(0, 16)))
+    val metas = bp.metatilecoords(2).toList
+    assert(metas.map(_.tcHash).distinct.size == metas.size)
+  }
+  test("metatile unit-tile iteration x-major") {
+    assert(
+      TileCoord(3, 4, 6, 2).unitTiles.toList == List(
+        TileCoord(3, 4, 6),
+        TileCoord(3, 4, 7),
+        TileCoord(3, 5, 6),
+        TileCoord(3, 5, 7)))
+  }
+  test("string codec") {
+    assert(TileCoord(1, 2, 3).toString == "1/2/3")
+    assert(TileCoord(3, 4, 6, 2).toString == "3/4/6:+2/+2")
+    assert(TileCoord.fromString("1/2/3") == TileCoord(1, 2, 3))
+    assert(TileCoord.fromString("1/2/3:+2/+2") == TileCoord(1, 2, 3, 2))
+    intercept[IllegalArgumentException](TileCoord.fromString("3/4/6:+2/+3"))
+  }
+  test("metatilecoord snapping") {
+    assert(TileCoord(3, 4, 6).metatilecoord(2) == TileCoord(3, 4, 6, 2))
+    assert(TileCoord(3, 5, 7).metatilecoord(2) == TileCoord(3, 4, 6, 2))
+    assert(TileCoord(5, 11, 21).metatilecoord(8) == TileCoord(5, 8, 16, 8))
+  }
+}
+
+class BoundingPyramidSpec extends AnyFunSuite {
+  test("empty") {
+    val bp = BoundingPyramid.empty
+    assert(bp.size == 0)
+    assert(!bp.contains(TileCoord(0, 0, 0)))
+    assert(bp.iterTopDown.isEmpty)
+  }
+  test("add") {
+    val bp = BoundingPyramid.empty.add(TileCoord(1, 0, 0))
+    assert(bp.size == 1)
+    assert(bp.contains(TileCoord(1, 0, 0)))
+    assert(!bp.contains(TileCoord(1, 0, 1)))
+    assert(!bp.contains(TileCoord(1, 1, 0)))
+    assert(bp.iterTopDown.toList == List(TileCoord(1, 0, 0)))
+  }
+  test("fill_down") {
+    val bp = BoundingPyramid.empty.add(TileCoord(1, 1, 0)).fillDown(3)
+    assert(bp.zget(2) == (Bounds(2, 4), Bounds(0, 2)))
+    assert(bp.zget(3) == (Bounds(4, 8), Bounds(0, 4)))
+  }
+  test("fill_up") {
+    val bp = BoundingPyramid.empty.add(TileCoord(2, 1, 3)).fillUp(0)
+    assert(bp.zget(1) == (Bounds(0, 1), Bounds(1, 2)))
+    assert(bp.zget(0) == (Bounds(0, 1), Bounds(0, 1)))
+  }
+  test("fill_up with pre-existing level") {
+    val bp = BoundingPyramid(1 -> (Bounds(0, 2), Bounds(1, 2)))
+      .add(TileCoord(2, 1, 3))
+      .fillUp(0)
+    assert(bp.zget(1) == (Bounds(0, 2), Bounds(1, 2)))
+    assert(bp.zget(0) == (Bounds(0, 1), Bounds(0, 1)))
+  }
+  test("iteration orders") {
+    val bp = BoundingPyramid.empty.add(TileCoord(2, 1, 3)).fillUp(0)
+    assert(
+      bp.iterBottomUp.toList ==
+        List(TileCoord(2, 1, 3), TileCoord(1, 0, 1), TileCoord(0, 0, 0)))
+    assert(
+      bp.iterTopDown.toList ==
+        List(TileCoord(0, 0, 0), TileCoord(1, 0, 1), TileCoord(2, 1, 3)))
+    assert(bp.ziter(1).toList == List(TileCoord(1, 0, 1)))
+    assert(bp.zs.toList.sorted == List(0, 1, 2))
+  }
+  test("from_string star") {
+    val bp = BoundingPyramid.fromString("0/0/0:2/*/*")
+    assert(bp.zget(0) == (Bounds(0, 1), Bounds(0, 1)))
+    assert(bp.zget(1) == (Bounds(0, 2), Bounds(0, 2)))
+    assert(bp.zget(2) == (Bounds(0, 4), Bounds(0, 4)))
+    assert(!bp.bounds.contains(3))
+  }
+  test("from_string relative") {
+    val bp = BoundingPyramid.fromString("2/1/3:+1/+1/+1")
+    assert(!bp.bounds.contains(1))
+    assert(bp.zget(2) == (Bounds(1, 2), Bounds(3, 4)))
+    assert(bp.zget(3) == (Bounds(2, 4), Bounds(6, 8)))
+    assert(!bp.bounds.contains(4))
+  }
+  test("from_string one level") {
+    val bp = BoundingPyramid.fromString("5/9/13:12/15")
+    assert(bp.zget(5) == (Bounds(9, 12), Bounds(13, 15)))
+    assert(bp.bounds.keySet == Set(5))
+  }
+  test("from_string up") {
+    val bp = BoundingPyramid.fromString("2/1/3:0/2/4")
+    assert(bp.zget(0) == (Bounds(0, 1), Bounds(0, 1)))
+    assert(bp.zget(1) == (Bounds(0, 1), Bounds(1, 2)))
+    assert(bp.zget(2) == (Bounds(1, 2), Bounds(3, 4)))
+  }
+  test("from_string error") {
+    intercept[IllegalArgumentException](BoundingPyramid.fromString("1/2/3:5/A"))
+  }
+  test("full") {
+    val bp = BoundingPyramid.full(1, 3)
+    assert(bp.zget(1) == (Bounds(0, 2), Bounds(0, 2)))
+    assert(bp.zget(2) == (Bounds(0, 4), Bounds(0, 4)))
+    assert(bp.zget(3) == (Bounds(0, 8), Bounds(0, 8)))
+    assert(bp.bounds.keySet == Set(1, 2, 3))
+  }
+  test("metatilecoords") {
+    val ms = BoundingPyramid.full(1, 2).metatilecoords(2).toList
+    assert(
+      ms == List(
+        TileCoord(1, 0, 0, 2),
+        TileCoord(2, 0, 0, 2),
+        TileCoord(2, 0, 2, 2),
+        TileCoord(2, 2, 0, 2),
+        TileCoord(2, 2, 2, 2)))
+  }
+  test("google grid geographic fill goldens") {
+    val bp = BoundingPyramid.empty.fill(
+      0 until 8,
+      Extent(572215.4395248143, 5684416.95917649, 1277662.36597472,
+        6145307.39552287))
+    assert(bp.zget(0) == (Bounds(0, 1), Bounds(0, 1)))
+    assert(bp.zget(1) == (Bounds(1, 2), Bounds(0, 1)))
+    assert(bp.zget(2) == (Bounds(2, 3), Bounds(1, 2)))
+    assert(bp.zget(3) == (Bounds(4, 5), Bounds(2, 3)))
+    assert(bp.zget(4) == (Bounds(8, 9), Bounds(5, 6)))
+    assert(bp.zget(5) == (Bounds(16, 18), Bounds(11, 12)))
+    assert(bp.zget(6) == (Bounds(32, 35), Bounds(22, 23)))
+    assert(bp.zget(7) == (Bounds(65, 69), Bounds(44, 46)))
+  }
+  test("download.py pyramid has 85 tiles") {
+    val bp = BoundingPyramid.fromString("4/8/5:+3/+1/+1")
+    assert(bp.size == 85)
+    assert(bp.iterTopDown.size == 85)
+  }
+}
+
+class TileGridSpec extends AnyFunSuite {
+  private val qtg = QuadTileGrid(maxExtent = Extent(0.0, 1.0, 2.0, 3.0))
+
+  test("quad children") {
+    assert(
+      qtg.children(TileCoord(1, 2, 3)).sorted == List(
+        TileCoord(2, 4, 6),
+        TileCoord(2, 4, 7),
+        TileCoord(2, 5, 6),
+        TileCoord(2, 5, 7)))
+    assert(
+      qtg.children(TileCoord(0, 0, 0)).sorted == List(
+        TileCoord(1, 0, 0),
+        TileCoord(1, 0, 1),
+        TileCoord(1, 1, 0),
+        TileCoord(1, 1, 1)))
+  }
+  test("quad children stop at max zoom") {
+    val g = QuadTileGrid(maxZoom = Some(1))
+    assert(g.children(TileCoord(1, 0, 0)).isEmpty)
+    assert(g.children(TileCoord(0, 0, 0)).size == 4)
+  }
+  test("quad extent goldens") {
+    assert(qtg.extent(TileCoord(0, 0, 0)) == Extent(0.0, 1.0, 2.0, 3.0))
+    assert(qtg.extent(TileCoord(1, 0, 0)) == Extent(0.0, 2.0, 1.0, 3.0))
+    assert(qtg.extent(TileCoord(1, 0, 1)) == Extent(0.0, 1.0, 1.0, 2.0))
+    assert(qtg.extent(TileCoord(1, 1, 0)) == Extent(1.0, 2.0, 2.0, 3.0))
+    assert(qtg.extent(TileCoord(1, 1, 1)) == Extent(1.0, 1.0, 2.0, 2.0))
+    assert(qtg.extent(TileCoord(2, 0, 0)) == Extent(0.0, 2.5, 0.5, 3.0))
+    assert(qtg.extent(TileCoord(2, 1, 1)) == Extent(0.5, 2.0, 1.0, 2.5))
+    assert(qtg.extent(TileCoord(2, 2, 2)) == Extent(1.0, 1.5, 1.5, 2.0))
+    assert(qtg.extent(TileCoord(2, 3, 3)) == Extent(1.5, 1.0, 2.0, 1.5))
+  }
+  test("quad parent") {
+    assert(qtg.parent(TileCoord(5, 11, 21)).contains(TileCoord(4, 5, 10)))
+    assert(qtg.parent(TileCoord(0, 0, 0)).isEmpty)
+  }
+  test("quad roots and zs") {
+    assert(qtg.roots == List(TileCoord(0, 0, 0)))
+    assert(qtg.zs.take(50).toList == (0 until 50).toList)
+  }
+  test("quad extent -> tilecoord roundtrip (z<=3 exhaustive)") {
+    for (z <- 0 until 4; x <- 0L until (1L << z); y <- 0L until (1L << z)) {
+      val tc = TileCoord(z, x, y)
+      val e = qtg.extent(tc)
+      assert(qtg.tilecoord(z, e.minX, e.minY) == tc)
+    }
+  }
+  test("quad flip_y symmetry") {
+    val n = QuadTileGrid()
+    val f = QuadTileGrid(flipY = true)
+    assert(n.extent(TileCoord(2, 0, 0)) == f.extent(TileCoord(2, 0, 3)))
+    assert(n.extent(TileCoord(2, 1, 1)) == f.extent(TileCoord(2, 1, 2)))
+    assert(n.extent(TileCoord(2, 2, 2)) == f.extent(TileCoord(2, 2, 1)))
+    assert(n.extent(TileCoord(2, 3, 3)) == f.extent(TileCoord(2, 3, 0)))
+  }
+  test("free == quad equivalence ([8,4,2,1], ts=0.125 vs maxZoom=3)") {
+    val ftg = FreeTileGrid(IndexedSeq(8.0, 4.0, 2.0, 1.0), tileSize = 0.125)
+    val qtg3 = QuadTileGrid(maxZoom = Some(3))
+    assert(
+      ftg.children(TileCoord(2, 2, 3)).sorted ==
+        qtg3.children(TileCoord(2, 2, 3)).sorted)
+    assert(
+      ftg.children(TileCoord(0, 0, 0)).sorted ==
+        qtg3.children(TileCoord(0, 0, 0)).sorted)
+    for (z <- 0 until 4; x <- 0L until (1L << z); y <- 0L until (1L << z)) {
+      val tc = TileCoord(z, x, y)
+      assert(ftg.extent(tc) == qtg3.extent(tc), s"extent mismatch at $tc")
+    }
+    assert(ftg.parent(TileCoord(3, 3, 5)) == qtg3.parent(TileCoord(3, 3, 5)))
+    assert(ftg.roots == qtg3.roots.toList)
+    assert(ftg.zs.toList == qtg3.zs.toList)
+  }
+  test("free grid roots/parents with non-divisible resolutions") {
+    val g = FreeTileGrid(IndexedSeq(750.0, 20.0, 10.0, 5.0))
+    // 750 % 20 != 0 -> z1 is a root; 20 % 10 == 0, 10 % 5 == 0
+    assert(g.parentZs == IndexedSeq(None, None, Some(1), Some(2)))
+    assert(g.childZs == IndexedSeq(Nil, List(2), List(3), Nil))
+  }
+  test("google grid constants") {
+    assert(TileGrids.Google.maxExtent.minX == -20037508.34)
+    assert(TileGrids.Google.tileSize == 256.0)
+  }
+}
+
+class TileLayoutSpec extends AnyFunSuite {
+  test("OSM layout") {
+    assert(OSMTileLayout.filename(TileCoord(1, 2, 3)) == "1/2/3")
+    assert(OSMTileLayout.tilecoord("1/2/3") == TileCoord(1, 2, 3))
+    intercept[IllegalArgumentException](OSMTileLayout.tilecoord("nope"))
+  }
+  test("template layout") {
+    val l = TemplateTileLayout("prefix/%(z)d/%(x)d/%(y)d.png")
+    assert(l.filename(TileCoord(1, 2, 3)) == "prefix/1/2/3.png")
+    assert(l.tilecoord("prefix/1/2/3.png") == TileCoord(1, 2, 3))
+    assert(l.prefix == "prefix/")
+  }
+  test("template layout reordered placeholders") {
+    val l = TemplateTileLayout("%(y)d-%(x)d-%(z)d")
+    assert(l.filename(TileCoord(5, 6, 7)) == "7-6-5")
+    assert(l.tilecoord("7-6-5") == TileCoord(5, 6, 7))
+  }
+  test("wrapped layout") {
+    val l = WrappedTileLayout(OSMTileLayout, "prefix/", ".png")
+    assert(l.filename(TileCoord(1, 2, 3)) == "prefix/1/2/3.png")
+    assert(l.tilecoord("prefix/1/2/3.png") == TileCoord(1, 2, 3))
+    intercept[IllegalArgumentException](l.tilecoord("1/2/3.png"))
+  }
+  test("i3d quadkey codec") {
+    assert(I3DTileLayout.quadcode(TileCoord(3, 4, 6)) == "320")
+    assert(I3DTileLayout.fromQuadcode("320") == TileCoord(3, 4, 6))
+    assert(I3DTileLayout.quadcode(TileCoord(0, 0, 0)) == "")
+    assert(I3DTileLayout.filename(TileCoord(3, 4, 6)) == "32/0")
+    assert(I3DTileLayout.tilecoord("32/0") == TileCoord(3, 4, 6))
+    // bijection over all coords at z<=4
+    for (z <- 0 to 4; x <- 0L until (1L << z); y <- 0L until (1L << z)) {
+      val tc = TileCoord(z, x, y)
+      assert(I3DTileLayout.fromQuadcode(I3DTileLayout.quadcode(tc)) == tc)
+    }
+    // prefix containment == spatial containment (parent is prefix)
+    val tc = TileCoord(5, 13, 27)
+    val p = TileGrids.Google.parent(tc).get
+    assert(I3DTileLayout.quadcode(tc).startsWith(I3DTileLayout.quadcode(p)))
+  }
+  test("tilecache disk layout") {
+    assert(
+      TileCacheDiskLayout.filename(TileCoord(1, 123456789L, 987654321L)) ==
+        "01/123/456/789/987/654/321")
+    assert(
+      TileCacheDiskLayout.tilecoord("01/123/456/789/987/654/321") ==
+        TileCoord(1, 123456789L, 987654321L))
+    assert(
+      TileCacheDiskLayout.tilecoord(
+        TileCacheDiskLayout.filename(TileCoord(5, 42, 7))) ==
+        TileCoord(5, 42, 7))
+  }
+  test("wmts kvp url") {
+    val l = WMTSTileLayout(
+      url = "http://example.com/wmts",
+      layer = "layer",
+      style = "default",
+      format = ".png",
+      tileMatrixSet = "swissgrid")
+    assert(
+      l.filename(TileCoord(1, 2, 3)) ==
+        "http://example.com/wmts?Service=WMTS&Request=GetTile&Format=.png" +
+        "&Version=1.0.0&Layer=layer&Style=default&TileMatrixSet=swissgrid" +
+        "&TileMatrix=1&TileRow=3&TileCol=2")
+  }
+  test("wmts rest url") {
+    val l = WMTSTileLayout(
+      url = "http://example.com/wmts",
+      layer = "layer",
+      style = "default",
+      format = ".png",
+      tileMatrixSet = "swissgrid",
+      requestEncoding = "REST")
+    assert(
+      l.filename(TileCoord(1, 2, 3)) ==
+        "http://example.com/wmts/1.0.0/layer/default/swissgrid/1/3/2.png")
+  }
+  test("wms url carries bbox and size") {
+    val l = WMSTileLayout(
+      url = "http://example.com/wms",
+      layers = "l1",
+      srs = "EPSG:3857",
+      format = "image/png",
+      grid = QuadTileGrid(Extent(0.0, 0.0, 1.0, 1.0), 256.0))
+    val u = l.filename(TileCoord(1, 0, 0))
+    assert(u.contains("SERVICE=WMS"))
+    assert(u.contains("TRANSPARENT=TRUE"))
+    assert(u.contains("BBOX=0.000000%2C0.500000%2C0.500000%2C1.000000"))
+    assert(u.contains("WIDTH=256") && u.contains("HEIGHT=256"))
+  }
+}
