@@ -1,0 +1,376 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.BoundingPyramid
+import graft.sql.TileFunctions
+import graft.sql.TileFunctions._
+
+/** The operator inventory as (Spark query, DuckDB oracle SQL) pairs over
+  * the driver's parquet tables. Tile coordinates are derived from
+  * existing integer keys (FIXTURES.md §7):
+  * `z = l_linenumber % 8`, `x = l_orderkey % 2^z`, `y = l_partkey % 2^z`
+  * so every coordinate operator is DuckDB-expressible over the same
+  * files. Column aliases match the oracle SQL exactly (driver hashes
+  * sorted-by-name columns).
+  */
+object GraftQueries {
+
+  private def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Derived tile coords from lineitem keys. */
+  private def coords(s: SparkSession, dir: String): DataFrame = {
+    val z = (col("l_linenumber") % 8).cast("int")
+    table(s, dir, "lineitem").select(
+      z.as("z"),
+      pmod(col("l_orderkey"), pow2(z)).as("x"),
+      pmod(col("l_partkey"), pow2(z)).as("y"),
+      col("l_returnflag").as("flag"),
+      col("l_quantity").as("qty"))
+  }
+
+  /** The same derivation as a DuckDB CTE. */
+  private val CoordsCte =
+    """coords AS (
+      |  SELECT CAST(l_linenumber % 8 AS INT) AS z,
+      |         l_orderkey % (1::BIGINT << CAST(l_linenumber % 8 AS INT)) AS x,
+      |         l_partkey % (1::BIGINT << CAST(l_linenumber % 8 AS INT)) AS y,
+      |         l_returnflag AS flag,
+      |         l_quantity AS qty
+      |  FROM lineitem
+      |)""".stripMargin
+
+  /** Render a pyramid enumeration as literal DuckDB SQL (UNION ALL of
+    * inclusive generate_series blocks per level). */
+  private def enumSql(bp: BoundingPyramid): String =
+    bp.bounds.toSeq
+      .map { case (z, (xb, yb)) =>
+        s"""SELECT CAST($z AS INT) AS z, gx.x AS x, gy.y AS y
+           |FROM generate_series(${xb.start}, ${xb.stop - 1}) gx(x)
+           |CROSS JOIN generate_series(${yb.start}, ${yb.stop - 1}) gy(y)""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+
+  private val FlagshipSpec = "4/8/5:+3/+1/+1"
+
+  // ---------------------------------------------------------------- //
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // Cheap bounding pyramid: per-z min/max bounds + counts
+    // (reference store/mbtiles.py:109-116, scripts/tc_info.py:23-43).
+    ("q01_pyramid_levels",
+      (s: SparkSession, dir: String) =>
+        coords(s, dir)
+          .groupBy("z")
+          .agg(
+            min("x").as("x_min"), max("x").as("x_max"),
+            min("y").as("y_min"), max("y").as("y_max"),
+            count(lit(1)).as("cnt")),
+      Some(s"""WITH $CoordsCte
+        |SELECT z, min(x) AS x_min, max(x) AS x_max,
+        |       min(y) AS y_min, max(y) AS y_max, count(*) AS cnt
+        |FROM coords GROUP BY z""".stripMargin)),
+
+    // Point -> tile assignment kernel (reference grid/quad.py:78-83):
+    // deterministic WebMercator points from integer keys, assigned at z=6.
+    ("q02_point_assign",
+      (s: SparkSession, dir: String) => {
+        val e = graft.core.TileGrids.Google.maxExtent
+        table(s, dir, "lineitem")
+          .select(
+            (lit(e.minX) + lit(e.width) * ((col("l_orderkey") % 1000) / 1000.0)).as("px"),
+            (lit(e.minY) + lit(e.height) * ((col("l_partkey") % 1000) / 1000.0)).as("py"))
+          .select(
+            tileOfPointX(col("px"), lit(6)).as("x"),
+            tileOfPointY(col("py"), lit(6)).as("y"))
+          .groupBy("x", "y")
+          .agg(count(lit(1)).as("cnt"))
+      },
+      // NB: DuckDB CAST(double AS BIGINT) rounds; Spark's cast truncates.
+      // trunc() first for identical semantics (reference uses int()).
+      Some("""WITH pts AS (
+        |  SELECT (-20037508.34 + (20037508.34 - (-20037508.34)) * ((l_orderkey % 1000) / 1000.0)) AS px,
+        |         (-20037508.34 + (20037508.34 - (-20037508.34)) * ((l_partkey % 1000) / 1000.0)) AS py
+        |  FROM lineitem),
+        |t AS (
+        |  SELECT CAST(trunc(((px - (-20037508.34)) * (1::BIGINT << 6)) / (20037508.34 - (-20037508.34))) AS BIGINT) AS tx,
+        |         CAST(trunc(((py - (-20037508.34)) * (1::BIGINT << 6)) / (20037508.34 - (-20037508.34))) AS BIGINT) AS ty0
+        |  FROM pts)
+        |SELECT tx AS x, (1::BIGINT << 6) - ty0 - 1 AS y, count(*) AS cnt
+        |FROM t GROUP BY 1, 2""".stripMargin)),
+
+    // Quadkey cell index (reference layout/i3d.py:25-43) + group count.
+    ("q03_quadkey_agg",
+      (s: SparkSession, dir: String) =>
+        coords(s, dir)
+          .select(quadkey(col("z"), col("x"), col("y")).as("qk"))
+          .groupBy("qk")
+          .agg(count(lit(1)).as("cnt")),
+      Some(s"""WITH $CoordsCte
+        |SELECT coalesce(list_aggregate(
+        |         [CAST(((x >> (z - i)) & 1) + 2 * ((y >> (z - i)) & 1) AS VARCHAR)
+        |          for i in range(1, z + 1)],
+        |         'string_agg', ''), '') AS qk,
+        |       count(*) AS cnt
+        |FROM coords GROUP BY 1""".stripMargin)),
+
+    // Meta-tile snap (reference __init__.py:470-471), span 2.
+    ("q04_metatile_snap",
+      (s: SparkSession, dir: String) =>
+        coords(s, dir)
+          .groupBy(
+            col("z"),
+            metatileX(col("x"), 2).as("mx"),
+            metatileY(col("y"), 2).as("my"))
+          .agg(count(lit(1)).as("cnt")),
+      Some(s"""WITH $CoordsCte
+        |SELECT z, x - x % 2 AS mx, y - y % 2 AS my, count(*) AS cnt
+        |FROM coords GROUP BY 1, 2, 3""".stripMargin)),
+
+    // Quad children explosion (reference grid/quad.py:24-29).
+    ("q05_children",
+      (s: SparkSession, dir: String) =>
+        coords(s, dir)
+          .select(
+            col("z"), col("x"), col("y"),
+            explode(children(col("z"), col("x"), col("y"))).as("c"))
+          .select(
+            col("z"), col("x"), col("y"),
+            col("c.z").as("cz"), col("c.x").as("cx"), col("c.y").as("cy")),
+      Some(s"""WITH $CoordsCte
+        |SELECT c.z, c.x, c.y, c.z + 1 AS cz,
+        |       2 * c.x + d.dx AS cx, 2 * c.y + d.dy AS cy
+        |FROM coords c
+        |CROSS JOIN (VALUES (0, 0), (1, 0), (0, 1), (1, 1)) d(dx, dy)""".stripMargin)),
+
+    // Quad parent (reference grid/quad.py:70-73).
+    ("q06_parent",
+      (s: SparkSession, dir: String) =>
+        coords(s, dir)
+          .where(col("z") > 0)
+          .select(
+            col("z"), col("x"), col("y"),
+            (col("z") - 1).as("pz"),
+            intDiv(col("x"), lit(2L)).as("px"),
+            intDiv(col("y"), lit(2L)).as("py")),
+      Some(s"""WITH $CoordsCte
+        |SELECT z, x, y, z - 1 AS pz, x // 2 AS px, y // 2 AS py
+        |FROM coords WHERE z > 0""".stripMargin)),
+
+    // Bounding-pyramid enumeration as a generator relation
+    // (reference __init__.py:245-279, examples/download.py:22-24).
+    ("q07_enum_pyramid",
+      (s: SparkSession, dir: String) =>
+        enumeratePyramid(s, BoundingPyramid.fromString(FlagshipSpec)),
+      Some(enumSql(BoundingPyramid.fromString(FlagshipSpec)))),
+
+    // Anti-join resume: enumerated tiles not already present
+    // (reference scripts/tc_copy.py:70-71 — THE checkpoint primitive).
+    ("q08_anti_join_resume",
+      (s: SparkSession, dir: String) =>
+        enumeratePyramid(s, BoundingPyramid.fromString(FlagshipSpec))
+          .join(coords(s, dir), Seq("z", "x", "y"), "left_anti"),
+      Some(s"""WITH $CoordsCte, enum AS (
+        |${enumSql(BoundingPyramid.fromString(FlagshipSpec))})
+        |SELECT e.z, e.x, e.y FROM enum e
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM coords c
+        |  WHERE c.z = e.z AND c.x = e.x AND c.y = e.y)""".stripMargin)),
+
+    // EveryNth consistent-hash sharding (reference filter/consistenthash.py).
+    ("q09_everynth",
+      (s: SparkSession, dir: String) =>
+        coords(s, dir)
+          .where(TileFunctions.everyNth(col("z"), col("x"), col("y"), 4, 1))
+          .select("z", "x", "y"),
+      Some(s"""WITH $CoordsCte
+        |SELECT z, x, y FROM coords
+        |WHERE xor(x << z, y) % 4 = 1""".stripMargin)),
+
+    // SearchUp: nearest ancestor present in a sparse store
+    // (reference store/searchup.py:4-33) as a hierarchical join.
+    ("q10_searchup",
+      (s: SparkSession, dir: String) => {
+        val c = coords(s, dir)
+        val store = c.where(col("flag") === "R").select("z", "x", "y").distinct()
+        val targets = c.where(col("flag") === "A").select("z", "x", "y").distinct()
+        targets
+          .withColumn("d", explode(sequence(lit(0), col("z"))))
+          .withColumn("az", (col("z") - col("d")).cast("int"))
+          .withColumn("ax", shiftR(col("x"), col("d")))
+          .withColumn("ay", shiftR(col("y"), col("d")))
+          .join(
+            store.select(
+              col("z").as("az"), col("x").as("ax"), col("y").as("ay")),
+            Seq("az", "ax", "ay"),
+            "left_semi")
+          .groupBy("z", "x", "y")
+          .agg(min("d").as("d"))
+          .select(
+            col("z"), col("x"), col("y"), col("d"),
+            (col("z") - col("d")).cast("int").as("az"),
+            shiftR(col("x"), col("d")).as("ax"),
+            shiftR(col("y"), col("d")).as("ay"))
+      },
+      Some(s"""WITH $CoordsCte,
+        |store AS (SELECT DISTINCT z, x, y FROM coords WHERE flag = 'R'),
+        |targets AS (SELECT DISTINCT z, x, y FROM coords WHERE flag = 'A'),
+        |anc AS (
+        |  SELECT t.z, t.x, t.y, CAST(g.d AS INT) AS d
+        |  FROM targets t CROSS JOIN generate_series(0, 7) g(d)
+        |  WHERE g.d <= t.z),
+        |hit AS (
+        |  SELECT a.z, a.x, a.y, a.d
+        |  FROM anc a
+        |  WHERE EXISTS (
+        |    SELECT 1 FROM store s
+        |    WHERE s.z = a.z - a.d AND s.x = (a.x >> a.d) AND s.y = (a.y >> a.d)))
+        |SELECT z, x, y, min(d) AS d,
+        |       CAST(z - min(d) AS INT) AS az,
+        |       x >> min(d) AS ax, y >> min(d) AS ay
+        |FROM hit GROUP BY z, x, y""".stripMargin)),
+
+    // FindFirst: first non-null across prioritized stores — coalesce join
+    // (reference store/findfirst.py:7-21).
+    ("q11_findfirst",
+      (s: SparkSession, dir: String) => {
+        val c = coords(s, dir)
+        val s1 = c.where(col("flag") === "R").groupBy("z", "x", "y")
+          .agg(count(lit(1)).as("v1"))
+        val s2 = c.where(col("flag") === "A").groupBy("z", "x", "y")
+          .agg(count(lit(1)).as("v2"))
+        c.select("z", "x", "y").distinct()
+          .join(s1, Seq("z", "x", "y"), "left")
+          .join(s2, Seq("z", "x", "y"), "left")
+          .select(
+            col("z"), col("x"), col("y"),
+            coalesce(col("v1"), col("v2")).as("v"))
+          .where(col("v").isNotNull)
+      },
+      Some(s"""WITH $CoordsCte,
+        |s1 AS (SELECT z, x, y, count(*) AS v1 FROM coords WHERE flag = 'R' GROUP BY 1, 2, 3),
+        |s2 AS (SELECT z, x, y, count(*) AS v2 FROM coords WHERE flag = 'A' GROUP BY 1, 2, 3),
+        |base AS (SELECT DISTINCT z, x, y FROM coords)
+        |SELECT b.z, b.x, b.y, coalesce(s1.v1, s2.v2) AS v
+        |FROM base b
+        |LEFT JOIN s1 ON s1.z = b.z AND s1.x = b.x AND s1.y = b.y
+        |LEFT JOIN s2 ON s2.z = b.z AND s2.x = b.x AND s2.y = b.y
+        |WHERE coalesce(s1.v1, s2.v2) IS NOT NULL""".stripMargin)),
+
+    // XYZ <-> TMS y-flip view (reference store/mbtiles.py:50-65).
+    ("q12_tms_flip",
+      (s: SparkSession, dir: String) =>
+        coords(s, dir)
+          .select(col("z"), col("x"), col("y"),
+            tmsY(col("z"), col("y")).as("tms_y")),
+      Some(s"""WITH $CoordsCte
+        |SELECT z, x, y, (1::BIGINT << z) - y - 1 AS tms_y
+        |FROM coords""".stripMargin)),
+
+    // Completion report: per-z distinct coords / expected
+    // (reference scripts/tc_info.py:44-53).
+    ("q13_completion",
+      (s: SparkSession, dir: String) =>
+        coords(s, dir)
+          .groupBy("z")
+          .agg(countDistinct(col("x"), col("y")).as("cnt"))
+          .select(
+            col("z"), col("cnt"),
+            (pow2(col("z")) * pow2(col("z"))).as("expected"),
+            floor(lit(1000000.0) * col("cnt") / (pow2(col("z")) * pow2(col("z"))))
+              .cast("long").as("ratio_e6")),
+      Some(s"""WITH $CoordsCte
+        |SELECT z, count(DISTINCT (x, y)) AS cnt,
+        |       (1::BIGINT << z) * (1::BIGINT << z) AS expected,
+        |       CAST(floor((1000000.0 * count(DISTINCT (x, y))) /
+        |            ((1::BIGINT << z) * (1::BIGINT << z))) AS BIGINT) AS ratio_e6
+        |FROM coords GROUP BY z""".stripMargin)),
+
+    // Layout path codecs as column expressions (reference layout/osm.py,
+    // layout/tilecache.py).
+    ("q14_layout_paths",
+      (s: SparkSession, dir: String) =>
+        coords(s, dir)
+          .select(col("z"), col("x"), col("y"))
+          .distinct()
+          .select(
+            col("z"), col("x"), col("y"),
+            osmPath(col("z"), col("x"), col("y")).as("osm"),
+            tileCachePath(col("z"), col("x"), col("y")).as("tcache")),
+      Some(s"""WITH $CoordsCte,
+        |d AS (SELECT DISTINCT z, x, y FROM coords)
+        |SELECT z, x, y,
+        |       CAST(z AS VARCHAR) || '/' || CAST(x AS VARCHAR) || '/' || CAST(y AS VARCHAR) AS osm,
+        |       lpad(CAST(z AS VARCHAR), 2, '0') || '/' ||
+        |       substr(lpad(CAST(x AS VARCHAR), 9, '0'), 1, 3) || '/' ||
+        |       substr(lpad(CAST(x AS VARCHAR), 9, '0'), 4, 3) || '/' ||
+        |       substr(lpad(CAST(x AS VARCHAR), 9, '0'), 7, 3) || '/' ||
+        |       substr(lpad(CAST(y AS VARCHAR), 9, '0'), 1, 3) || '/' ||
+        |       substr(lpad(CAST(y AS VARCHAR), 9, '0'), 4, 3) || '/' ||
+        |       substr(lpad(CAST(y AS VARCHAR), 9, '0'), 7, 3) AS tcache
+        |FROM d""".stripMargin)),
+
+    // Tile extents in WebMercator, floor-scaled to avoid float-format
+    // fuzz (reference grid/quad.py:31-48).
+    ("q15_extent",
+      (s: SparkSession, dir: String) => {
+        val base = coords(s, dir).select("z", "x", "y").distinct()
+        val ext = tileExtent(col("z"), col("x"), col("y"))
+        base.select(
+          col("z"), col("x"), col("y"),
+          floor(ext(0) * 10000).cast("long").as("minx_e4"),
+          floor(ext(1) * 10000).cast("long").as("miny_e4"),
+          floor(ext(2) * 10000).cast("long").as("maxx_e4"),
+          floor(ext(3) * 10000).cast("long").as("maxy_e4"))
+      },
+      Some(s"""WITH $CoordsCte,
+        |d AS (SELECT DISTINCT z, x, y FROM coords),
+        |e AS (
+        |  SELECT z, x, y,
+        |         CAST((1::BIGINT << z) AS DOUBLE) AS scale,
+        |         CAST((1::BIGINT << z) - y - 1 AS DOUBLE) AS yy
+        |  FROM d)
+        |SELECT z, x, y,
+        |  CAST(floor((-20037508.34 + ((20037508.34 - (-20037508.34)) * CAST(x AS DOUBLE)) / scale) * 10000) AS BIGINT) AS minx_e4,
+        |  CAST(floor((-20037508.34 + ((20037508.34 - (-20037508.34)) * yy) / scale) * 10000) AS BIGINT) AS miny_e4,
+        |  CAST(floor((-20037508.34 + ((20037508.34 - (-20037508.34)) * CAST(x + 1 AS DOUBLE)) / scale) * 10000) AS BIGINT) AS maxx_e4,
+        |  CAST(floor((-20037508.34 + ((20037508.34 - (-20037508.34)) * (yy + 1)) / scale) * 10000) AS BIGINT) AS maxy_e4
+        |FROM e""".stripMargin)),
+
+    // Windowed event aggregation (streaming-shaped op over the events
+    // table; deterministic min/max instead of float sums).
+    ("q16_events_hourly",
+      (s: SparkSession, dir: String) =>
+        table(s, dir, "events")
+          .groupBy(
+            unix_micros(date_trunc("hour", col("ts"))).as("hr_us"),
+            col("event_type"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            floor(lit(1000000.0) * min("value")).cast("long").as("min_v_e6"),
+            floor(lit(1000000.0) * max("value")).cast("long").as("max_v_e6")),
+      Some("""SELECT epoch_us(date_trunc('hour', ts)) AS hr_us, event_type,
+        |       count(*) AS cnt,
+        |       CAST(floor(1000000.0 * min(value)) AS BIGINT) AS min_v_e6,
+        |       CAST(floor(1000000.0 * max(value)) AS BIGINT) AS max_v_e6
+        |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // Exact document dedup by content hash (training-data pipeline op).
+    ("q20_doc_dedup_exact",
+      (s: SparkSession, dir: String) =>
+        table(s, dir, "documents")
+          .groupBy(md5(col("text").cast("binary")).as("h"))
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("cnt")),
+      Some("""SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS cnt
+        |FROM documents GROUP BY 1""".stripMargin))
+  )
+
+  def queryMap: Map[String, (SparkSession, String) => DataFrame] =
+    queries.map { case (n, f, _) => n -> f }.toMap
+
+  def oracleMap: Map[String, String] =
+    queries.collect { case (n, _, Some(sql)) => n -> sql }.toMap
+}

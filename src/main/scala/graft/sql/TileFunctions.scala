@@ -1,0 +1,185 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{BoundingPyramid, Extent, QuadTileGrid, TileGrids}
+
+/** The engine's Column-expression library: every tile-coordinate
+  * operation as pure Catalyst column math (shiftleft / pmod / floor /
+  * bitwise ops) so whole-stage codegen applies — no UDFs in the hot
+  * path. Mirrors graft.core semantics 1:1 (cross-checked by
+  * TileFunctionsSpec against the pure-Scala implementations).
+  */
+object TileFunctions {
+
+  // Spark 4 moved Column off catalyst Expression; the classic bridge is
+  // the supported way to wrap a custom Expression as a Column.
+  private def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(e)
+  private def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftColumnBridge.expression(c)
+
+  // Spark's Scala `shiftleft(Column, Int)` takes a literal shift; the SQL
+  // function accepts a column — route through call_function.
+  private def shiftL(c: Column, bits: Column): Column =
+    call_function("shiftleft", c, bits)
+  def shiftR(c: Column, bits: Column): Column =
+    call_function("shiftright", c, bits)
+
+  /** 2^z as a BIGINT column. */
+  def pow2(z: Column): Column = shiftL(lit(1L), z)
+
+  /** Integer division for non-negative operands. */
+  def intDiv(a: Column, b: Column): Column = call_function("div", a, b)
+
+  /** Consistent tile hash `((x / n) << z) ^ (y / n)`
+    * (reference __init__.py:443-450). Unique per zoom level. */
+  def tcHash(z: Column, x: Column, y: Column, n: Column = lit(1L)): Column =
+    shiftL(intDiv(x, n), z).bitwiseXOR(intDiv(y, n))
+
+  /** `EveryNth(n, i)` consistent-hash shard predicate
+    * (reference filter/consistenthash.py:4-26). */
+  def everyNth(z: Column, x: Column, y: Column, n: Int, i: Int): Column =
+    pmod(tcHash(z, x, y), lit(n.toLong)) === lit(i.toLong)
+
+  /** Quadkey string (hierarchical quadtree cell index). */
+  def quadkey(z: Column, x: Column, y: Column): Column =
+    colOf(QuadKeyExpr(
+      exprOf(z.cast("int")), exprOf(x.cast("long")), exprOf(y.cast("long"))))
+
+  /** 64-bit Z-order cell id `(1 << 2z) | morton(x, y)`. */
+  def cellId(z: Column, x: Column, y: Column): Column =
+    colOf(CellIdExpr(
+      exprOf(z.cast("int")), exprOf(x.cast("long")), exprOf(y.cast("long"))))
+
+  /** Meta-tile snap: `(z, n*(x/n), n*(y/n))`
+    * (reference __init__.py:470-471). Returns (mx, my) columns. */
+  def metatileX(x: Column, n: Int): Column = x - pmod(x, lit(n.toLong))
+  def metatileY(y: Column, n: Int): Column = y - pmod(y, lit(n.toLong))
+
+  /** The 4 quad children as an array of structs in the reference's yield
+    * order (reference grid/quad.py:24-29). */
+  def children(z: Column, x: Column, y: Column): Column =
+    array(
+      struct((z + 1).as("z"), (x * 2).as("x"), (y * 2).as("y")),
+      struct((z + 1).as("z"), (x * 2 + 1).as("x"), (y * 2).as("y")),
+      struct((z + 1).as("z"), (x * 2).as("x"), (y * 2 + 1).as("y")),
+      struct((z + 1).as("z"), (x * 2 + 1).as("x"), (y * 2 + 1).as("y")))
+
+  /** Quad parent struct, null at z = 0 (reference grid/quad.py:70-73). */
+  def parent(z: Column, x: Column, y: Column): Column =
+    when(z === 0, lit(null)).otherwise(
+      struct(
+        (z - 1).as("z"),
+        intDiv(x, lit(2L)).as("x"),
+        intDiv(y, lit(2L)).as("y")))
+
+  /** XYZ <-> TMS y flip `(1 << z) - y - 1`
+    * (reference store/mbtiles.py:50-65). Involutive. */
+  def tmsY(z: Column, y: Column): Column = pow2(z) - y - 1L
+
+  /** Point -> containing tile column math for a quad grid (reference
+    * grid/quad.py:78-83): toward-zero truncation, XYZ y flip unless the
+    * grid is flipY. Returns (tileX, tileY). */
+  def tileOfPointX(px: Column, z: Column, grid: QuadTileGrid = TileGrids.Google): Column =
+    ((px - grid.maxExtent.minX) * pow2(z) / grid.maxExtent.width).cast("long")
+
+  def tileOfPointY(py: Column, z: Column, grid: QuadTileGrid = TileGrids.Google): Column = {
+    val ty = ((py - grid.maxExtent.minY) * pow2(z) / grid.maxExtent.height).cast("long")
+    if (grid.flipY) ty else pow2(z) - ty - 1L
+  }
+
+  /** Tile extent (minX, minY, maxX, maxY) columns for a quad grid
+    * (reference grid/quad.py:31-48). */
+  def tileExtent(
+      z: Column,
+      x: Column,
+      y: Column,
+      n: Column = lit(1L),
+      border: Double = 0.0,
+      grid: QuadTileGrid = TileGrids.Google): Seq[Column] = {
+    val e = grid.maxExtent
+    val scale = pow2(z).cast("double")
+    val yy = if (grid.flipY) y.cast("double") else (pow2(z) - y - n).cast("double")
+    val delta = if (border != 0) border / grid.tileSize else 0.0
+    Seq(
+      (lit(e.minX) + lit(e.width) * (x - delta) / scale).as("min_x"),
+      (lit(e.minY) + lit(e.height) * (yy - delta) / scale).as("min_y"),
+      (lit(e.minX) + lit(e.width) * (x + n + delta) / scale).as("max_x"),
+      (lit(e.minY) + lit(e.height) * (yy + n + delta) / scale).as("max_y"))
+  }
+
+  /** Membership predicate for a driver-side bounding pyramid — a
+    * disjunction over its (few) levels, fully prunable by Catalyst
+    * (reference filter/inboundingpyramid.py:4-20). */
+  def inPyramid(bp: BoundingPyramid, z: Column, x: Column, y: Column): Column =
+    bp.bounds
+      .map { case (zl, (xb, yb)) =>
+        z === zl && x >= xb.start && x < xb.stop && y >= yb.start && y < yb.stop
+      }
+      .reduceOption(_ || _)
+      .getOrElse(lit(false))
+
+  /** Enumerate every coord of a bounding pyramid as a DataFrame
+    * `(z INT, x BIGINT, y BIGINT)` with NO input table and no shuffle:
+    * one `spark.range(count)` per level, index-decomposed into (x, y).
+    * Scales to billions of tiles per level — nothing is materialized on
+    * the driver (reference iterators __init__.py:245-279). */
+  def enumeratePyramid(
+      spark: SparkSession,
+      bp: BoundingPyramid,
+      partitionsPerLevel: Int = 0): DataFrame = {
+    val levels = bp.bounds.toSeq.map { case (z, (xb, yb)) =>
+      val yLen = math.max(yb.length, 1L)
+      val count = xb.length * yb.length
+      val base =
+        if (partitionsPerLevel > 0) spark.range(0, count, 1, partitionsPerLevel)
+        else spark.range(count)
+      base.select(
+        lit(z).as("z"),
+        (lit(xb.start) + intDiv(col("id"), lit(yLen))).as("x"),
+        (lit(yb.start) + col("id") % yLen).as("y"))
+    }
+    levels.reduceLeft(_ unionAll _)
+  }
+
+  /** Enumerate the covering meta-tile coords (span n) of a pyramid,
+    * aligned to multiples of n from the bounds' corner
+    * (reference __init__.py:253-267). */
+  def enumerateMetatiles(
+      spark: SparkSession,
+      bp: BoundingPyramid,
+      n: Int): DataFrame = {
+    val levels = bp.bounds.toSeq.map { case (z, (xb, yb)) =>
+      val mx0 = n * (xb.start / n)
+      val my0 = n * (yb.start / n)
+      val xCount = (xb.stop - mx0 + n - 1) / n
+      val yCount = (yb.stop - my0 + n - 1) / n
+      spark
+        .range(xCount * yCount)
+        .select(
+          lit(z).as("z"),
+          (lit(mx0) + intDiv(col("id"), lit(yCount)) * n).as("x"),
+          (lit(my0) + (col("id") % yCount) * n).as("y"),
+          lit(n).as("n"))
+    }
+    levels.reduceLeft(_ unionAll _)
+  }
+
+  /** OSM path `z/x/y` (reference layout/osm.py). */
+  def osmPath(z: Column, x: Column, y: Column): Column =
+    concat_ws("/", z, x, y)
+
+  /** TileCache disk path `zz/xxx/xxx/xxx/yyy/yyy/yyy`
+    * (reference layout/tilecache.py). */
+  def tileCachePath(z: Column, x: Column, y: Column): Column = {
+    val xs = lpad(x.cast("string"), 9, "0")
+    val ys = lpad(y.cast("string"), 9, "0")
+    concat_ws(
+      "/",
+      lpad(z.cast("string"), 2, "0"),
+      substring(xs, 1, 3), substring(xs, 4, 3), substring(xs, 7, 3),
+      substring(ys, 1, 3), substring(ys, 4, 3), substring(ys, 7, 3))
+  }
+}

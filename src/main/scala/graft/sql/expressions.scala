@@ -1,0 +1,133 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Quadkey / quadtree-cell codecs as native codegen-capable Catalyst
+  * expressions. The quadkey digit stream is the reference's I3D quadcode
+  * (reference layout/i3d.py:25-43) — the engine's hierarchical cell index
+  * (S2/H3 analogue): prefix containment equals spatial containment, and
+  * the interleaved bits give a Z-order (Morton) key for range
+  * partitioning.
+  */
+object TileCodecs {
+  /** Quadkey string of length z, most significant level first. */
+  def quadkey(z: Int, x: Long, y: Long): String = {
+    val chars = new Array[Char](z)
+    var xx = x
+    var yy = y
+    var i = z - 1
+    while (i >= 0) {
+      chars(i) = ('0' + ((xx & 1L) + ((yy & 1L) << 1))).toChar
+      xx >>= 1
+      yy >>= 1
+      i -= 1
+    }
+    new String(chars)
+  }
+
+  /** 64-bit quadtree cell id: Morton-interleaved (y,x) bits prefixed by a
+    * sentinel 1-bit so ids of different zooms never collide:
+    * `(1 << 2z) | interleave(x, y)`. Works for z <= 31. Children of a
+    * cell occupy the contiguous range `[c << 2, (c << 2) + 4)` — ancestor
+    * containment is a range/prefix test, the basis for cell-range joins
+    * and kNN ring expansion. */
+  def cellId(z: Int, x: Long, y: Long): Long = {
+    var m = 0L
+    var i = 0
+    while (i < z) {
+      m |= ((x >> i) & 1L) << (2 * i)
+      m |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    (1L << (2 * z)) | m
+  }
+
+  /** Inverse of [[cellId]]: (z, x, y). */
+  def cellIdToCoord(cell: Long): (Int, Long, Long) = {
+    val z = (63 - java.lang.Long.numberOfLeadingZeros(cell)) / 2
+    var x = 0L
+    var y = 0L
+    var i = 0
+    while (i < z) {
+      x |= ((cell >> (2 * i)) & 1L) << i
+      y |= ((cell >> (2 * i + 1)) & 1L) << i
+      i += 1
+    }
+    (z, x, y)
+  }
+}
+
+/** `tc_quadkey(z, x, y)` — quadkey string, codegen-capable. */
+case class QuadKeyExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  // callers (TileFunctions.quadkey / the registry wrapper) cast inputs
+  // to (INT, BIGINT, BIGINT)
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(z: Any, x: Any, y: Any): Any =
+    UTF8String.fromString(
+      TileCodecs.quadkey(
+        z.asInstanceOf[Int],
+        x.asInstanceOf[Long],
+        y.asInstanceOf[Long]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (z, x, y) =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.sql.TileCodecs.quadkey($z, $x, $y))")
+
+  override protected def withNewChildrenInternal(
+      f: Expression,
+      s: Expression,
+      t: Expression): Expression = copy(f, s, t)
+}
+
+/** `tc_cellid(z, x, y)` — 64-bit Z-order cell id, codegen-capable. */
+case class CellIdExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(z: Any, x: Any, y: Any): Any =
+    TileCodecs.cellId(
+      z.asInstanceOf[Int],
+      x.asInstanceOf[Long],
+      y.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (z, x, y) => s"graft.sql.TileCodecs.cellId($z, $x, $y)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression,
+      s: Expression,
+      t: Expression): Expression = copy(f, s, t)
+}
+
+object TileExpressions {
+  /** Register `tc_quadkey` / `tc_cellid` in the session's function
+    * registry so they are usable from SQL and `call_function`. */
+  def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.IntegerType
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "tc_quadkey",
+      exprs =>
+        QuadKeyExpr(
+          Cast(exprs(0), IntegerType),
+          Cast(exprs(1), LongType),
+          Cast(exprs(2), LongType)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "tc_cellid",
+      exprs =>
+        CellIdExpr(
+          Cast(exprs(0), IntegerType),
+          Cast(exprs(1), LongType),
+          Cast(exprs(2), LongType)),
+      "built-in")
+  }
+}

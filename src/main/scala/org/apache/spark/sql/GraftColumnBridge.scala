@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the classic Column <-> catalyst Expression conversion,
+  * which Spark 4 marks private[sql]. This is the minimal, standard
+  * pattern for libraries that ship custom codegen Expressions.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,179 @@
+package graft.sql
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.core._
+
+/** Cross-checks the Column expression library against the pure-Scala
+  * core on randomized coords, plus generator-relation semantics. */
+class TileFunctionsSpec extends SparkTestBase {
+  import TileFunctions._
+
+  private lazy val coords: Seq[(Int, Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    (0 until 500).map { _ =>
+      val z = rnd.nextInt(21)
+      (z, math.abs(rnd.nextLong()) % (1L << z max 1), math.abs(rnd.nextLong()) % (1L << z max 1))
+    } :+ ((0, 0L, 0L))
+  }
+
+  private lazy val df = {
+    val s = spark
+    import s.implicits._
+    coords.toDF("z", "x", "y").cache()
+  }
+
+  test("quadkey expression matches core codec (and SQL registration)") {
+    val got = df
+      .select(col("z"), col("x"), col("y"), quadkey(col("z"), col("x"), col("y")).as("qk"))
+      .collect()
+    got.foreach { r =>
+      val expect =
+        I3DTileLayout.quadcode(TileCoord(r.getInt(0), r.getLong(1), r.getLong(2)))
+      assert(r.getString(3) == expect)
+    }
+    // via SQL function registry
+    df.createOrReplaceTempView("qk_in")
+    val viaSql =
+      spark.sql("SELECT tc_quadkey(z, x, y) qk FROM qk_in").collect().map(_.getString(0))
+    assert(viaSql.toSeq == got.map(_.getString(3)).toSeq)
+  }
+
+  test("cellId is a bijection and preserves hierarchy as a range") {
+    val got = df
+      .select(col("z"), col("x"), col("y"), cellId(col("z"), col("x"), col("y")).as("c"))
+      .collect()
+    got.foreach { r =>
+      val (z, x, y) = (r.getInt(0), r.getLong(1), r.getLong(2))
+      val c = r.getLong(3)
+      assert(TileCodecs.cellIdToCoord(c) == ((z, x, y)))
+      if (z > 0) {
+        val p = TileCodecs.cellId(z - 1, x / 2, y / 2)
+        assert(c >= (p << 2) && c < (p << 2) + 4, "child in parent range")
+      }
+    }
+    assert(got.map(_.getLong(3)).distinct.length == got.length || coords.distinct.size < coords.size)
+  }
+
+  test("tcHash / everyNth matches reference hash") {
+    val got =
+      df.select(col("z"), col("x"), col("y"), tcHash(col("z"), col("x"), col("y")).as("h")).collect()
+    got.foreach { r =>
+      assert(r.getLong(3) == TileCoord(r.getInt(0), r.getLong(1), r.getLong(2)).tcHash)
+    }
+  }
+
+  test("tileOfPoint matches grid.tilecoord on corpus-like points") {
+    val rnd = new scala.util.Random(7)
+    val s = spark
+    import s.implicits._
+    val pts = (0 until 300).map { _ =>
+      val e = TileGrids.Google.maxExtent
+      (e.minX + rnd.nextDouble() * e.width * 0.999,
+       e.minY + rnd.nextDouble() * e.height * 0.999)
+    }
+    val z = 8
+    val got = pts
+      .toDF("px", "py")
+      .select(
+        col("px"), col("py"),
+        tileOfPointX(col("px"), lit(z)).as("tx"),
+        tileOfPointY(col("py"), lit(z)).as("ty"))
+      .collect()
+    got.foreach { r =>
+      val expect = TileGrids.Google.tilecoord(z, r.getDouble(0), r.getDouble(1))
+      assert(r.getLong(2) == expect.x && r.getLong(3) == expect.y)
+    }
+  }
+
+  test("tileExtent matches grid.extent") {
+    val cols = Seq(
+      (col("z") % 15).cast("int").as("z"),
+      (col("x") % 1000).as("x"),
+      (col("y") % 1000).as("y")) ++
+      tileExtent((col("z") % 15).cast("int"), col("x") % 1000, col("y") % 1000)
+    val got = df
+      .select(cols: _*)
+      .where(col("x") < pow2(col("z")) && col("y") < pow2(col("z")))
+      .collect()
+    got.foreach { r =>
+      val e = TileGrids.Google.extent(TileCoord(r.getInt(0), r.getLong(1), r.getLong(2)))
+      assert(r.getDouble(3) == e.minX && r.getDouble(4) == e.minY)
+      assert(r.getDouble(5) == e.maxX && r.getDouble(6) == e.maxY)
+    }
+  }
+
+  test("children / parent / tmsY round-trips") {
+    val got = df
+      .where(col("z") > 0)
+      .select(
+        col("z"), col("x"), col("y"),
+        explode(children(col("z"), col("x"), col("y"))).as("c"))
+      .select(col("z"), col("x"), col("y"), col("c.z").as("cz"), col("c.x").as("cx"), col("c.y").as("cy"))
+      .withColumn("p", parent(col("cz"), col("cx"), col("cy")))
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[Row]("p") == Row(r.getInt(0), r.getLong(1), r.getLong(2)))
+    }
+    val flips = df
+      .select(col("z"), col("y"), tmsY(col("z"), tmsY(col("z"), col("y"))).as("y2"))
+      .collect()
+    flips.foreach(r => assert(r.getLong(1) == r.getLong(2)))
+  }
+
+  test("enumeratePyramid matches driver-side enumeration exactly") {
+    for (spec <- Seq("4/8/5:+3/+1/+1", "0/0/0:2/*/*", "5/9/13:12/15")) {
+      val bp = BoundingPyramid.fromString(spec)
+      val rows = enumeratePyramid(spark, bp)
+        .collect()
+        .map(r => TileCoord(r.getInt(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(rows == bp.iterTopDown.toSet, spec)
+      assert(rows.size == bp.size)
+    }
+  }
+
+  test("enumerateMetatiles matches driver-side metatilecoords") {
+    val bp = BoundingPyramid.full(1, 2)
+    val rows = enumerateMetatiles(spark, bp, 2)
+      .collect()
+      .map(r => TileCoord(r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(rows == bp.metatilecoords(2).toSet)
+  }
+
+  test("inPyramid predicate equals core contains") {
+    val bp = BoundingPyramid.fromString("4/8/5:+3/+1/+1")
+    val got = df
+      .select(col("z"), col("x"), col("y"),
+        inPyramid(bp, col("z"), col("x"), col("y")).as("m"))
+      .collect()
+    got.foreach { r =>
+      assert(
+        r.getBoolean(3) == bp.contains(TileCoord(r.getInt(0), r.getLong(1), r.getLong(2))))
+    }
+  }
+
+  test("layout path columns match core layouts") {
+    val got = df
+      .select(col("z"), col("x"), col("y"),
+        osmPath(col("z"), col("x"), col("y")).as("osm"),
+        tileCachePath(col("z"), col("x"), col("y")).as("tc"))
+      .collect()
+    got.foreach { r =>
+      val tc = TileCoord(r.getInt(0), r.getLong(1), r.getLong(2))
+      assert(r.getString(3) == OSMTileLayout.filename(tc))
+      assert(r.getString(4) == TileCacheDiskLayout.filename(tc))
+    }
+  }
+
+  test("quadkey stays inside whole-stage codegen") {
+    val plan = df
+      .select(quadkey(col("z"), col("x"), col("y")).as("qk"))
+      .queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks operators inside a WholeStageCodegen span
+    assert(plan.contains("*(1) Project [quadkeyexpr"), plan)
+  }
+}

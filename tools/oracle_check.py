@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify, then
+each oracle SQL in DuckDB over the same parquet tables, and compare
+sorted rows/columns. Usage: oracle_check.py [sfDir] [outDir]
+(Run `sbt -batch "runMain graft.Verify <sfDir> <outDir>"` first.)
+"""
+import sys, json, glob, os
+import duckdb
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/vout"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(p)[:-8]
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    spark_dir = f"{outdir}/{name}"
+    files = glob.glob(f"{spark_dir}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output")
+        fails += 1
+        continue
+    try:
+        got = con.sql(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").df()
+        want = con.sql(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: {str(e)[:200]}")
+        fails += 1
+        continue
+    got = got.reindex(sorted(got.columns), axis=1)
+    want = want.reindex(sorted(want.columns), axis=1)
+    if list(got.columns) != list(want.columns):
+        print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+        fails += 1
+        continue
+    gs = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+    ws = want.sort_values(by=list(want.columns)).reset_index(drop=True)
+    if len(gs) != len(ws):
+        print(f"FAIL {name}: rows {len(gs)} != {len(ws)}")
+        fails += 1
+        continue
+    # exact value compare after normalizing dtypes via string repr
+    eq = gs.astype(str).equals(ws.astype(str))
+    if not eq:
+        diff = (gs.astype(str) != ws.astype(str)).any(axis=1)
+        print(f"FAIL {name}: value mismatch in {int(diff.sum())}/{len(gs)} rows")
+        print("  spark:", gs[diff].head(3).to_dict("records"))
+        print("  duck :", ws[diff].head(3).to_dict("records"))
+        fails += 1
+    else:
+        print(f"PASS {name}: {len(gs)} rows")
+print(f"\n{len(oracle) - fails}/{len(oracle)} queries match")
+sys.exit(1 if fails else 0)
