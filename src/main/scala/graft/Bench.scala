@@ -1,24 +1,83 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.BoundingPyramid
+import graft.engine.{Corpus, Pipeline}
+import graft.sql.TileFunctions
+
+/** Per-round benchmark. Headline metric follows BASELINE.json: tiles
+  * assigned + spatially joined per second over the synthetic image
+  * corpus (corpus size scales with the SF dir), plus per-query seconds
+  * for every SparkEntry operator query. Prints ONE JSON line.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  def mkSession(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName("graft-bench")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    graft.sql.TileExpressions.register(s)
+    s
+  }
+
+  def corpusRowsFor(sfDir: String): Long = {
+    val sf = "sf([0-9.]+)".r
+      .findFirstMatchIn(sfDir)
+      .map(_.group(1).toDouble)
+      .getOrElse(0.01)
+    math.max((sf * 1000000).toLong, 1000L)
+  }
+
+  /** The flagship job: corpus -> point assignment at 4 zoom levels ->
+    * per-tile render aggregation -> region semi-join. Returns (assigned
+    * rows, output tiles, seconds). Corpus generation/caching is excluded
+    * from the timed section. */
+  def flagship(spark: SparkSession, corpusRows: Long): (Long, Long, Double) = {
+    val zooms = Seq(4, 6, 8, 10)
+    val corpus = Corpus.generate(spark, corpusRows).toDF().cache()
+    corpus.count() // materialize outside the timed window
+
+    val bp = BoundingPyramid.full(zooms.min, zooms.max)
+    val t0 = System.nanoTime()
+    val assigned = Pipeline.assign(corpus, zooms)
+    val rendered = Pipeline.renderTiles(assigned)
+    val region = TileFunctions.enumeratePyramid(spark, BoundingPyramid(
+      scala.collection.immutable.SortedMap(
+        bp.bounds.filter { case (z, _) => zooms.contains(z) }.toSeq: _*)))
+    val tiles = rendered.join(region, Seq("z", "x", "y"), "left_semi").count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val assignedRows = corpusRows * zooms.size
+    corpus.unpersist()
+    (assignedRows, tiles, secs)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = mkSession(cpus)
+
+    val (assignedRows, outTiles, flagSecs) = flagship(spark, corpusRowsFor(sfDir))
+    val throughput = assignedRows / flagSecs
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(
+      s"""{"metric":"tiles assigned + spatially joined per second","value":${f"$throughput%.1f"},"unit":"tiles/sec","flagship_secs":${f"$flagSecs%.3f"},"assigned_rows":$assignedRows,"out_tiles":$outTiles,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

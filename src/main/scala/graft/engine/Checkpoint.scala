@@ -1,0 +1,120 @@
+package graft.engine
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.apache.spark.util.AccumulatorV2
+
+/** Partition-granular checkpoint + lineage/metrics tables — the Spark
+  * re-expression of the reference's queue checkpointing (Redis
+  * pending/claim/dead-letter, store/redis.py:212-328) and anti-join
+  * resume (scripts/tc_copy.py:70-71).
+  *
+  * Model: a batch job writes its sink idempotently; alongside it, a
+  * `metrics` table records one row per task partition
+  * (job_id, stage, partition_id, rows, errors, nanos, status). Cross-run
+  * resume is the `left_anti` join against the sink's coords, so only
+  * missing work is redone. Spark task retry covers intra-job failure
+  * (the reference's pending-claim steal); the anti-join covers cross-run
+  * failure (the reference's resumable queue).
+  */
+object Checkpoint {
+
+  val metricsSchema: StructType = StructType(Seq(
+    StructField("job_id", StringType),
+    StructField("stage", StringType),
+    StructField("partition_id", IntegerType),
+    StructField("rows", LongType),
+    StructField("errors", LongType),
+    StructField("nanos", LongType),
+    StructField("status", StringType)))
+
+  private val pending =
+    new ConcurrentHashMap[(String, String), (MetricsAccumulator, String, SparkSession)]()
+
+  /** Instrument a tile DataFrame: counts rows/errors per task partition
+    * into an accumulator; `flush` writes one metrics row per partition
+    * after the action. Data flows through unchanged (reference
+    * filter/benchmark.py:13-79 Statistics, made partition-granular). */
+  def instrument(
+      df: DataFrame,
+      jobId: String,
+      stage: String,
+      metricsPath: String): DataFrame = {
+    val spark = df.sparkSession
+    val acc = new MetricsAccumulator()
+    spark.sparkContext.register(acc, s"graft-metrics-$jobId-$stage")
+    val errIdx = df.schema.fieldNames.indexOf("error")
+    val out = df.mapPartitions { it =>
+      val t0 = System.nanoTime()
+      val pid = TaskContext.getPartitionId()
+      var rows = 0L
+      var errors = 0L
+      new Iterator[Row] {
+        def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h && rows >= 0) {
+            acc.add(PartitionMetric(pid, rows, errors, System.nanoTime() - t0))
+            rows = -1 // emit once
+          }
+          h
+        }
+        def next(): Row = {
+          val r = it.next()
+          rows += 1
+          if (errIdx >= 0 && !r.isNullAt(errIdx)) errors += 1
+          r
+        }
+      }
+    }(Encoders.row(df.schema))
+    pending.put((jobId, stage), (acc, metricsPath, spark))
+    out
+  }
+
+  /** Flush accumulated per-partition metrics (call after the action). */
+  def flush(jobId: String, stage: String): Unit =
+    Option(pending.remove((jobId, stage))).foreach { case (acc, path, spark) =>
+      val rows = acc.value.map { m =>
+        Row(jobId, stage, m.partitionId, m.rows, m.errors, m.nanos, "done")
+      }
+      if (rows.nonEmpty)
+        spark
+          .createDataFrame(spark.sparkContext.parallelize(rows, 1), metricsSchema)
+          .write.mode("append").parquet(path)
+    }
+
+  def readMetrics(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(metricsSchema).parquet(path)
+
+  /** Cross-run resume: drop coords already present in the sink
+    * (reference tc_copy.py:70-71, examples/download.py:26). */
+  def resume(todo: DataFrame, sinkPath: String): DataFrame = {
+    val spark = todo.sparkSession
+    if (!TileTable.exists(spark, sinkPath)) todo
+    else
+      todo.join(
+        TileTable.read(spark, sinkPath).select("z", "x", "y"),
+        Seq("z", "x", "y"),
+        "left_anti")
+  }
+}
+
+final case class PartitionMetric(partitionId: Int, rows: Long, errors: Long, nanos: Long)
+
+/** Accumulator collecting one metric record per task partition. */
+class MetricsAccumulator extends AccumulatorV2[PartitionMetric, List[PartitionMetric]] {
+  private var list: List[PartitionMetric] = Nil
+  override def isZero: Boolean = list.isEmpty
+  override def copy(): MetricsAccumulator = {
+    val c = new MetricsAccumulator()
+    c.list = list
+    c
+  }
+  override def reset(): Unit = list = Nil
+  override def add(v: PartitionMetric): Unit = synchronized { list = v :: list }
+  override def merge(other: AccumulatorV2[PartitionMetric, List[PartitionMetric]]): Unit =
+    synchronized { list = other.value ++ list }
+  override def value: List[PartitionMetric] = list
+}

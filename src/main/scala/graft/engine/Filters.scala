@@ -1,0 +1,123 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.image.ImageCodec
+
+/** The reference's transformation/filter chain re-expressed as DataFrame
+  * transforms over the error-as-data channel (reference filter/ dir). Use
+  * with `.transform(...)` chaining — the Spark analogue of
+  * FilteredTileStore's reduce composition (store/filtered.py:21-25).
+  */
+object Filters {
+
+  /** Drop errored/empty tiles (reference filter/error.py:19-25). */
+  def dropErrors(df: DataFrame): DataFrame =
+    df.where(col("error").isNull)
+
+  /** Side-collect errored tiles (reference filter/error.py:7-16): the
+    * stream splits instead of mutating driver state. */
+  def collectErrors(df: DataFrame): (DataFrame, DataFrame) =
+    (df.where(col("error").isNull), df.where(col("error").isNotNull))
+
+  /** Named observation of tile/error counts — the distributed analogue
+    * of MaximumErrors/MaximumErrorRate guards (filter/error.py:37-113):
+    * read the metrics after the action and abort the *job* if exceeded
+    * (per-row exceptions are order-dependent and meaningless on a
+    * cluster). */
+  def observeErrors(df: DataFrame, name: String = "tile_metrics"): DataFrame =
+    df.observe(
+      name,
+      count(lit(1)).as("tiles"),
+      count(col("error")).as("errors"))
+
+  /** Enforce an error-rate policy after an action has populated the
+    * observation (reference filter/error.py:63-92 semantics, job-level). */
+  def checkErrorRate(
+      metrics: Map[String, Any],
+      maxRate: Double,
+      minTiles: Long = 8): Unit = {
+    val tiles = metrics("tiles").asInstanceOf[Long]
+    val errors = metrics("errors").asInstanceOf[Long]
+    if (tiles >= minTiles && errors >= maxRate * tiles)
+      throw new IllegalStateException(
+        s"TooManyErrors: $errors/$tiles exceeds rate $maxRate")
+  }
+
+  /** Content-type sniff from magic bytes as pure column math
+    * (reference filter/contenttype.py:17-27). */
+  def contentTypeColumn(data: Column): Column =
+    when(data.isNull, lit(null))
+      .when(substring(data, 1, 1) === lit("{".getBytes), "application/json")
+      .when(substring(data, 1, 8) === lit(ImageCodec.PngMagic), "image/png")
+      .when(substring(data, 1, 2) === lit(ImageCodec.JpegMagic), "image/jpeg")
+      .otherwise(lit(null))
+
+  /** ContentTypeAdder: fill content_type by sniffing (or force one). */
+  def contentTypeAdder(force: Option[String] = None)(df: DataFrame): DataFrame =
+    force match {
+      case Some(ct) => df.withColumn("content_type", lit(ct))
+      case None =>
+        df.withColumn(
+          "content_type",
+          when(
+            col("content_type").isNull && col("content_encoding").isNull,
+            contentTypeColumn(col("data")))
+            .otherwise(col("content_type")))
+    }
+
+  private val gzipUdf = udf((data: Array[Byte]) =>
+    if (data == null) null else ImageCodec.gzip(data))
+  private val gunzipUdf = udf((data: Array[Byte]) =>
+    if (data == null) null else ImageCodec.gunzip(data))
+
+  /** GzipCompressor (reference filter/gzip_.py:7-29). */
+  def gzipCompress(df: DataFrame): DataFrame =
+    df.withColumn(
+        "data",
+        when(col("content_encoding").isNull, gzipUdf(col("data")))
+          .otherwise(col("data")))
+      .withColumn(
+        "content_encoding",
+        when(col("content_encoding").isNull, lit("gzip"))
+          .otherwise(col("content_encoding")))
+
+  /** GzipDecompressor (reference filter/gzip_.py:32-38). */
+  def gzipDecompress(df: DataFrame): DataFrame =
+    df.withColumn(
+        "data",
+        when(col("content_encoding") === "gzip", gunzipUdf(col("data")))
+          .otherwise(col("data")))
+      .withColumn(
+        "content_encoding",
+        when(col("content_encoding") === "gzip", lit(null: String))
+          .otherwise(col("content_encoding")))
+
+  /** ImageFormatConverter (reference filter/image.py:17-41): re-encode
+    * to the target content type; conversion failures land in the error
+    * column, not as exceptions. */
+  def formatConverter(targetCt: String)(df: DataFrame): DataFrame = {
+    val convUdf = udf { (data: Array[Byte], ct: String) =>
+      if (data == null) null
+      else
+        try ImageCodec.convert(data, if (ct == null) "" else ct, targetCt)
+        catch { case _: Exception => null }
+    }
+    df.withColumn(
+        "converted",
+        when(col("content_type") === targetCt, col("data"))
+          .otherwise(convUdf(col("data"), col("content_type"))))
+      .withColumn(
+        "error",
+        when(
+          col("error").isNull && col("data").isNotNull && col("converted").isNull,
+          lit(s"conversion to $targetCt failed"))
+          .otherwise(col("error")))
+      .withColumn("data", col("converted"))
+      .drop("converted")
+      .withColumn(
+        "content_type",
+        when(col("data").isNotNull, lit(targetCt)).otherwise(col("content_type")))
+  }
+}

@@ -1,0 +1,167 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{BoundingPyramid, QuadTileGrid, TileGrids}
+import graft.sql.TileFunctions
+import graft.sql.TileFunctions._
+
+/** The flagship pipelines: raster<->vector tile assignment, the
+  * enumerate -> anti-join -> lookup-join -> filter -> sink copy job
+  * (reference scripts/tc_copy.py:25-121 / examples/download.py:15-34),
+  * and the data-dependent BFS subdivision
+  * (reference store/renderingtheworld.py:8-46).
+  *
+  * Scale notes (the 100 TB story):
+  *  - assignment is pure column math on a single corpus scan — no
+  *    shuffle until the per-tile aggregation;
+  *  - the per-tile render groups by cell id, which the sink then sorts
+  *    by, so one shuffle serves both aggregation and layout;
+  *  - the pyramid side of region joins is a generator relation: tiny at
+  *    low z (broadcast), index-decomposed spark.range at high z (never
+  *    driver-materialized);
+  *  - resume is a left_anti join against sink coords only (column-pruned
+  *    scan of (z,x,y), no blobs).
+  */
+object Pipeline {
+
+  /** Derive deterministic WebMercator points from the corpus phash
+    * (FIXTURES.md §1: the two 30-bit halves are the position driver). */
+  def withPoints(
+      corpus: DataFrame,
+      grid: QuadTileGrid = TileGrids.Google): DataFrame = {
+    val e = grid.maxExtent
+    val fx = (col("phash").bitwiseAND(lit(0x3fffffffL))).cast("double") / (1L << 30).toDouble
+    val fy = (shiftR(col("phash"), lit(30)).bitwiseAND(lit(0x3fffffffL)))
+      .cast("double") / (1L << 30).toDouble
+    corpus
+      .withColumn("px", lit(e.minX) + lit(e.width) * fx)
+      .withColumn("py", lit(e.minY) + lit(e.height) * fy)
+  }
+
+  /** Raster->vector tile assignment at one or more zoom levels: each
+    * image point gets its containing tile (z, x, y) and Z-order cell id.
+    * One corpus scan; `explode` over the (tiny) zoom list; zero shuffle. */
+  def assign(
+      corpus: DataFrame,
+      zooms: Seq[Int],
+      grid: QuadTileGrid = TileGrids.Google): DataFrame =
+    withPoints(corpus, grid)
+      .withColumn("z", explode(lit(zooms.toArray)))
+      .withColumn("x", tileOfPointX(col("px"), col("z"), grid))
+      .withColumn("y", tileOfPointY(col("py"), col("z"), grid))
+      .withColumn("cell", TileFunctions.cellId(col("z"), col("x"), col("y")))
+
+  /** Per-tile render: deterministic representative image per tile (the
+    * min-(phash, image_id) member), image count, and carried caption.
+    * The groupBy shuffle is the job's single wide dependency. */
+  def renderTiles(assigned: DataFrame): DataFrame =
+    assigned
+      .groupBy("z", "x", "y")
+      .agg(
+        min_by(
+          struct(col("bytes"), col("fmt"), col("caption"), col("image_id")),
+          struct(col("phash"), col("image_id"))).as("rep"),
+        count(lit(1)).as("img_count"),
+        min(col("phash")).as("min_phash"))
+      .select(
+        col("z"), col("x"), col("y"), lit(1).as("n"),
+        col("rep.bytes").as("data"),
+        when(col("rep.fmt") === "png", "image/png")
+          .otherwise("image/jpeg").as("content_type"),
+        lit(null).cast("string").as("content_encoding"),
+        lit(null).cast("string").as("error"),
+        map(
+          lit("caption"), col("rep.caption"),
+          lit("image_id"), col("rep.image_id"),
+          lit("img_count"), col("img_count").cast("string")).as("metadata"))
+
+  /** The copy/seed pipeline (reference examples/download.py:15-34 shape):
+    * enumerate the region pyramid, resume-anti-join against the sink,
+    * join rendered tiles from the corpus, convert format, write, record
+    * per-partition metrics. Returns (tiles written, metrics). */
+  def copyJob(
+      spark: SparkSession,
+      corpus: DataFrame,
+      bp: BoundingPyramid,
+      sinkPath: String,
+      metricsPath: String,
+      jobId: String,
+      targetCt: String = "image/png",
+      broadcastThreshold: Long = 1000000L): Long = {
+    val zooms = bp.zs.toSeq
+    val region0 = enumeratePyramid(spark, bp)
+    // small regions broadcast into the join against the big corpus side
+    val region =
+      if (bp.size <= broadcastThreshold) broadcast(region0) else region0
+    val todo = Checkpoint.resume(region, sinkPath)
+
+    val rendered = renderTiles(
+      assign(corpus, zooms).where(inPyramid(bp, col("z"), col("x"), col("y"))))
+
+    val joined = rendered.join(todo, Seq("z", "x", "y"), "left_semi")
+    val converted = Filters.formatConverter(targetCt)(joined)
+    val instrumented =
+      Checkpoint.instrument(converted, jobId, "sink", metricsPath)
+    TileTable.write(instrumented, sinkPath)
+    Checkpoint.flush(jobId, "sink")
+    TileTable.read(spark, sinkPath).count()
+  }
+
+  /** Rendering-the-world: data-dependent quadtree subdivision. A tile is
+    * subdivided while it contains more than `maxPerTile` points and
+    * z < maxZ — the z-level-synchronous BFS form of the reference's
+    * work-queue feedback loop (store/renderingtheworld.py:36-40; order
+    * is not part of the contract). Returns the selected (leaf) tiles
+    * with their counts.
+    *
+    * Implementation: points are assigned once at maxZ; every coarser
+    * count is a hierarchical rollup (shiftR of the deep coords), so each
+    * BFS level is one aggregation of the previous level — no rescans of
+    * the corpus. */
+  def renderingTheWorld(
+      corpus: DataFrame,
+      maxPerTile: Long,
+      maxZ: Int,
+      grid: QuadTileGrid = TileGrids.Google): DataFrame = {
+    val spark = corpus.sparkSession
+    // counts at the deepest level
+    var counts = assign(corpus, Seq(maxZ), grid)
+      .groupBy("z", "x", "y")
+      .agg(count(lit(1)).as("cnt"))
+      .cache()
+    var leaves: DataFrame = null
+    var z = maxZ
+    while (z > 0) {
+      val up = counts
+        .select(
+          (col("z") - 1).as("z"),
+          intDiv(col("x"), lit(2L)).as("x"),
+          intDiv(col("y"), lit(2L)).as("y"),
+          col("cnt"))
+        .groupBy("z", "x", "y")
+        .agg(sum("cnt").as("cnt"))
+        .cache()
+      // a tile at level z is a leaf if its parent (at z-1) subdivides
+      // (parent cnt > maxPerTile) but it does not (cnt <= maxPerTile or
+      // z == maxZ)
+      val parentSubdivides = up
+        .where(col("cnt") > maxPerTile)
+        .select(col("z").as("pz"), col("x").as("px"), col("y").as("py"))
+      val lvlLeaves = counts
+        .where(if (z == maxZ) lit(true) else col("cnt") <= maxPerTile)
+        .join(
+          parentSubdivides,
+          col("z") - 1 === col("pz") &&
+            intDiv(col("x"), lit(2L)) === col("px") &&
+            intDiv(col("y"), lit(2L)) === col("py"),
+          "left_semi")
+      leaves = if (leaves == null) lvlLeaves else leaves.unionAll(lvlLeaves)
+      counts = up
+      z -= 1
+    }
+    val root = counts.where(col("cnt") <= maxPerTile) // root not subdivided
+    (if (leaves == null) root else leaves.unionAll(root))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.engine
+
+/** The engine's canonical tile row — the reference's dynamic Tile object
+  * (tilecloud/__init__.py:328-401) frozen into a fixed schema. `error`
+  * is the error-as-data channel: failures flow as rows, never as thrown
+  * exceptions (reference filter/error.py, store/url.py:52-66).
+  */
+final case class TileRow(
+    z: Int,
+    x: Long,
+    y: Long,
+    n: Int,
+    data: Array[Byte],
+    content_type: String,
+    content_encoding: String,
+    error: String,
+    metadata: Map[String, String])
+
+object TileRow {
+  def ok(
+      z: Int,
+      x: Long,
+      y: Long,
+      data: Array[Byte],
+      contentType: String,
+      metadata: Map[String, String] = Map.empty,
+      n: Int = 1): TileRow =
+    TileRow(z, x, y, n, data, contentType, null, null, metadata)
+
+  def failed(
+      z: Int,
+      x: Long,
+      y: Long,
+      error: String,
+      metadata: Map[String, String] = Map.empty,
+      n: Int = 1): TileRow =
+    TileRow(z, x, y, n, null, null, null, error, metadata)
+}
+
+/** Input-corpus row, exactly the BASELINE.json input_hint schema. */
+final case class ImageRow(
+    image_id: String,
+    bytes: Array[Byte],
+    w: Int,
+    h: Int,
+    fmt: String,
+    caption: String,
+    phash: Long)

@@ -1,0 +1,63 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Bounds, BoundingPyramid}
+import graft.sql.TileFunctions
+
+/** The engine's canonical tile table — MBTiles-parity schema
+  * `(z INT, x BIGINT, y BIGINT, n INT, data BINARY, content_type STRING,
+  * content_encoding STRING, error STRING, metadata MAP<STRING,STRING>)`
+  * stored as parquet partitioned by z and Z-order-sorted by cell id
+  * within partitions, so min/max row-group stats prune x/y ranges
+  * (reference store/mbtiles.py:13-137; Iceberg runtime is not present in
+  * this sandbox, parquet + layout discipline replaces it).
+  */
+object TileTable {
+
+  /** Write (append or overwrite). Sorting by the interleaved cell id
+    * keeps spatially-close tiles in the same row groups — the layout
+    * discipline that makes pyramid-region scans prune at 100 TB. */
+  def write(df: DataFrame, path: String, mode: String = "append"): Unit =
+    df.withColumn("cell", TileFunctions.cellId(col("z"), col("x"), col("y")))
+      .sortWithinPartitions(col("cell"))
+      .drop("cell")
+      .write
+      .mode(mode)
+      .partitionBy("z")
+      .parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p)
+  }
+
+  /** Cheap bounding pyramid: per-z min/max aggregate over coords only —
+    * column pruning means only (z,x,y) are read, never the blobs
+    * (reference store/mbtiles.py:109-116 SQL pushdown). */
+  def cheapBoundingPyramid(df: DataFrame): BoundingPyramid = {
+    val rows = df
+      .groupBy("z")
+      .agg(min("x").as("x0"), max("x").as("x1"), min("y").as("y0"), max("y").as("y1"))
+      .collect()
+    rows.foldLeft(BoundingPyramid.empty) { (bp, r) =>
+      bp.addBounds(
+        r.getInt(0),
+        (Bounds(r.getLong(1), r.getLong(2) + 1), Bounds(r.getLong(3), r.getLong(4) + 1)))
+    }
+  }
+
+  /** TMS view: the MBTiles y-flip `(1<<z)-y-1`
+    * (reference store/mbtiles.py:50-65). */
+  def tmsView(df: DataFrame): DataFrame =
+    df.withColumn("y", TileFunctions.tmsY(col("z"), col("y")))
+
+  /** Per-z tile counts (reference scripts/tc_mbtiles_info.py). */
+  def info(df: DataFrame): DataFrame =
+    df.groupBy("z").agg(count(lit(1)).as("tiles")).orderBy("z")
+}

@@ -1,0 +1,209 @@
+package graft.image
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/** Deterministic JVM image codecs (javax.imageio): PNG is lossless and
+  * used for bit-exact fixtures; JPEG is the lossy path guarded by the
+  * PSNR >= 40 dB invariant. All functions are pure and executor-safe
+  * (no shared state), so they can run inside UDFs / flatMap.
+  */
+object ImageCodec {
+
+  val PngMagic: Array[Byte] =
+    Array(0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+  val JpegMagic: Array[Byte] = Array(0xff.toByte, 0xd8.toByte)
+
+  /** Sniff content type from magic bytes
+    * (reference filter/contenttype.py:17-27). */
+  def sniffContentType(data: Array[Byte]): Option[String] =
+    if (data == null || data.isEmpty) None
+    else if (data(0) == '{') Some("application/json")
+    else if (data.length >= 8 && data.take(8).sameElements(PngMagic))
+      Some("image/png")
+    else if (data.length >= 2 && data(0) == JpegMagic(0) && data(1) == JpegMagic(1))
+      Some("image/jpeg")
+    else None
+
+  def formatOf(contentType: String): String = contentType match {
+    case "image/png"  => "png"
+    case "image/jpeg" => "jpeg"
+    case other =>
+      throw new IllegalArgumentException(s"unsupported content type: $other")
+  }
+
+  def decode(data: Array[Byte]): BufferedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(data))
+    require(img != null, "undecodable image bytes")
+    img
+  }
+
+  /** JPEG quality for the lossy path. The PSNR >= 40 dB invariant
+    * (BASELINE.md) requires explicit high quality — ImageIO's default
+    * 0.75 lands near 30 dB on hard-edged rasters. */
+  val JpegQuality: Float = 0.98f
+
+  /** Encode; JPEG cannot carry alpha, so flatten to RGB first. */
+  def encode(img: BufferedImage, format: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    if (format == "jpeg") {
+      val rgb =
+        if (img.getType == BufferedImage.TYPE_INT_RGB) img
+        else {
+          val r =
+            new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_INT_RGB)
+          val g = r.createGraphics()
+          g.drawImage(img, 0, 0, null)
+          g.dispose()
+          r
+        }
+      val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(JpegQuality)
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(rgb, null, null), param)
+      writer.dispose()
+      ios.close()
+    } else {
+      require(ImageIO.write(img, format, bos), s"no writer for $format")
+    }
+    bos.toByteArray
+  }
+
+  /** Re-encode bytes to the target content type if different
+    * (reference filter/image.py:17-41, ImageFormatConverter). */
+  def convert(data: Array[Byte], fromCt: String, toCt: String): Array[Byte] =
+    if (fromCt == toCt) data
+    else encode(decode(data), formatOf(toCt))
+
+  /** Crop a sub-rectangle as an independent image (decouples from the
+    * parent raster so the parent can be GC'd). */
+  def crop(img: BufferedImage, x: Int, y: Int, w: Int, h: Int): BufferedImage = {
+    val out = new BufferedImage(w, h, img.getType match {
+      case 0 => BufferedImage.TYPE_INT_ARGB
+      case t => t
+    })
+    val g = out.createGraphics()
+    // Src composite: copy pixels verbatim (SRC_OVER would blend
+    // alpha<255 source pixels into the blank canvas and lose RGB).
+    g.setComposite(java.awt.AlphaComposite.Src)
+    g.drawImage(img, 0, 0, w, h, x, y, x + w, y + h, null)
+    g.dispose()
+    out
+  }
+
+  /** Alpha-composite paste of `src` onto `dst` at (x, y)
+    * (reference filter/image.py:64-70, MergeFilter paste). */
+  def paste(dst: BufferedImage, src: BufferedImage, x: Int, y: Int): Unit = {
+    val g = dst.createGraphics()
+    g.drawImage(src, x, y, null)
+    g.dispose()
+  }
+
+  /** Peak signal-to-noise ratio over RGB channels in dB;
+    * Double.PositiveInfinity for identical images. */
+  def psnr(a: BufferedImage, b: BufferedImage): Double = {
+    require(
+      a.getWidth == b.getWidth && a.getHeight == b.getHeight,
+      "psnr needs equal dimensions")
+    var se = 0.0
+    var n = 0L
+    var y = 0
+    while (y < a.getHeight) {
+      var x = 0
+      while (x < a.getWidth) {
+        val pa = a.getRGB(x, y)
+        val pb = b.getRGB(x, y)
+        var shift = 0
+        while (shift < 24) {
+          val d = ((pa >> shift) & 0xff) - ((pb >> shift) & 0xff)
+          se += d.toDouble * d
+          shift += 8
+          n += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    if (se == 0.0) Double.PositiveInfinity
+    else 10.0 * math.log10(255.0 * 255.0 * n / se)
+  }
+
+  /** Gzip compress (reference filter/gzip_.py:7-29). */
+  def gzip(data: Array[Byte], level: Int = 9): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos) {
+      `def`.setLevel(level)
+    }
+    gz.write(data)
+    gz.close()
+    bos.toByteArray
+  }
+
+  /** Gzip decompress (reference filter/gzip_.py:32-38). */
+  def gunzip(data: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(new ByteArrayInputStream(data))
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) {
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
+    out.toByteArray
+  }
+
+  /** Deterministic smooth gradient image — the corpus's "photo-like"
+    * payload. Smoothness matters: saturated hard-edged test patterns are
+    * adversarial for any JPEG codec (chroma subsampling pins PSNR near
+    * 25 dB regardless of quality), while natural smooth content easily
+    * clears the PSNR >= 40 dB invariant. Phases derive from `seed`. */
+  def gradientImage(size: Int, seed: Long): BufferedImage = {
+    val img = new BufferedImage(size, size, BufferedImage.TYPE_INT_RGB)
+    val p0 = (seed & 0xff).toDouble / 255.0 * math.Pi
+    val p1 = ((seed >> 8) & 0xff).toDouble / 255.0 * math.Pi
+    val p2 = ((seed >> 16) & 0xff).toDouble / 255.0 * math.Pi
+    val f = 2.0 * math.Pi / size
+    var y = 0
+    while (y < size) {
+      var x = 0
+      while (x < size) {
+        val r = (127.5 + 127.5 * math.sin(f * x + p0)).toInt
+        val g = (127.5 + 127.5 * math.sin(f * y + p1)).toInt
+        val b = (127.5 + 127.5 * math.sin(f * (x + y) * 0.5 + p2)).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Deterministic 4-quadrant RGBA test image (the reference's metatile
+    * fixture shape, tests/test_metatile.py:17-24): quadrant colors are
+    * derived from `seed`. Used for PNG bit-exact fixtures. */
+  def quadrantImage(size: Int, seed: Long): BufferedImage = {
+    val img = new BufferedImage(size, size, BufferedImage.TYPE_INT_ARGB)
+    val h = size / 2
+    val colors = Array(
+      0xff000000 | (((seed & 0xff) << 16).toInt),
+      0xff000000 | ((((seed >> 8) & 0xff) << 8).toInt),
+      0xff000000 | (((seed >> 16) & 0xff).toInt),
+      0xff000000 | ((((seed >> 24) & 0xff) << 16).toInt | (((seed >> 32) & 0xff).toInt))
+    )
+    var y = 0
+    while (y < size) {
+      var x = 0
+      while (x < size) {
+        val q = (if (y < h) 0 else 2) + (if (x < h) 0 else 1)
+        img.setRGB(x, y, colors(q))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+}

@@ -1,0 +1,104 @@
+package graft.image
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.TileRow
+
+/** Meta-tile split and merge — the reference's render-amortization
+  * pattern (render one n x n meta image, split into n^2 unit tiles;
+  * reference store/metatile.py:28-67, merge inverse of
+  * filter/image.py:44-80).
+  *
+  * Split is a typed `flatMap`: each meta row decodes its raster once and
+  * emits n^2 cropped re-encoded unit tiles — errors propagate to every
+  * child as rows, never exceptions (metatile.py:36-50 semantics).
+  *
+  * Merge groups unit tiles by their enclosing meta coord and pastes them
+  * onto one canvas. Implemented as `collect_list` + a single
+  * decode-paste-encode kernel per group rather than a
+  * TypedImperativeAggregate: an image-paste aggregator would have to
+  * re-encode its PNG buffer at every partial merge step, while
+  * collect_list ships the (tiny, n^2-bounded) tile list to one reducer
+  * and encodes exactly once — strictly less work at any scale.
+  */
+object MetaTileOps {
+
+  /** Split meta tiles (span n, pixel size n*tileSize + 2*border) into
+    * unit tiles of tileSize px. */
+  def split(
+      metatiles: Dataset[TileRow],
+      tileSize: Int = 256,
+      border: Int = 0,
+      format: String = "image/png"): Dataset[TileRow] = {
+    val spark = metatiles.sparkSession
+    import spark.implicits._
+    metatiles.flatMap { m =>
+      val coords = for {
+        i <- 0 until m.n
+        j <- 0 until m.n
+      } yield (m.x + i, m.y + j) // x-major, reference __init__.py:452-456
+      if (m.error != null) {
+        coords.map { case (cx, cy) =>
+          TileRow.failed(m.z, cx, cy, m.error, m.metadata)
+        }
+      } else if (m.data == null) {
+        coords.map { case (cx, cy) =>
+          TileRow.failed(m.z, cx, cy, "Metatile data is None", m.metadata)
+        }
+      } else {
+        try {
+          val metaImage = ImageCodec.decode(m.data)
+          val fmt = ImageCodec.formatOf(format)
+          coords.map { case (cx, cy) =>
+            val px = border + ((cx - m.x) * tileSize).toInt
+            val py = border + ((cy - m.y) * tileSize).toInt
+            val tile = ImageCodec.crop(metaImage, px, py, tileSize, tileSize)
+            TileRow.ok(m.z, cx, cy, ImageCodec.encode(tile, fmt), format, m.metadata)
+          }
+        } catch {
+          case e: Exception =>
+            coords.map { case (cx, cy) =>
+              TileRow.failed(m.z, cx, cy, e.toString, m.metadata)
+            }
+        }
+      }
+    }
+  }
+
+  /** Merge unit tiles into meta tiles of span n. Input columns:
+    * (z, x, y, data); output: (z, x, y, n, data, content_type). Tiles
+    * missing from a meta leave transparent holes. */
+  def merge(
+      tiles: DataFrame,
+      n: Int,
+      tileSize: Int = 256,
+      format: String = "image/png"): DataFrame = {
+    val fmt = ImageCodec.formatOf(format)
+    val mergeUdf = udf { (parts: Seq[org.apache.spark.sql.Row]) =>
+      val canvas = new java.awt.image.BufferedImage(
+        n * tileSize,
+        n * tileSize,
+        java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      parts.foreach { r =>
+        val dx = r.getAs[Long]("dx").toInt
+        val dy = r.getAs[Long]("dy").toInt
+        val data = r.getAs[Array[Byte]]("data")
+        if (data != null)
+          ImageCodec.paste(canvas, ImageCodec.decode(data), dx * tileSize, dy * tileSize)
+      }
+      ImageCodec.encode(canvas, fmt)
+    }
+    tiles
+      .withColumn("mx", col("x") - pmod(col("x"), lit(n.toLong)))
+      .withColumn("my", col("y") - pmod(col("y"), lit(n.toLong)))
+      .withColumn("dx", col("x") - col("mx"))
+      .withColumn("dy", col("y") - col("my"))
+      .groupBy(col("z"), col("mx").as("x"), col("my").as("y"))
+      .agg(collect_list(struct(col("dx"), col("dy"), col("data"))).as("parts"))
+      .select(
+        col("z"), col("x"), col("y"), lit(n).as("n"),
+        mergeUdf(col("parts")).as("data"),
+        lit(format).as("content_type"))
+  }
+}

@@ -1,0 +1,142 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.core.{BoundingPyramid, TileCoord, TileGrids}
+import graft.image.ImageCodec
+
+/** End-to-end slice (SURVEY.md §7.2): the download.py-shaped job over
+  * the synthetic corpus — enumerate -> anti-join -> assignment join ->
+  * convert -> sink; re-run proves idempotent resume; captions and pixels
+  * survive row-for-row.
+  */
+class PipelineSpec extends SparkTestBase {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-e2e").toString
+
+  test("assignment matches driver-side grid math and is shuffle-free") {
+    val corpus = Corpus.generate(spark, 200).toDF()
+    val assigned = Pipeline.assign(corpus, Seq(4, 7)).cache()
+    assert(assigned.count() == 400)
+    assigned.select("phash", "px", "py", "z", "x", "y").collect().foreach { r =>
+      val expect = TileGrids.Google.tilecoord(r.getInt(3), r.getDouble(1), r.getDouble(2))
+      assert(r.getLong(4) == expect.x && r.getLong(5) == expect.y)
+    }
+    // no exchange in the assignment plan (narrow column math only)
+    val plan = Pipeline.assign(corpus, Seq(4, 7)).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("copy job end-to-end: pixels, captions, idempotent resume") {
+    val sink = tmp() + "/tiles"
+    val metrics = tmp() + "/metrics"
+    val corpus = Corpus.generate(spark, 400).toDF().cache()
+    val bp = BoundingPyramid.full(2, 4) // 4+16+256... z2..z4 = 4^2+4^3+4^4=336
+
+    val written =
+      Pipeline.copyJob(spark, corpus, bp, sink, metrics, "job-1")
+    assert(written > 0)
+
+    val tiles = TileTable.read(spark, sink).cache()
+    // every tile is a real PNG with caption metadata matching its source image
+    val sample = tiles.limit(20).collect()
+    sample.foreach { r =>
+      assert(r.getAs[String]("content_type") == "image/png")
+      val data = r.getAs[Array[Byte]]("data")
+      assert(ImageCodec.sniffContentType(data).contains("image/png"))
+      val md = r.getAs[Map[String, String]]("metadata")
+      val imgId = md("image_id")
+      val i = imgId.stripPrefix("img").toLong
+      assert(md("caption") == Corpus.captionFor(i, Corpus.splitmix64(i)))
+    }
+    // representative selection is the min-(phash,image_id) corpus member
+    // whose point falls in the tile
+    val perTile = Pipeline
+      .assign(corpus, Seq(3))
+      .where(col("z") === 3)
+      .collect()
+      .groupBy(r => (r.getAs[Long]("x"), r.getAs[Long]("y")))
+    val z3 = tiles.where(col("z") === 3).collect()
+    z3.foreach { r =>
+      val members = perTile((r.getAs[Long]("x"), r.getAs[Long]("y")))
+      val best = members.minBy(m => (m.getAs[Long]("phash"), m.getAs[String]("image_id")))
+      assert(
+        r.getAs[Map[String, String]]("metadata")("image_id") ==
+          best.getAs[String]("image_id"))
+      assert(
+        r.getAs[Map[String, String]]("metadata")("img_count").toInt == members.length)
+    }
+
+    // pixel fidelity: png tiles decode identically to their source
+    val pngRow = tiles
+      .where(col("z") === 4)
+      .collect()
+      .find(r => r.getAs[Map[String, String]]("metadata")("image_id").nonEmpty)
+      .get
+    val srcId = pngRow.getAs[Map[String, String]]("metadata")("image_id")
+      .stripPrefix("img").toLong
+    val srcImg = ImageCodec.gradientImage(64, Corpus.splitmix64(srcId))
+    val gotImg = ImageCodec.decode(pngRow.getAs[Array[Byte]]("data"))
+    val p = ImageCodec.psnr(srcImg, gotImg)
+    assert(p >= 40.0, s"PSNR $p") // jpeg-sourced reps are lossy; >=40 required
+
+    // idempotent resume: second run adds zero rows
+    val before = tiles.count()
+    val after = Pipeline.copyJob(spark, corpus, bp, sink, metrics, "job-2")
+    assert(after == before, s"resume wrote ${after - before} extra rows")
+
+    // metrics: per-partition rows sum to the sink row count, all done
+    val m = Checkpoint.readMetrics(spark, metrics)
+    val firstRun = m.where(col("job_id") === "job-1")
+    assert(firstRun.agg(sum("rows")).collect().head.getLong(0) == before)
+    assert(m.where(col("status") =!= "done").count() == 0)
+    // second run contributed no rows
+    val secondRun = m.where(col("job_id") === "job-2")
+    assert(
+      secondRun.count() == 0 ||
+        secondRun.agg(sum("rows")).collect().head.getLong(0) == 0)
+  }
+
+  test("cheap bounding pyramid and tms view round-trip") {
+    val sink = tmp() + "/tiles2"
+    val corpus = Corpus.generate(spark, 100).toDF()
+    val bp = BoundingPyramid.full(2, 2)
+    Pipeline.copyJob(spark, corpus, bp, sink, tmp() + "/m", "job-bp")
+    val tiles = TileTable.read(spark, sink)
+    val got = TileTable.cheapBoundingPyramid(tiles)
+    val coords = tiles.select("z", "x", "y").collect()
+      .map(r => TileCoord(r.getInt(0), r.getLong(1), r.getLong(2)))
+    val expect = coords.foldLeft(BoundingPyramid.empty)(_ add _)
+    assert(got.bounds == expect.bounds)
+    // tms flip is involutive
+    val back = TileTable.tmsView(TileTable.tmsView(tiles))
+      .select("z", "x", "y").collect()
+      .map(r => TileCoord(r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(back == coords.toSet)
+  }
+
+  test("renderingTheWorld: leaves partition the point set, monotone subdivision") {
+    val corpus = Corpus.generate(spark, 500).toDF()
+    val leaves = Pipeline.renderingTheWorld(corpus, maxPerTile = 50, maxZ = 6)
+      .collect()
+    val total = leaves.map(_.getAs[Long]("cnt")).sum
+    assert(total == 500, s"leaves cover all points, got $total")
+    // no interior leaf exceeds the threshold
+    leaves.filter(_.getAs[Int]("z") < 6).foreach { r =>
+      assert(r.getAs[Long]("cnt") <= 50)
+    }
+    // leaves are disjoint: no leaf is an ancestor of another
+    val set = leaves.map(r => (r.getAs[Int]("z"), r.getAs[Long]("x"), r.getAs[Long]("y"))).toSet
+    set.foreach { case (z, x, y) =>
+      var (az, ax, ay) = (z - 1, x / 2, y / 2)
+      while (az >= 0) {
+        assert(!set.contains((az, ax, ay)), s"leaf ($z,$x,$y) has ancestor leaf")
+        ax /= 2; ay /= 2; az -= 1
+      }
+    }
+  }
+}
