@@ -55,6 +55,47 @@ object GraftQueries {
 
   private val FlagshipSpec = "4/8/5:+3/+1/+1"
 
+  // ---- generated SQL fragments for the dedup/ANN oracles ---- //
+
+  /** Word + shingle CTEs (n=2 word shingles over documents). */
+  private val ShingleCtes =
+    """w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+      |sh AS (SELECT doc_id, [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))] AS sl
+      |       FROM w WHERE len(ws) >= 2)""".stripMargin
+
+  /** MinHash signature select list s0..s{k-1} in DuckDB syntax. */
+  private def minhashSigSql(k: Int): String =
+    graft.dedup.Dedup.minhashCoeffs(k).zipWithIndex.map { case ((a, b), j) =>
+      s"list_min([($a * h + $b) % ${graft.dedup.Dedup.MinhashPrime} for h in hl]) AS s$j"
+    }.mkString(",\n       ")
+
+  /** SimHash 60-bit sum-of-bit-terms in DuckDB syntax. */
+  private val simhashTermsSql: String =
+    (0 until 60).map { kk =>
+      s"(CASE WHEN sum(CASE WHEN (h >> $kk) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN (1::BIGINT << $kk) ELSE 0 END)"
+    }.mkString(" +\n       ")
+
+  /** LSH bucket expression from the shared plane constants. */
+  private val lshPlanes = graft.ann.Ann.planes(64, 8)
+  private def planeLiteral(p: Array[Double]): String =
+    p.map(v => if (v > 0) "1" else "-1").mkString("[", ",", "]::DOUBLE[]")
+  private val lshBucketSql: String =
+    lshPlanes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(e, ${planeLiteral(p)}) >= 0 THEN (1::BIGINT << $i) ELSE 0 END)"
+    }.mkString(" +\n       ")
+
+  private val cosineSql =
+    "CAST(floor(1000000.0 * list_dot_product(%A, %B) / " +
+      "(sqrt(list_dot_product(%A, %A)) * sqrt(list_dot_product(%B, %B)))) AS BIGINT)"
+  private def cosE6(a: String, b: String): String =
+    cosineSql.replace("%A", a).replace("%B", b)
+
+  private val langScoreSql: Map[String, String] = Map(
+    "en" -> """len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b'))""",
+    "de" -> """len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein|zu)\b'))""",
+    "fr" -> """len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|un|une)\b'))""",
+    "es" -> """len(regexp_extract_all(lower(text), '\b(el|los|las|es|y|un|una)\b'))""")
+
   // ---------------------------------------------------------------- //
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
@@ -361,11 +402,164 @@ object GraftQueries {
     // Exact document dedup by content hash (training-data pipeline op).
     ("q20_doc_dedup_exact",
       (s: SparkSession, dir: String) =>
-        table(s, dir, "documents")
-          .groupBy(md5(col("text").cast("binary")).as("h"))
-          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("cnt")),
+        graft.dedup.Dedup.exact(table(s, dir, "documents"), "doc_id", "text"),
       Some("""SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS cnt
-        |FROM documents GROUP BY 1""".stripMargin))
+        |FROM documents GROUP BY 1""".stripMargin)),
+
+    // Text analysis: token/char counts, alpha ratio, fingerprint.
+    ("q21_doc_stats",
+      (s: SparkSession, dir: String) => {
+        import graft.text.TextOps
+        table(s, dir, "documents").select(
+          col("doc_id"),
+          TextOps.tokenCount(col("text")).as("tok_cnt"),
+          length(col("text")).as("chars"),
+          TextOps.alphaRatioE6(col("text")).as("alpha_e6"),
+          TextOps.fingerprint(col("text")).as("fp"))
+      },
+      Some("""SELECT doc_id,
+        |  len(regexp_extract_all(text, '\S+')) AS tok_cnt,
+        |  length(text) AS chars,
+        |  CAST(floor(1000000.0 * len(regexp_extract_all(lower(text), '[a-z]'))
+        |       / greatest(length(text), 1)) AS BIGINT) AS alpha_e6,
+        |  CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp
+        |FROM documents""".stripMargin)),
+
+    // Language id by stopword n-gram heuristic.
+    ("q22_langid",
+      (s: SparkSession, dir: String) =>
+        table(s, dir, "documents").select(
+          col("doc_id"),
+          graft.text.TextOps.langId(col("text")).as("lang_guess")),
+      Some(s"""WITH sc AS (
+        |  SELECT doc_id,
+        |    ${langScoreSql("en")} AS s_en, ${langScoreSql("de")} AS s_de,
+        |    ${langScoreSql("fr")} AS s_fr, ${langScoreSql("es")} AS s_es,
+        |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk
+        |  FROM documents),
+        |m AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS best FROM sc)
+        |SELECT doc_id,
+        |  CASE WHEN cjk > 0 THEN 'zh'
+        |       WHEN s_en = best AND best > 0 THEN 'en'
+        |       WHEN s_de = best AND best > 0 THEN 'de'
+        |       WHEN s_fr = best AND best > 0 THEN 'fr'
+        |       WHEN s_es = best AND best > 0 THEN 'es'
+        |       ELSE 'und' END AS lang_guess
+        |FROM m""".stripMargin)),
+
+    // n-gram Jaccard near-dup pairs (2-word shingles, tau = 0.5).
+    ("q24_jaccard_pairs",
+      (s: SparkSession, dir: String) =>
+        graft.dedup.Dedup.jaccardPairs(
+          table(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""WITH $ShingleCtes,
+        |ds AS (SELECT DISTINCT doc_id, unnest(sl) AS s FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+        |common AS (
+        |  SELECT a.doc_id da, b.doc_id db, count(*) AS common
+        |  FROM ds a JOIN ds b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db, common,
+        |  CAST(floor(1000000.0 * common / (sa.n + sb.n - common)) AS BIGINT) AS jaccard_e6
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+        |WHERE 1000000.0 * common / (sa.n + sb.n - common) >= 500000""".stripMargin)),
+
+    // MinHash signatures (k = 16 universal hashes over 32-bit shingle
+    // hashes) — the shingle->minhash stage of the LSH pipeline.
+    ("q25_minhash_sig",
+      (s: SparkSession, dir: String) =>
+        graft.dedup.Dedup.minhashSignatures(
+          table(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""WITH $ShingleCtes,
+        |hs AS (SELECT doc_id,
+        |         [CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) for s in sl] AS hl
+        |       FROM sh)
+        |SELECT doc_id AS id,
+        |       ${minhashSigSql(16)}
+        |FROM hs""".stripMargin)),
+
+    // MinHash LSH banding candidates (4 bands x 4 rows).
+    ("q26_minhash_pairs",
+      (s: SparkSession, dir: String) =>
+        graft.dedup.Dedup.minhashCandidates(
+          graft.dedup.Dedup.minhashSignatures(
+            table(s, dir, "documents"), "doc_id", "text")),
+      Some {
+        val bandKey = (b: Int) =>
+          (0 until 4).map(r => s"CAST(s${b * 4 + r} AS VARCHAR)").mkString(" || '-' || ")
+        s"""WITH $ShingleCtes,
+        |hs AS (SELECT doc_id,
+        |         [CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) for s in sl] AS hl
+        |       FROM sh),
+        |sig AS (SELECT doc_id AS id, ${minhashSigSql(16)} FROM hs),
+        |bands AS (
+        |${(0 until 4).map(b => s"  SELECT id, $b AS band, ${bandKey(b)} AS key FROM sig").mkString("\n  UNION ALL\n")}
+        |)
+        |SELECT DISTINCT a.id AS da, b.id AS db
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.key = b.key AND a.id < b.id""".stripMargin
+      }),
+
+    // SimHash 60-bit document fingerprint.
+    ("q27_simhash",
+      (s: SparkSession, dir: String) =>
+        graft.dedup.Dedup.simhash(table(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""WITH wx AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents),
+        |hx AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM wx)
+        |SELECT doc_id AS id,
+        |       $simhashTermsSql AS simhash
+        |FROM hx GROUP BY doc_id""".stripMargin)),
+
+    // Brute-force cosine top-20 neighbors of vec_id 0.
+    ("q28_knn_top20",
+      (s: SparkSession, dir: String) =>
+        graft.ann.Ann.topK(
+          table(s, dir, "embeddings"), "vec_id", "embedding", 0L, 20),
+      Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |q AS (SELECT e AS qv FROM v WHERE vec_id = 0)
+        |SELECT vec_id AS id, ${cosE6("e", "qv")} AS sim_e6
+        |FROM v CROSS JOIN q
+        |WHERE vec_id <> 0
+        |ORDER BY sim_e6 DESC, id LIMIT 20""".stripMargin)),
+
+    // LSH-bucketed embedding near-dup pairs (8 random hyperplanes,
+    // cosine >= 0.4 verification) — the ANN scale path.
+    ("q29_embed_neardup",
+      (s: SparkSession, dir: String) =>
+        graft.ann.Ann.nearDupPairs(
+          table(s, dir, "embeddings"), "vec_id", "embedding"),
+      Some(s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+        |b AS (SELECT id, e,
+        |       $lshBucketSql AS bucket
+        |      FROM v)
+        |SELECT a.id AS ida, b2.id AS idb, ${cosE6("a.e", "b2.e")} AS sim_e6
+        |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
+        |WHERE ${cosE6("a.e", "b2.e")} >= 400000""".stripMargin)),
+
+    // Multimodal plumbing over the generated corpus (no SQL oracle —
+    // driver records the rows-only check; pixel tests cover decode).
+    ("q30_multimodal_meta",
+      (s: SparkSession, dir: String) => {
+        val media = graft.engine.Corpus.generate(s, 500).toDF()
+          .select(
+            col("image_id").as("media_id"), lit("image").as("kind"),
+            col("bytes"), map(lit("fmt"), col("fmt")).as("meta"))
+        graft.multimodal.Multimodal.imageMeta(media)
+      },
+      None),
+
+    // Data-dependent quadtree subdivision over the generated corpus
+    // (no SQL oracle; invariants covered by PipelineSpec).
+    ("q31_rendering_world",
+      (s: SparkSession, dir: String) =>
+        graft.engine.Pipeline.renderingTheWorld(
+          graft.engine.Corpus.generate(s, 2000).toDF(),
+          maxPerTile = 50,
+          maxZ = 6),
+      None)
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

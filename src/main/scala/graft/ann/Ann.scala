@@ -1,0 +1,112 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Corpus
+
+/** Similarity search over an embedding column (`Array[Float]`):
+  * brute-force cosine top-k as the exact baseline, and an LSH
+  * (random-hyperplane) bucketed variant as the scale path — candidates
+  * shuffle on a small integer bucket key instead of the O(n^2) cross
+  * join. Dot products are `aggregate(zip_with(...))` column math
+  * (sequential left-to-right sum, matching DuckDB's list_dot_product
+  * for oracle parity).
+  */
+object Ann {
+
+  private def asDouble(a: Column): Column = a.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine floor-scaled e6 — the engine's canonical similarity output
+    * (bit-stable across engines). */
+  def cosineE6(a: Column, b: Column): Column =
+    floor(lit(1000000.0) * cosine(a, b)).cast("long")
+
+  /** Exact brute-force top-k neighbors of the row with `queryId`.
+    * The single query row broadcasts; ranking is deterministic
+    * (sim desc, id asc). */
+  def topK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryId: Long,
+      k: Int = 20): DataFrame = {
+    val q = df.where(col(idCol) === queryId)
+      .select(col(vecCol).as("qv"))
+    df.crossJoin(broadcast(q))
+      .where(col(idCol) =!= queryId)
+      .select(
+        col(idCol).as("id"),
+        cosineE6(col(vecCol), col("qv")).as("sim_e6"))
+      .orderBy(col("sim_e6").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Deterministic ±1 random hyperplanes (SQL-literal-friendly). */
+  def planes(dim: Int, nPlanes: Int, seed: Long = 7L): Seq[Array[Double]] =
+    (0 until nPlanes).map { p =>
+      Array.tabulate(dim) { i =>
+        if ((Corpus.splitmix64(seed + p * 1024 + i) & 1L) == 0L) 1.0 else -1.0
+      }
+    }
+
+  /** Sign-bit LSH bucket id: bit p of the bucket is 1 iff
+    * dot(vec, plane_p) >= 0. */
+  def lshBucket(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (pl, p) =>
+      when(dot(vec, lit(pl)) >= 0, 1L << p).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** LSH-bucketed near-duplicate pairs: same-bucket candidates verified
+    * by exact cosine >= minCosineE6. Shuffles on the bucket id only. */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nPlanes: Int = 8,
+      minCosineE6: Long = 400000L,
+      dim: Int = 64): DataFrame = {
+    val pls = planes(dim, nPlanes)
+    val bucketed = df.select(
+      col(idCol).as("id"),
+      col(vecCol).as("v"),
+      lshBucket(col(vecCol), pls).as("bucket"))
+    bucketed.as("a")
+      .join(
+        bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("ida"), col("b.id").as("idb"),
+        cosineE6(col("a.v"), col("b.v")).as("sim_e6"))
+      .where(col("sim_e6") >= minCosineE6)
+  }
+
+  /** IVF-style coarse quantization: assign each vector to its nearest
+    * of `centroids`; search probes only matching lists. Centroids are
+    * a driver-side broadcastable array. */
+  def ivfAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Array[Double]]): DataFrame = {
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        (lit(-2.0) * dot(col(vecCol), lit(c)) + lit(c.map(x => x * x).sum)).as("d2"),
+        lit(i).as("list_id"))
+    }
+    df.select(
+      col(idCol).as("id"),
+      col(vecCol).as("v"),
+      array_min(array(dists: _*)).getField("list_id").as("list_id"))
+  }
+}

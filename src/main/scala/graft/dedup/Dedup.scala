@@ -1,0 +1,200 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Corpus
+import graft.text.TextOps
+
+/** Deduplication operators for the training-data pipeline: exact
+  * (hash-groupBy), n-gram Jaccard, MinHash+LSH banding, SimHash. All
+  * hash arithmetic is md5-derived and expressible in ANSI SQL, so every
+  * stage has a DuckDB oracle.
+  *
+  * Scale notes: exact dedup is one shuffle on a 128-bit hash; shingle
+  * explosion is the standard shingle->minhash->band->bucket-join
+  * pipeline where only band keys (not shingle sets) shuffle for
+  * candidate generation; the pair-verification join touches candidates
+  * only.
+  */
+object Dedup {
+
+  /** 32-bit shingle base hash (first 8 md5 hex digits). */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** 60-bit token hash (15 md5 hex digits). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Word n-gram shingles of the lower-cased text (empty array when the
+    * text has fewer than n words). */
+  def shingles(text: Column, n: Int = 2): Column = {
+    val ws = TextOps.words(text)
+    when(size(ws) >= n,
+      transform(
+        sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", (0 until n).map(d => element_at(ws, i + d + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup: per content hash keep the smallest id
+    * (deterministic representative). Returns (h, keep_id, cnt). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("h"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("cnt"))
+
+  /** Drop exact duplicates, keeping the smallest id per content hash. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window
+      .partitionBy(md5(col(textCol).cast("binary")))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Distinct (id, shingle) pairs. */
+  def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame =
+    df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
+      .distinct()
+
+  /** n-gram Jaccard near-dup pairs: docs sharing shingles, scored
+    * |A ∩ B| / |A ∪ B|, floor-scaled e6, thresholded. The self-join is
+    * on the shingle key; pairs with zero overlap never materialize. */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      minJaccardE6: Long = 500000L): DataFrame = {
+    val ds = shingleSet(df, idCol, textCol, n).cache()
+    val sizes = ds.groupBy("id").agg(count(lit(1)).as("sz"))
+    val common = ds.as("a")
+      .join(ds.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("da"), col("b.id").as("db"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("id").as("da"), col("sz").as("na")), "da")
+      .join(sizes.select(col("id").as("db"), col("sz").as("nb")), "db")
+      .select(
+        col("da"), col("db"), col("common"),
+        floor(lit(1000000.0) * col("common") /
+          (col("na") + col("nb") - col("common"))).cast("long").as("jaccard_e6"))
+      .where(col("jaccard_e6") >= minJaccardE6)
+  }
+
+  /** Deterministic MinHash permutation coefficients (odd a). */
+  def minhashCoeffs(k: Int): Seq[(Long, Long)] =
+    (0 until k).map { j =>
+      val a = (Corpus.splitmix64(j.toLong) & 0x7fffffffL) | 1L
+      val b = Corpus.splitmix64(j.toLong + 1000L) & 0x7fffffffL
+      (a, b)
+    }
+
+  val MinhashPrime: Long = 4294967311L // smallest prime > 2^32
+
+  /** Per-doc MinHash signature columns s0..s{k-1}: universal-hash each
+    * shingle's 32-bit base hash, take the array minimum — no shuffle,
+    * one pass (array_min over a transform). Docs with < n words are
+    * dropped (empty shingle set has no signature). */
+  def minhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 16,
+      n: Int = 2): DataFrame = {
+    val hs = transform(shingles(col(textCol), n), s => hash32(s))
+    val sigCols = minhashCoeffs(k).zipWithIndex.map { case ((a, b), j) =>
+      array_min(transform(hs, h => (lit(a) * h + lit(b)) % MinhashPrime))
+        .as(s"s$j")
+    }
+    df.where(size(shingles(col(textCol), n)) > 0)
+      .select((col(idCol).as("id") +: sigCols): _*)
+  }
+
+  /** LSH banding: split the signature into `bands` bands of
+    * `k / bands` rows; docs sharing any full band become candidates.
+    * Only (band_idx, band_key) shuffles. */
+  def minhashCandidates(
+      sigs: DataFrame,
+      k: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        concat_ws("-", (0 until rows).map(r => col(s"s${b * rows + r}")): _*)
+          .as("key"))
+    }
+    val exploded = sigs
+      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    exploded.as("a")
+      .join(
+        exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("da"), col("b.id").as("db"))
+      .distinct()
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: candidates verified by exact
+    * Jaccard. */
+  def minhashNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 16,
+      bands: Int = 4,
+      n: Int = 2,
+      minJaccardE6: Long = 500000L): DataFrame = {
+    val cands = minhashCandidates(minhashSignatures(df, idCol, textCol, k, n), k, bands)
+    val verified = jaccardPairs(df, idCol, textCol, n, minJaccardE6)
+    cands.join(verified, Seq("da", "db"), "inner")
+  }
+
+  /** 60-bit SimHash: md5-derived word hashes vote per bit position;
+    * bit k of the signature is 1 iff the sum of votes is positive. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val wordsDf = df.select(
+      col(idCol).as("id"),
+      explode(TextOps.words(col(textCol))).as("w"))
+      .withColumn("h", hash60(col("w")))
+    val bitTerms = (0 until 60).map { k =>
+      when(
+        sum(when(shiftright(col("h"), k).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)) > 0,
+        1L << k).otherwise(0L)
+    }
+    wordsDf
+      .groupBy("id")
+      .agg(bitTerms.reduce(_ + _).as("simhash"))
+  }
+
+  /** Hamming distance between two 60-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on 15-bit bands (a pair within
+    * hamming distance 3 shares at least one of 4 bands), verify by
+    * hamming distance. */
+  def simhashPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val banded = sigs.select(
+      col("id"), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 15).bitwiseAND(0x7fffL).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a")
+      .join(
+        banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("da"), col("b.id").as("db"),
+        hamming(col("a.simhash"), col("b.simhash")).as("dist"))
+      .distinct()
+      .where(col("dist") <= maxHamming)
+  }
+}

@@ -1,0 +1,124 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.image.ImageCodec
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed in partition-sized batches
+  * (the Scala analogue of `mapInPandas` batch UDFs). The image path is
+  * REAL (javax.imageio lives in the JVM); audio/video decoding has no
+  * codec in this container, so those extractors are clearly-marked
+  * deterministic STUBS over a fake header layout — the Spark-side
+  * plumbing (schema, batch shape, partitioning) is real and tested.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", StringType),
+    StructField("kind", StringType), // image | audio | video
+    StructField("bytes", BinaryType),
+    StructField("meta", MapType(StringType, StringType))))
+
+  val imageMetaSchema: StructType = StructType(Seq(
+    StructField("media_id", StringType),
+    StructField("w", IntegerType),
+    StructField("h", IntegerType),
+    StructField("content_type", StringType),
+    StructField("error", StringType)))
+
+  /** Real image decode: per-partition batch, one ImageIO reader loop —
+    * dimensions + sniffed content type; failures land in the error
+    * column. */
+  def imageMeta(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getString(idIdx)
+        val bytes = r.getAs[Array[Byte]](bIdx)
+        try {
+          val img = ImageCodec.decode(bytes)
+          Row(id, img.getWidth, img.getHeight,
+            ImageCodec.sniffContentType(bytes).orNull, null)
+        } catch {
+          case e: Exception => Row(id, null, null, null, e.toString)
+        }
+      }
+    }(Encoders.row(imageMetaSchema))
+  }
+
+  /** Real image resize (area-preserving scale to `target` max edge). */
+  def resizeImages(media: DataFrame, target: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", StringType),
+      StructField("bytes", BinaryType),
+      StructField("w", IntegerType),
+      StructField("h", IntegerType)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        try {
+          val img = ImageCodec.decode(r.getAs[Array[Byte]](bIdx))
+          val scale = target.toDouble / math.max(img.getWidth, img.getHeight)
+          val (w, h) =
+            (math.max(1, (img.getWidth * scale).toInt),
+              math.max(1, (img.getHeight * scale).toInt))
+          val out = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          Some(Row(r.getString(idIdx), ImageCodec.encode(out, "png"), w, h))
+        } catch { case _: Exception => None }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** STUB audio feature extraction — no audio codec in this container.
+    * Deterministic fake: interprets bytes[0..7] as big-endian sample
+    * count at 16 kHz. The batch/partition plumbing is the real
+    * contract. */
+  def audioDurationStub(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", StringType),
+      StructField("duration_ms", LongType)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](bIdx)
+        val samples =
+          if (bytes == null || bytes.length < 8) 0L
+          else java.nio.ByteBuffer.wrap(bytes, 0, 8).getLong.abs
+        Row(r.getString(idIdx), samples % 3600000L * 1000L / 16000L)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** STUB video frame sampling — emits every k-th "frame" as a
+    * deterministic 8-byte slice reference (offset, length) without
+    * decoding. Real implementations replace the body; the exploded
+    * one-row-per-frame shape is the contract. */
+  def frameSampleStub(media: DataFrame, everyK: Int = 30): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", StringType),
+      StructField("frame_idx", IntegerType),
+      StructField("offset", LongType),
+      StructField("length", IntegerType)))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](bIdx)
+        val n = if (bytes == null) 0 else bytes.length / 64
+        (0 until n by everyK).map { f =>
+          Row(r.getString(idIdx), f, f.toLong * 64L, 64)
+        }
+      }
+    }(Encoders.row(schema))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline: language id,
+  * quality scoring, token counting, fingerprinting. All pure column
+  * expressions (codegen'd, no UDFs); every ratio is floor-scaled to an
+  * integer so results are bit-stable across engines (DuckDB oracle).
+  */
+object TextOps {
+
+  /** Lower-cased word array. */
+  def words(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** Whitespace-token count. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  /** A BPE-ish subword count: words plus punctuation runs count as
+    * separate tokens (approximates tokenizer inflation vs whitespace). */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z0-9]{1,4}|[^a-z0-9\\s]"), lit(0)))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Alphabetic-character ratio, floor-scaled e6. */
+  def alphaRatioE6(text: Column): Column =
+    floor(lit(1000000.0) *
+      size(regexp_extract_all(lower(text), lit("[a-z]"), lit(0))) /
+      greatest(length(text), lit(1))).cast("long")
+
+  /** Mean word length, floor-scaled e6 (0 for wordless text). */
+  def meanWordLenE6(text: Column): Column =
+    when(size(words(text)) === 0, 0L)
+      .otherwise(
+        floor(lit(1000000.0) *
+          aggregate(transform(words(text), w => length(w)), lit(0),
+            (acc, v) => acc + v) /
+          size(words(text))).cast("long"))
+
+  private val stopwords: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in|is|a)\\b",
+    "de" -> "\\b(der|die|das|und|ist|ein|zu)\\b",
+    "fr" -> "\\b(le|la|les|et|est|un|une)\\b",
+    "es" -> "\\b(el|los|las|es|y|un|una)\\b")
+
+  def stopwordHits(text: Column, langKey: String): Column =
+    size(regexp_extract_all(lower(text),
+      lit(stopwords.toMap.apply(langKey)), lit(0)))
+
+  /** Stopword-ratio quality signal (hits per token, e6). */
+  def stopwordRatioE6(text: Column): Column =
+    floor(lit(1000000.0) * stopwordHits(text, "en") /
+      greatest(tokenCount(text), lit(1))).cast("long")
+
+  /** n-gram-heuristic language id: argmax of per-language stopword hits
+    * with deterministic priority order (en > de > fr > es); CJK
+    * characters short-circuit to zh; no hits -> "und". */
+  def langId(text: Column): Column = {
+    val scores = stopwords.map { case (k, re) =>
+      k -> size(regexp_extract_all(lower(text), lit(re), lit(0)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val cjk = size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+    // first language reaching the max wins (deterministic priority)
+    val prioritized = scores.foldLeft(lit(null).cast("string")) {
+      case (acc, (k, s)) =>
+        when(acc.isNotNull, acc).otherwise(when(s === best && best > 0, lit(k)))
+    }
+    when(cjk > 0, "zh").otherwise(coalesce(prioritized, lit("und")))
+  }
+
+  /** Composite quality score e6: weighted mix of alpha ratio, stopword
+    * ratio, and length saturation — integer arithmetic only. */
+  def qualityScoreE6(text: Column): Column =
+    (alphaRatioE6(text) / 2 +
+      least(stopwordRatioE6(text), lit(250000L)) +
+      least(length(text).cast("long") * 1000, lit(250000L))).cast("long")
+
+  /** 60-bit content fingerprint from md5 (engine-portable: 15 hex
+    * digits < 2^60). */
+  def fingerprint(text: Column): Column =
+    conv(substring(md5(text.cast("binary")), 1, 15), 16, 10).cast("long")
+}

@@ -1,0 +1,138 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.ann.Ann
+import graft.multimodal.Multimodal
+import graft.text.TextOps
+
+/** Library-level behavior of the training-data ops (the DuckDB oracle
+  * covers engine parity; these pin semantics + planted fixtures). */
+class DedupSpec extends SparkTestBase {
+
+  private lazy val docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "the quick brown fox jumps over a lazy dog"), // near dup of 1
+      (4L, "der hund und die katze und der vogel ist da"),
+      (5L, "le chat et le chien est un animal"),
+      (6L, "totally unrelated words about spark engines"),
+      (7L, "xy")).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length == 6) // 7 docs, one exact-dup pair
+    val dupGroup = out.find(_.getAs[Long]("cnt") == 2).get
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+    val kept = Dedup.dropExactDuplicates(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("jaccard pairs find planted near-dups only") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", minJaccardE6 = 500000L)
+      .collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"), r.getAs[Long]("jaccard_e6")))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 1000000L)
+  }
+
+  test("minhash: identical docs identical signatures; candidates catch near-dups") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text").cache()
+    // doc 7 ("xy") has < 2 words -> no signature row
+    assert(sigs.count() == 6)
+    val rows = sigs.collect().map(r => r.getAs[Long]("id") -> r.toSeq.tail).toMap
+    assert(rows(1L) == rows(2L), "exact dups share the full signature")
+    val cands = Dedup.minhashCandidates(sigs)
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(cands.contains((1L, 2L)))
+    val verified = Dedup.minhashNearDups(docs, "doc_id", "text")
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.contains((1L, 2L)))
+    assert(!verified.exists { case (a, b) => a == 6L || b == 6L })
+  }
+
+  test("simhash: identical hash for dups, close for near-dups, distant hamming for unrelated") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    assert(sh(1L) == sh(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(6L)))
+    val pairs = Dedup.simhashPairs(
+      Dedup.simhash(docs, "doc_id", "text"), maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("text ops: token counts, langid, quality monotonic") {
+    val out = docs.select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).as("tok"),
+      TextOps.langId(col("text")).as("lang"),
+      TextOps.qualityScoreE6(col("text")).as("q"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("tok"), r.getAs[String]("lang"), r.getAs[Long]("q")))).toMap
+    assert(out(1L)._1 == 9)
+    assert(out(1L)._2 == "en")
+    assert(out(4L)._2 == "de")
+    assert(out(5L)._2 == "fr")
+    assert(out(7L)._2 == "und")
+    assert(out(1L)._3 > out(7L)._3, "real sentence scores above junk")
+    val zh = docs.sparkSession.range(1)
+      .select(TileLangHelper.lang(lit("中文文本")).as("l"))
+      .collect().head.getString(0)
+    assert(zh == "zh")
+  }
+
+  test("ann: topK deterministic, lsh buckets agree with exact cosine for self") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(64)(d =>
+        (math.sin(i * 0.1 + d) + (if (i % 10 == 0) 2.0f else 0.0f)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val top = Ann.topK(vecs, "vec_id", "embedding", 0L, 5).collect()
+    assert(top.length == 5)
+    assert(top.map(_.getAs[Long]("sim_e6")).toSeq ==
+      top.map(_.getAs[Long]("sim_e6")).sorted(Ordering[Long].reverse).toSeq)
+    // identical vectors share a bucket and verify at cosine 1.0
+    val dups = Seq(
+      (100L, Array.fill(64)(0.5f)),
+      (101L, Array.fill(64)(0.5f))).toDF("vec_id", "embedding")
+    val nd = Ann.nearDupPairs(dups, "vec_id", "embedding").collect()
+    assert(nd.length == 1 && nd.head.getAs[Long]("sim_e6") >= 999999L)
+  }
+
+  test("multimodal: real image meta + resize, stub audio/video plumbing") {
+    val media = graft.engine.Corpus.generate(spark, 20).toDF()
+      .select(
+        col("image_id").as("media_id"), lit("image").as("kind"),
+        col("bytes"), map(lit("fmt"), col("fmt")).as("meta"))
+    val meta = Multimodal.imageMeta(media).collect()
+    assert(meta.length == 20)
+    meta.foreach { r =>
+      assert(r.getAs[Int]("w") == 64 && r.getAs[Int]("h") == 64)
+      assert(Set("image/png", "image/jpeg").contains(r.getAs[String]("content_type")))
+      assert(r.getAs[String]("error") == null)
+    }
+    val resized = Multimodal.resizeImages(media, 32).collect()
+    assert(resized.length == 20)
+    resized.foreach(r => assert(r.getAs[Int]("w") == 32 && r.getAs[Int]("h") == 32))
+    val audio = Multimodal.audioDurationStub(media).collect()
+    assert(audio.length == 20 && audio.forall(_.getAs[Long]("duration_ms") >= 0))
+    val frames = Multimodal.frameSampleStub(media, everyK = 5).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(r => r.getAs[Long]("offset") == r.getAs[Int]("frame_idx").toLong * 64))
+  }
+}
+
+/** small indirection so the zh test reuses the column fn. */
+private object TileLangHelper {
+  def lang(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.text.TextOps.langId(c)
+}
