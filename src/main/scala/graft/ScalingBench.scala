@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.BoundingPyramid
+import graft.engine.{Corpus, Pipeline}
+import graft.sql.TileFunctions
+
+/** Two-parallelism scaling evidence for the BASELINE north rule: run the
+  * identical flagship assignment+join job at local[N] and local[4N] on
+  * identical input, report throughput at both, scaling efficiency
+  * T_4N / (4 * T_N), and an order-independent output parity hash that
+  * must be bit-identical across the two runs.
+  */
+object ScalingBench {
+
+  private val Zooms = Seq(4, 6, 8, 10, 12)
+
+  /** The flagship output relation (tiles assigned + joined) over an
+    * already-materialized corpus. */
+  def flagshipDF(spark: SparkSession, corpus: DataFrame): DataFrame = {
+    val bpAll = BoundingPyramid.full(Zooms.min, Zooms.max)
+    val bp = BoundingPyramid(
+      scala.collection.immutable.SortedMap(
+        bpAll.bounds.filter { case (z, _) => Zooms.contains(z) }.toSeq: _*))
+    val rendered = Pipeline.renderTiles(Pipeline.assign(corpus, Zooms))
+    rendered.join(
+      TileFunctions.enumeratePyramid(spark, bp),
+      Seq("z", "x", "y"),
+      "left_semi")
+  }
+
+  /** Order-independent parity hash over the full output: bit_xor of
+    * xxhash64(z, x, y, md5(data), caption) — overflow-free under ANSI. */
+  def parityHash(df: DataFrame): Long =
+    df.select(
+        xxhash64(
+          col("z"), col("x"), col("y"),
+          md5(col("data")),
+          col("metadata").getItem("caption")).as("h"))
+      .agg(expr("bit_xor(h)"))
+      .collect()(0).getLong(0)
+
+  final case class RunResult(cpus: Int, secs: Double, tiles: Long, parity: Long, throughput: Double)
+
+  def runAt(cpus: Int, corpusRows: Long, iters: Int = 2): RunResult = {
+    val spark = Bench.mkSession(cpus)
+    try {
+      // Corpus materialization = input table read, outside the timed
+      // window (the metric is assignment+join throughput).
+      val corpus = Corpus.generate(spark, corpusRows).toDF().cache()
+      corpus.count()
+      // The timed action is the parity aggregate: md5(data) per output
+      // tile forces the full render path (a bare count() would let
+      // Catalyst prune the byte-carrying join out of the plan).
+      parityHash(flagshipDF(spark, corpus)) // warm-up, untimed
+      var best = Double.MaxValue
+      var parity = 0L
+      for (_ <- 0 until iters) {
+        val t0 = System.nanoTime()
+        parity = parityHash(flagshipDF(spark, corpus))
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      val tiles = flagshipDF(spark, corpus).count()
+      RunResult(cpus, best, tiles, parity, corpusRows * Zooms.size / best)
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // 4x the per-round corpus: the measured section must be large enough
+    // (hundreds of core-seconds) that per-stage fixed overheads do not
+    // mask the scaling behavior being evidenced
+    val corpusRows = sys.env
+      .getOrElse("SPARK_GRAFT_SCALE_ROWS", (Bench.corpusRowsFor(sfDir) * 4).toString)
+      .toLong
+    // default N=4 -> 4N=16: this sandbox is SHARED (ambient load ~10 of
+    // 32 cores from other tenants); 4->16 stays inside the free-core
+    // envelope so the measurement reflects the code, not the neighbors
+    val n = sys.env.getOrElse("SPARK_GRAFT_N", "4").toInt
+    val n4 = n * 4
+
+    val rN = runAt(n, corpusRows)
+    val r4N = runAt(n4, corpusRows)
+    val efficiency = r4N.throughput / (4.0 * rN.throughput)
+    val parityOk = rN.parity == r4N.parity
+
+    val json =
+      s"""{"metric":"scaling efficiency N->4N","value":${f"$efficiency%.3f"},"unit":"ratio","corpus_rows":$corpusRows,"assigned_rows":${corpusRows * Zooms.size},"n_cpus":$n,"t_n_secs":${f"${rN.secs}%.2f"},"tput_n":${f"${rN.throughput}%.1f"},"n4_cpus":$n4,"t_4n_secs":${f"${r4N.secs}%.2f"},"tput_4n":${f"${r4N.throughput}%.1f"},"parity_equal":$parityOk,"parity_hash":"${rN.parity}"}"""
+    println(json)
+
+    val md =
+      s"""# BENCH — scaling evidence (local-mode protocol, BASELINE.md §In-sandbox)
+         |
+         |Flagship assignment+join job (corpus ${corpusRows} images ->
+         |point assignment at z=${Zooms.mkString(",")} -> per-tile render
+         |aggregation -> region semi-join), identical input both runs.
+         |
+         || metric | value | config |
+         ||---|---|---|
+         || tiles assigned+joined /s @ N | ${f"${rN.throughput}%.1f"} | local[$n], shuffle.partitions=$n |
+         || tiles assigned+joined /s @ 4N | ${f"${r4N.throughput}%.1f"} | local[$n4], shuffle.partitions=$n4 |
+         || scaling efficiency T_4N/(4*T_N) | ${f"$efficiency%.3f"} (target >= 0.8) | same input, ${corpusRows * Zooms.size} assigned rows |
+         || output parity (order-independent hash) | ${if (parityOk) "IDENTICAL" else "MISMATCH"} (${rN.parity}) | sum(xxhash64(z,x,y,md5(data),caption)) |
+         || wall seconds @ N / @ 4N | ${f"${rN.secs}%.2f"} / ${f"${r4N.secs}%.2f"} | |
+         |""".stripMargin
+    Files.createDirectories(Paths.get("BENCH"))
+    Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
+  }
+}

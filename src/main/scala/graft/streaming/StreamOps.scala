@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.engine.{Filters, Stores}
+
+/** Structured-Streaming form of the queue-driven tile pipeline: the
+  * reference's Redis/SQS consumer loop (store/redis.py:212-328,
+  * store/sqs.py:32-127) maps to a streaming source of encoded queue
+  * messages, the transformation chain, and an idempotent sink with
+  * checkpointing — at-least-once processing with resume built in.
+  */
+object StreamOps {
+
+  /** Decode a stream of base64 queue messages (reference
+    * store/queue.py wire format) into tile-coordinate work items. */
+  def decodeQueueStream(messages: DataFrame): DataFrame =
+    messages
+      .withColumn("t", Stores.decodeQueueMessage(col("value")))
+      .select(
+        col("t.z").as("z"), col("t.x").as("x"),
+        col("t.y").as("y"), col("t.n").as("n"),
+        col("t.metadata").as("metadata"))
+      .where(col("z").isNotNull)
+
+  /** Windowed event aggregation with watermarking — the streaming
+    * analogue of q16_events_hourly; also runs on batch DataFrames. */
+  def hourlyEventCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), max("value").as("max_v"))
+      .select(
+        col("window.start").as("hr"), col("event_type"),
+        col("cnt"), col("max_v"))
+  }
+
+  /** Run the tile work-queue consumer as a streaming query: decode ->
+    * transform chain -> parquet tile sink with checkpoint dir (exactly
+    * the resumable at-least-once model of the reference's queue
+    * stores). `transform` is the per-batch tile pipeline. */
+  def runQueueConsumer(
+      messages: DataFrame,
+      sinkPath: String,
+      checkpointPath: String,
+      transform: DataFrame => DataFrame = identity): StreamingQuery =
+    transform(decodeQueueStream(messages)).writeStream
+      .format("parquet")
+      .option("path", sinkPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.BoundingPyramid
+import graft.engine.{Corpus, Pipeline}
+import graft.sql.TileFunctions
+
+/** Dev profiler: flagship phase timing at a given parallelism. */
+object Prof {
+  def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def time[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[prof] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = if (args.nonEmpty) args(0).toInt else 32
+    val rows = if (args.length > 1) args(1).toLong else 100000L
+    val spark = graft.Bench.mkSession(cpus)
+    println(s"[prof] cpus=$cpus rows=$rows")
+    val corpus = Corpus.generate(spark, rows).toDF()
+    time("corpus gen+encode")(noop(corpus))
+    val cached = corpus.cache()
+    time("corpus cache")(cached.count())
+    val zooms = Seq(4, 6, 8, 10)
+    time("assign only")(noop(Pipeline.assign(cached, zooms)))
+    val rendered = Pipeline.renderTiles(Pipeline.assign(cached, zooms))
+    time("render (shuffle bytes)")(noop(rendered))
+    val bp = BoundingPyramid(
+      scala.collection.immutable.SortedMap(
+        BoundingPyramid.full(4, 10).bounds.filter(kv => zooms.contains(kv._1)).toSeq: _*))
+    val region = TileFunctions.enumeratePyramid(spark, bp)
+    time("region enum")(noop(region))
+    time("full join count")(
+      println("tiles=" + rendered.join(region, Seq("z", "x", "y"), "left_semi").count()))
+    time("uncached full pipeline")(
+      println("tiles=" + Pipeline.renderTiles(Pipeline.assign(corpus, zooms))
+        .join(region, Seq("z", "x", "y"), "left_semi").count()))
+    spark.stop()
+  }
+}

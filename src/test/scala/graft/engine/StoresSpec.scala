@@ -1,0 +1,140 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkTestBase
+import graft.image.ImageCodec
+import graft.streaming.StreamOps
+
+class StoresSpec extends SparkTestBase {
+
+  private def tmp(): String = Files.createTempDirectory("graft-store").toString
+
+  private def someTiles(n: Int): Seq[TileRow] =
+    (0 until n).map { i =>
+      TileRow.ok(
+        3, i % 8, i / 8,
+        ImageCodec.encode(ImageCodec.gradientImage(8, i.toLong), "png"),
+        "image/png",
+        Map("i" -> i.toString))
+    }
+
+  test("filesystem store round-trip via binaryFile + layout parse") {
+    val root = tmp()
+    val tiles = Stores.dict(spark, someTiles(10))
+    Stores.writeFilesystem(tiles, root)
+    val back = Stores.readFilesystem(spark, root)
+    assert(back.count() == 10)
+    val got = back.collect()
+    got.foreach { r =>
+      assert(r.getAs[Int]("z") == 3)
+      assert(ImageCodec.sniffContentType(r.getAs[Array[Byte]]("data")).contains("image/png"))
+    }
+    assert(
+      got.map(r => (r.getAs[Long]("x"), r.getAs[Long]("y"))).toSet ==
+        (0 until 10).map(i => (i.toLong % 8, i.toLong / 8)).toSet)
+  }
+
+  test("log store round-trip") {
+    val root = tmp() + "/log"
+    Stores.writeLog(Stores.dict(spark, someTiles(5)), root)
+    val back = Stores.readLog(spark, root).collect()
+    assert(back.length == 5)
+    assert(back.forall(_.getInt(0) == 3))
+  }
+
+  test("queue codec round-trip (reference store/queue.py wire format)") {
+    val df = Stores.dict(spark, someTiles(4))
+      .select(
+        Stores.encodeQueueMessage(
+          col("z"), col("x"), col("y"), col("n"), col("metadata")).as("msg"),
+        col("z"), col("x"), col("y"))
+    val decoded = df
+      .withColumn("t", Stores.decodeQueueMessage(col("msg")))
+      .select(col("z"), col("x"), col("t.x").as("dx"), col("t.z").as("dz"),
+        col("t.metadata").as("md"))
+      .collect()
+    decoded.foreach { r =>
+      assert(r.getAs[Int]("z") == r.getAs[Int]("dz"))
+      assert(r.getAs[Long]("x") == r.getAs[Long]("dx"))
+      assert(r.getAs[Map[String, String]]("md").contains("i"))
+    }
+  }
+
+  test("mask store: presence bitmap round-trip") {
+    val tiles = Stores.dict(spark, someTiles(10))
+    val mask = Stores.toMask(tiles, 3, 0, 8)
+    val back = Stores.fromMask(mask, 3, 0)
+      .collect().map(r => (r.getAs[Long]("x"), r.getAs[Long]("y"))).toSet
+    assert(back == (0 until 10).map(i => (i.toLong % 8, i.toLong / 8)).toSet)
+  }
+
+  test("findFirst coalesces across prioritized stores") {
+    val s = spark
+    import s.implicits._
+    val coords = Seq((3, 0L, 0L), (3, 1L, 0L), (3, 2L, 0L)).toDF("z", "x", "y")
+    val s1 = Seq((3, 0L, 0L, "a".getBytes)).toDF("z", "x", "y", "data")
+    val s2 = Seq((3, 0L, 0L, "b".getBytes), (3, 1L, 0L, "b".getBytes))
+      .toDF("z", "x", "y", "data")
+    val out = Stores.findFirst(coords, Seq(s1, s2)).collect()
+    assert(out.length == 2)
+    val byCoord = out.map(r => (r.getAs[Long]("x"), new String(r.getAs[Array[Byte]]("data")))).toMap
+    assert(byCoord(0L) == "a") // priority store wins
+    assert(byCoord(1L) == "b") // fallback fills
+  }
+
+  test("searchUp finds nearest ancestor payload") {
+    val s = spark
+    import s.implicits._
+    val store = Seq(
+      (1, 0L, 0L, "z1".getBytes),
+      (2, 1L, 1L, "z2".getBytes)).toDF("z", "x", "y", "data")
+    val coords = Seq((3, 2L, 2L), (3, 7L, 7L), (3, 3L, 3L)).toDF("z", "x", "y")
+    val out = Stores.searchUp(coords, store, 8).collect()
+    val byCoord = out.map(r =>
+      ((r.getAs[Long]("x"), r.getAs[Long]("y")),
+        (new String(r.getAs[Array[Byte]]("data")), r.getAs[Int]("d")))).toMap
+    // (3,2,2) -> parent (2,1,1) hit at d=1
+    assert(byCoord((2L, 2L)) == ("z2", 1))
+    // (3,3,3) -> (2,1,1) at d=1
+    assert(byCoord((3L, 3L)) == ("z2", 1))
+    // (3,7,7) -> (2,3,3) miss, (1,1,1) miss, (0,0,0) miss -> no row...
+    assert(!byCoord.contains((7L, 7L)))
+  }
+
+  test("streaming queue consumer: decode, process, resume-idempotent sink") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val sink = tmp() + "/sink"
+    val ckpt = tmp() + "/ckpt"
+
+    val mem = MemoryStream[String]
+    val enc = Stores.dict(spark, someTiles(6))
+      .select(Stores.encodeQueueMessage(
+        col("z"), col("x"), col("y"), col("n"), col("metadata")).as("m"))
+      .collect().map(_.getString(0))
+    mem.addData(enc.toSeq)
+    val q = StreamOps.runQueueConsumer(
+      mem.toDF().select(col("value")), sink, ckpt)
+    q.awaitTermination(60000)
+    val out1 = spark.read.parquet(sink)
+    assert(out1.count() == 6)
+
+    // restart with the same checkpoint and no new data: nothing re-emitted
+    val q2 = StreamOps.runQueueConsumer(
+      mem.toDF().select(col("value")), sink, ckpt)
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(sink).count() == 6)
+  }
+
+  test("streaming hourly window agg equals the batch query shape") {
+    val events = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    val agg = StreamOps.hourlyEventCounts(events)
+    assert(agg.columns.toSeq == Seq("hr", "event_type", "cnt", "max_v"))
+    assert(agg.count() > 0)
+  }
+}
