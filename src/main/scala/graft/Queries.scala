@@ -399,6 +399,57 @@ object GraftQueries {
         |       CAST(floor(1000000.0 * max(value)) AS BIGINT) AS max_v_e6
         |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // Skew-aware salted equi-join — must be row-identical to the plain
+    // join (the salting is purely physical).
+    ("q17_salted_join",
+      (s: SparkSession, dir: String) => {
+        val c = coords(s, dir)
+        val dim = c.groupBy("z", "x", "y").agg(count(lit(1)).as("v"))
+        graft.sql.Skew
+          .saltedJoin(c.select("z", "x", "y"), dim, Seq("z", "x", "y"),
+            hotThreshold = 500, saltFactor = 8)
+          .groupBy("z", "x", "y", "v")
+          .agg(count(lit(1)).as("cnt"))
+      },
+      Some(s"""WITH $CoordsCte,
+        |dim AS (SELECT z, x, y, count(*) AS v FROM coords GROUP BY 1, 2, 3)
+        |SELECT c.z, c.x, c.y, d.v, count(*) AS cnt
+        |FROM coords c JOIN dim d ON d.z = c.z AND d.x = c.x AND d.y = c.y
+        |GROUP BY 1, 2, 3, 4""".stripMargin)),
+
+    // Spatial kNN: quadkey-ring candidate search + exact distance
+    // ranking, vs the brute-force SQL oracle.
+    ("q18_spatial_knn",
+      (s: SparkSession, dir: String) => {
+        val e = graft.core.TileGrids.Google.maxExtent
+        val pts = table(s, dir, "lineitem").select(
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("image_id"),
+          (lit(e.minX) + lit(e.width) * ((col("l_orderkey") % 1000) / 1000.0)).as("px"),
+          (lit(e.minY) + lit(e.height) * ((col("l_partkey") % 1000) / 1000.0)).as("py"))
+        val assigned = pts
+          .withColumn("z", lit(6))
+          .withColumn("x", tileOfPointX(col("px"), lit(6)))
+          .withColumn("y", tileOfPointY(col("py"), lit(6)))
+        val qx = e.minX + e.width * 0.31
+        val qy = e.minY + e.height * 0.77
+        // output the ranked ids only: the raw squared distance differs
+        // across engines in the final ulp (~2e-15 relative), which a
+        // floor() would surface; membership+order are the contract
+        graft.engine.SpatialKnn.nearest(assigned, qx, qy, 6, 25)
+          .select(col("image_id").as("id"))
+      },
+      Some("""WITH pts AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS id,
+        |    (-20037508.34 + (20037508.34 - (-20037508.34)) * ((l_orderkey % 1000) / 1000.0)) AS px,
+        |    (-20037508.34 + (20037508.34 - (-20037508.34)) * ((l_partkey % 1000) / 1000.0)) AS py
+        |  FROM lineitem),
+        |q AS (SELECT (-20037508.34 + (20037508.34 - (-20037508.34)) * 0.31) AS qx,
+        |             (-20037508.34 + (20037508.34 - (-20037508.34)) * 0.77) AS qy)
+        |SELECT id
+        |FROM pts CROSS JOIN q
+        |ORDER BY (px - qx) * (px - qx) + (py - qy) * (py - qy), id
+        |LIMIT 25""".stripMargin)),
+
     // Exact document dedup by content hash (training-data pipeline op).
     ("q20_doc_dedup_exact",
       (s: SparkSession, dir: String) =>

@@ -45,6 +45,54 @@ object Filters {
         s"TooManyErrors: $errors/$tiles exceeds rate $maxRate")
   }
 
+  /** Absolute error-count guard (reference filter/error.py:95-113,
+    * MaximumErrors — the consecutive-error variant is order-dependent
+    * and meaningless distributed; totals are the cluster policy). */
+  def checkMaxErrors(metrics: Map[String, Any], maxErrors: Long): Unit = {
+    val errors = metrics("errors").asInstanceOf[Long]
+    if (errors >= maxErrors)
+      throw new IllegalStateException(
+        s"TooManyErrors: $errors >= $maxErrors")
+  }
+
+  /** MergeFilter (reference filter/image.py:44-80): alpha-paste
+    * same-coord tiles from other stores onto each tile, re-encode.
+    * Join by coord; missing overlays pass the base tile through. */
+  def mergeStores(
+      base: DataFrame,
+      overlays: Seq[DataFrame],
+      format: String = "image/png"): DataFrame = {
+    val fmt = graft.image.ImageCodec.formatOf(format)
+    val pasteUdf = udf { (layers: Seq[Array[Byte]]) =>
+      val present = layers.filter(_ != null)
+      if (present.isEmpty) null
+      else if (present.length == 1) present.head
+      else {
+        val baseImg = graft.image.ImageCodec.decode(present.head)
+        val canvas = new java.awt.image.BufferedImage(
+          baseImg.getWidth, baseImg.getHeight,
+          java.awt.image.BufferedImage.TYPE_INT_ARGB)
+        graft.image.ImageCodec.paste(canvas, baseImg, 0, 0)
+        present.tail.foreach { d =>
+          graft.image.ImageCodec.paste(canvas, graft.image.ImageCodec.decode(d), 0, 0)
+        }
+        graft.image.ImageCodec.encode(canvas, fmt)
+      }
+    }
+    val joined = overlays.zipWithIndex.foldLeft(base) { case (acc, (o, i)) =>
+      acc.join(
+        o.select(col("z"), col("x"), col("y"), col("data").as(s"__o$i")),
+        Seq("z", "x", "y"),
+        "left")
+    }
+    joined
+      .withColumn(
+        "data",
+        pasteUdf(array((col("data") +: overlays.indices.map(i => col(s"__o$i"))): _*)))
+      .drop(overlays.indices.map(i => s"__o$i"): _*)
+      .withColumn("content_type", lit(format))
+  }
+
   /** Content-type sniff from magic bytes as pure column math
     * (reference filter/contenttype.py:17-27). */
   def contentTypeColumn(data: Column): Column =

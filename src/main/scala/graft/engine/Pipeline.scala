@@ -122,6 +122,35 @@ object Pipeline {
     TileTable.read(spark, sinkPath).count()
   }
 
+  /** Deterministic work-order randomization (reference
+    * tc_copy.py:67-69 random.shuffle): spread hot key ranges across
+    * the cluster without breaking run-to-run reproducibility. */
+  def randomize(df: DataFrame, seed: Long = 42L): DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+      xxhash64(struct(df.columns.map(col): _*), lit(seed)))
+
+  /** Completion estimate: enumerated-region size vs present tiles per z
+    * (reference scripts/tc_info.py:44-67). */
+  def estimateCompletion(
+      tiles: DataFrame,
+      bp: graft.core.BoundingPyramid): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    val expected = bp.bounds.toSeq
+      .map { case (z, (xb, yb)) => (z, xb.length * yb.length) }
+      .toDF("z", "expected")
+    tiles
+      .groupBy("z")
+      .agg(countDistinct(col("x"), col("y")).as("present"))
+      .join(broadcast(expected), Seq("z"), "right")
+      .na.fill(0L, Seq("present"))
+      .select(
+        col("z"), col("present"), col("expected"),
+        floor(lit(1000000.0) * col("present") / col("expected"))
+          .cast("long").as("ratio_e6"))
+  }
+
   /** Rendering-the-world: data-dependent quadtree subdivision. A tile is
     * subdivided while it contains more than `maxPerTile` points and
     * z < maxZ — the z-level-synchronous BFS form of the reference's

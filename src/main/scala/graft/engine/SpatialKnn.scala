@@ -1,0 +1,90 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{QuadTileGrid, TileGrids}
+import graft.sql.TileFunctions._
+
+/** Spatial k-nearest-neighbor lookup over the assigned corpus: the
+  * quadkey/Z-order cell index bounds the candidate set (query cell +
+  * expanding neighbor rings at one zoom), then exact squared distance
+  * ranks the survivors — the reference's nearest-ancestor walk
+  * (store/searchup.py) generalized to planar kNN (SURVEY.md §2.6).
+  *
+  * Scale shape: the ring predicate is a pair of x/y BETWEEN ranges on
+  * the tile coords — at rest the tile table is z-partitioned and
+  * Z-order sorted, so the scan prunes to the ring's row groups; the
+  * top-k is a single small `orderBy(limit)` over candidates. For batch
+  * kNN (many queries) the same ring join becomes an equi-join on cell
+  * id after exploding each query's ring cells.
+  */
+object SpatialKnn {
+
+  /** Exact k nearest corpus points to (qx, qy), searched at `z` with
+    * ring expansion. `assigned` must carry (x, y, px, py, image_id).
+    * Deterministic: ties break on image_id. Expands the ring until k
+    * hits (or the whole level is covered). */
+  def nearest(
+      assigned: DataFrame,
+      qx: Double,
+      qy: Double,
+      z: Int,
+      k: Int,
+      grid: QuadTileGrid = TileGrids.Google): DataFrame = {
+    val qtc = grid.tilecoord(z, qx, qy)
+    val maxCoord = (1L << z) - 1
+    var ring = 1L
+    var result: DataFrame = null
+    var done = false
+    while (!done) {
+      val x0 = math.max(qtc.x - ring, 0L)
+      val x1 = math.min(qtc.x + ring, maxCoord)
+      val y0 = math.max(qtc.y - ring, 0L)
+      val y1 = math.min(qtc.y + ring, maxCoord)
+      val candidates = assigned
+        .where(col("z") === z &&
+          col("x").between(x0, x1) && col("y").between(y0, y1))
+        .withColumn(
+          "dist2",
+          (col("px") - qx) * (col("px") - qx) +
+            (col("py") - qy) * (col("py") - qy))
+      val hits = candidates.count()
+      val ringCovers = x0 == 0 && y0 == 0 && x1 == maxCoord && y1 == maxCoord
+      // correctness guard: a point in an adjacent uncovered cell can be
+      // closer than one inside the ring — expand once past sufficiency
+      val tileW = grid.maxExtent.width / (1L << z).toDouble
+      val safeRadius = (ring - 1).toDouble * tileW // fully-covered distance
+      if (ringCovers) {
+        result = candidates
+        done = true
+      } else if (hits >= k) {
+        val kth = candidates
+          .orderBy(col("dist2"), col("image_id"))
+          .limit(k)
+          .agg(max("dist2")).collect()(0).getDouble(0)
+        if (math.sqrt(kth) <= safeRadius) {
+          result = candidates
+          done = true
+        } else ring *= 2
+      } else ring *= 2
+    }
+    result.orderBy(col("dist2"), col("image_id")).limit(k)
+  }
+
+  /** Brute-force reference (for tests): exact top-k over the full level. */
+  def nearestBrute(
+      assigned: DataFrame,
+      qx: Double,
+      qy: Double,
+      z: Int,
+      k: Int): DataFrame =
+    assigned
+      .where(col("z") === z)
+      .withColumn(
+        "dist2",
+        (col("px") - qx) * (col("px") - qx) +
+          (col("py") - qy) * (col("py") - qy))
+      .orderBy(col("dist2"), col("image_id"))
+      .limit(k)
+}

@@ -60,4 +60,59 @@ object TileTable {
   /** Per-z tile counts (reference scripts/tc_mbtiles_info.py). */
   def info(df: DataFrame): DataFrame =
     df.groupBy("z").agg(count(lit(1)).as("tiles")).orderBy("z")
+
+  /** MBTiles-parity metadata k/v side table (reference
+    * store/mbtiles.py:16-24); `withZoomRange` mirrors
+    * set_metadata_zooms (mbtiles.py:134-137). */
+  def writeMetadata(
+      spark: SparkSession,
+      path: String,
+      entries: Map[String, String]): Unit = {
+    import spark.implicits._
+    entries.toSeq.toDF("name", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_metadata_kv")
+  }
+
+  def readMetadata(spark: SparkSession, path: String): Map[String, String] =
+    spark.read.parquet(s"$path/_metadata_kv")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  def zoomMetadata(df: DataFrame): Map[String, String] = {
+    val r = df.agg(min("z"), max("z")).collect()(0)
+    Map("minzoom" -> r.getInt(0).toString, "maxzoom" -> r.getInt(1).toString)
+  }
+
+  /** Delete pipeline (reference scripts/tc_delete.py:13-35): remove the
+    * tiles of a region from the table. Without a transactional format
+    * in this sandbox this is read -> anti-filter -> atomic swap at the
+    * z-partition granularity (only affected partitions rewrite). */
+  def deleteRegion(
+      spark: SparkSession,
+      path: String,
+      bp: graft.core.BoundingPyramid): Unit = {
+    import graft.sql.TileFunctions
+    val affected = bp.zs.toSeq
+    val current = read(spark, path)
+    // localCheckpoint severs lineage from the source files: the dynamic
+    // overwrite below invalidates path caches and deletes the very
+    // files a plain cached plan would re-read
+    val kept = current
+      .where(col("z").isin(affected: _*))
+      .where(!TileFunctions.inPyramid(bp, col("z"), col("x"), col("y")))
+      .localCheckpoint(true)
+    kept.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("z")
+      .parquet(path)
+    // partitions whose every row was deleted are not rewritten by the
+    // dynamic overwrite above — drop them explicitly
+    val emptied = affected.toSet --
+      kept.select("z").distinct().collect().map(_.getInt(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    emptied.foreach { z =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/z=$z"), true)
+    }
+    kept.unpersist()
+  }
 }

@@ -1,0 +1,67 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Explicit hot-key salting for skewed joins and aggregations — the
+  * engine's hand-rolled complement to AQE skew handling (BASELINE
+  * obligation: "broadcast / range-partitioned hash join + hot-cell
+  * salting"; reference ancestor: EveryNth consistent hashing,
+  * filter/consistenthash.py:24, and tc-copy's randomize).
+  *
+  * Pattern: pre-aggregate key counts, pick keys above a threshold,
+  * then join `big ⨝ dim` as the union of
+  *   - non-hot keys: plain equi-join,
+  *   - hot keys: big side gets a random-ish deterministic salt in
+  *     [0, S), dim side explodes S replicas — the shuffle spreads each
+  *     hot key over S reducers.
+  */
+object Skew {
+
+  /** Deterministic per-row salt in [0, factor): hash of all columns —
+    * stable across runs and cluster sizes (never rand(), which would
+    * break bit-parity). */
+  def salt(factor: Int, cols: Column*): Column =
+    pmod(xxhash64(cols: _*), lit(factor.toLong))
+
+  /** Keys whose row count exceeds `hotThreshold`. */
+  def hotKeys(df: DataFrame, keys: Seq[String], hotThreshold: Long): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .where(col("__cnt") > hotThreshold)
+      .drop("__cnt")
+
+  /** Skew-aware inner equi-join of a large fact side with a dimension
+    * side on `keys`. Rows of hot keys are salted over `saltFactor`
+    * reducers; the dimension side replicates only for hot keys. */
+  def saltedJoin(
+      big: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      hotThreshold: Long,
+      saltFactor: Int = 16): DataFrame = {
+    val hot = broadcast(
+      hotKeys(big, keys, hotThreshold).withColumn("__hot", lit(true)))
+    val keyCols = keys.map(col)
+
+    val bigTagged = big.join(hot, keys, "left")
+    val bigCold = bigTagged.where(col("__hot").isNull).drop("__hot")
+    val bigHot = bigTagged
+      .where(col("__hot") === true)
+      .drop("__hot")
+      .withColumn("__salt", salt(saltFactor, bigTagged.columns.filterNot(_ == "__hot").map(col).toSeq: _*))
+
+    val dimTagged = dim.join(hot, keys, "left")
+    val dimCold = dimTagged.where(col("__hot").isNull).drop("__hot")
+    val dimHot = dimTagged
+      .where(col("__hot") === true)
+      .drop("__hot")
+      .withColumn("__salt", explode(sequence(lit(0L), lit(saltFactor - 1L))))
+
+    val cold = bigCold.join(dimCold, keys)
+    val hotJoined = bigHot
+      .join(dimHot, keys :+ "__salt")
+      .drop("__salt")
+    cold.unionByName(hotJoined)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.core.BoundingPyramid
+import graft.image.ImageCodec
+import graft.sql.Skew
+
+class OpsSpec extends SparkTestBase {
+
+  test("salted join equals plain join, spreads hot keys") {
+    val s = spark
+    import s.implicits._
+    // skewed fact: key 1 has 10k rows, others 10
+    val big = ((1 to 10000).map(i => (1L, i.toLong)) ++
+      (1 to 10).flatMap(k => (1 to 10).map(i => (k.toLong + 1, i.toLong))))
+      .toDF("k", "v")
+    val dim = (1L to 11L).map(k => (k, s"payload-$k")).toDF("k", "p")
+    val plain = big.join(dim, "k")
+    val salted = Skew.saltedJoin(big, dim, Seq("k"), hotThreshold = 100, saltFactor = 8)
+    assert(salted.count() == plain.count())
+    val a = salted.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = plain.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(Skew.hotKeys(big, Seq("k"), 100).collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("spatial knn: ring expansion matches brute force") {
+    val corpus = Corpus.generate(spark, 3000).toDF()
+    val assigned = Pipeline.assign(corpus, Seq(6)).cache()
+    val e = graft.core.TileGrids.Google.maxExtent
+    for ((fx, fy) <- Seq((0.31, 0.77), (0.001, 0.001), (0.999, 0.5))) {
+      val qx = e.minX + e.width * fx
+      val qy = e.minY + e.height * fy
+      val got = SpatialKnn.nearest(assigned, qx, qy, 6, 10)
+        .select("image_id").collect().map(_.getString(0)).toSeq
+      val want = SpatialKnn.nearestBrute(assigned, qx, qy, 6, 10)
+        .select("image_id").collect().map(_.getString(0)).toSeq
+      assert(got == want, s"query ($fx,$fy)")
+    }
+  }
+
+  test("mergeStores alpha-pastes overlays by coord") {
+    val s = spark
+    import s.implicits._
+    def solid(argb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, argb)
+      ImageCodec.encode(img, "png")
+    }
+    val base = Seq((1, 0L, 0L, solid(0xffff0000), "image/png"))
+      .toDF("z", "x", "y", "data", "content_type")
+    val overlay = Seq((1, 0L, 0L, solid(0xff00ff00))).toDF("z", "x", "y", "data")
+    val out = Filters.mergeStores(base, Seq(overlay)).collect().head
+    val img = ImageCodec.decode(out.getAs[Array[Byte]]("data"))
+    assert(img.getRGB(0, 0) == 0xff00ff00) // opaque overlay wins
+    // coord without overlay passes through
+    val base2 = Seq((1, 1L, 1L, solid(0xffff0000), "image/png"))
+      .toDF("z", "x", "y", "data", "content_type")
+    val out2 = Filters.mergeStores(base2, Seq(overlay)).collect().head
+    assert(ImageCodec.decode(out2.getAs[Array[Byte]]("data")).getRGB(0, 0) == 0xffff0000)
+  }
+
+  test("delete pipeline removes a region, keeps the rest") {
+    val sink = Files.createTempDirectory("graft-del").toString + "/tiles"
+    val corpus = Corpus.generate(spark, 300).toDF()
+    Pipeline.copyJob(spark, corpus, BoundingPyramid.full(2, 3), sink,
+      Files.createTempDirectory("graft-del-m").toString, "job-del")
+    val before = TileTable.read(spark, sink)
+    val beforeZ2 = before.where(col("z") === 2).count()
+    val beforeZ3 = before.where(col("z") === 3).count()
+    val beforeZ2Deleted = before.where(col("z") === 2 && col("x") < 2).count()
+    assert(beforeZ2 > 0 && beforeZ3 > 0)
+    // delete half of z2 (x in [0,2)), all of z3
+    val delRegion = BoundingPyramid(
+      2 -> (graft.core.Bounds(0, 2), graft.core.Bounds(0, 4)),
+      3 -> (graft.core.Bounds(0, 8), graft.core.Bounds(0, 8)))
+    TileTable.deleteRegion(spark, sink, delRegion)
+    val after = TileTable.read(spark, sink)
+    assert(after.where(col("z") === 3).count() == 0)
+    assert(after.where(col("z") === 2 && col("x") < 2).count() == 0)
+    assert(after.where(col("z") === 2).count() == beforeZ2 - beforeZ2Deleted)
+  }
+
+  test("randomize is deterministic and preserves rows") {
+    val df = spark.range(1000).toDF("id")
+    val a = Pipeline.randomize(df).collect().map(_.getLong(0)).toSeq
+    val b = Pipeline.randomize(df).collect().map(_.getLong(0)).toSeq
+    assert(a.sorted == (0L until 1000L))
+    assert(a == b, "same seed, same order")
+  }
+
+  test("estimateCompletion reports per-z ratios") {
+    val s = spark
+    import s.implicits._
+    val tiles = Seq((1, 0L, 0L), (1, 0L, 1L), (2, 0L, 0L)).toDF("z", "x", "y")
+    val out = Pipeline.estimateCompletion(tiles, BoundingPyramid.full(1, 2))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1) == ((2L, 4L, 500000L)))
+    assert(out(2) == ((1L, 16L, 62500L)))
+  }
+
+  test("error guards fire on metrics") {
+    intercept[IllegalStateException](
+      Filters.checkErrorRate(Map("tiles" -> 100L, "errors" -> 50L), 0.3))
+    Filters.checkErrorRate(Map("tiles" -> 100L, "errors" -> 5L), 0.3)
+    intercept[IllegalStateException](
+      Filters.checkMaxErrors(Map("errors" -> 10L), 10))
+    Filters.checkMaxErrors(Map("errors" -> 9L), 10)
+  }
+
+  test("mbtiles-parity metadata table round-trip") {
+    val path = Files.createTempDirectory("graft-md").toString
+    val s = spark
+    import s.implicits._
+    val tiles = Seq((2, 0L, 0L), (5, 1L, 1L)).toDF("z", "x", "y")
+    TileTable.writeMetadata(spark, path,
+      Map("name" -> "t") ++ TileTable.zoomMetadata(tiles))
+    val md = TileTable.readMetadata(spark, path)
+    assert(md("minzoom") == "2" && md("maxzoom") == "5" && md("name") == "t")
+  }
+}
