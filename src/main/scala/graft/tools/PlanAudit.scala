@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Plan auditor: prints formatted physical plans of the load-bearing
+  * queries so scan pushdown (PushedFilters/ReadSchema), broadcast
+  * placement, and WholeStageCodegen spans can be inspected per round.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Bench.mkSession(8)
+    val dir = "/root/testdata/sf0.01"
+
+    def audit(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n######## $name ########")
+      df.explain("formatted")
+    }
+
+    // column pruning + predicate pushdown to parquet
+    audit("pyramid_agg (expect ReadSchema only z/x/y source cols)")(
+      graft.GraftQueries.queryMap("q01_pyramid_levels")(spark, dir))
+    audit("anti_join (expect broadcast anti join, pushed filters)")(
+      graft.GraftQueries.queryMap("q08_anti_join_resume")(spark, dir))
+    audit("tile table region scan (expect PushedFilters on z,x,y)") {
+      val tmp = java.nio.file.Files.createTempDirectory("audit").toString
+      val corpus = graft.engine.Corpus.generate(spark, 500).toDF()
+      graft.engine.Pipeline.copyJob(spark, corpus,
+        graft.core.BoundingPyramid.full(2, 3), tmp + "/t", tmp + "/m", "audit")
+      graft.engine.TileTable.read(spark, tmp + "/t")
+        .where(col("z") === 3 && col("x").between(2, 5) && col("y") < 4)
+        .select("z", "x", "y", "content_type")
+    }
+    audit("flagship render join (expect single exchange on coords + broadcast winners)")(
+      graft.engine.Pipeline.renderTiles(
+        graft.engine.Pipeline.assign(
+          graft.engine.Corpus.generate(spark, 1000).toDF(), Seq(4, 6))))
+    audit("minhash candidates (expect cached band exchange, no recompute)")(
+      graft.dedup.Dedup.minhashCandidates(
+        graft.dedup.Dedup.minhashSignatures(
+          spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")))
+    spark.stop()
+  }
+}
