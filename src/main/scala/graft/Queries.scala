@@ -450,6 +450,28 @@ object GraftQueries {
         |ORDER BY (px - qx) * (px - qx) + (py - qy) * (py - qy), id
         |LIMIT 25""".stripMargin)),
 
+    // Sessionization over the events table (30-min gap), the batch
+    // contract of the streaming session-window op.
+    ("q19_sessionize",
+      (s: SparkSession, dir: String) =>
+        graft.streaming.StreamOps.sessionize(table(s, dir, "events"))
+          .groupBy("user_id")
+          .agg(
+            max("session_id").as("sessions"),
+            count(lit(1)).as("events")),
+      Some("""WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id,
+        |         sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM t)
+        |SELECT user_id, CAST(max(session_id) AS BIGINT) AS sessions, count(*) AS events
+        |FROM s GROUP BY user_id""".stripMargin)),
+
     // Exact document dedup by content hash (training-data pipeline op).
     ("q20_doc_dedup_exact",
       (s: SparkSession, dir: String) =>

@@ -1,0 +1,33 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** SparkSessionExtensions entry point: makes the engine's native
+  * expressions available in ANY session created with
+  * `--conf spark.sql.extensions=graft.sql.GraftExtensions`
+  * (the spark-submit path on a real cluster; tests use
+  * TileExpressions.register on an existing session instead).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("tc_quadkey"),
+      new ExpressionInfo(classOf[QuadKeyExpr].getName, "tc_quadkey"),
+      (exprs: Seq[Expression]) =>
+        QuadKeyExpr(
+          Cast(exprs(0), IntegerType),
+          Cast(exprs(1), LongType),
+          Cast(exprs(2), LongType))))
+    ext.injectFunction((
+      FunctionIdentifier("tc_cellid"),
+      new ExpressionInfo(classOf[CellIdExpr].getName, "tc_cellid"),
+      (exprs: Seq[Expression]) =>
+        CellIdExpr(
+          Cast(exprs(0), IntegerType),
+          Cast(exprs(1), LongType),
+          Cast(exprs(2), LongType))))
+  }
+}

@@ -38,6 +38,27 @@ object StreamOps {
         col("cnt"), col("max_v"))
   }
 
+  /** Sessionization: assign a session id per (user, gap-delimited run
+    * of events). Batch form uses window functions; the streaming form
+    * of the same semantics is `flatMapGroupsWithState` (session windows)
+    * — batch is the oracle-checkable contract. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts").cast("timestamp")), 1).over(w))
+      .withColumn(
+        "new_session",
+        when(
+          col("prev_us").isNull ||
+            unix_micros(col("ts").cast("timestamp")) - col("prev_us") > gapUs,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum("new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("prev_us", "new_session")
+  }
+
   /** Run the tile work-queue consumer as a streaming query: decode ->
     * transform chain -> parquet tile sink with checkpoint dir (exactly
     * the resumable at-least-once model of the reference's queue

@@ -1,0 +1,118 @@
+package graft.core
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sql.TileCodecs
+
+/** ScalaCheck-generated properties the reference implies (SURVEY.md
+  * §5.2). scalatestplus isn't in the offline cache, so a small seeded
+  * sampler drives the Gens directly (deterministic, 200 cases each). */
+class PropertySpec extends AnyFunSuite {
+
+  private def forAll[A](g: Gen[A], cases: Int = 200)(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var i = 0
+    var tries = 0
+    while (i < cases && tries < cases * 20) {
+      g.apply(Gen.Parameters.default, seed) match {
+        case Some(a) => f(a); i += 1
+        case None =>
+      }
+      seed = seed.next
+      tries += 1
+    }
+    assert(i == cases, s"generator too restrictive: produced $i/$cases")
+  }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => f(t._1, t._2))
+
+  private def forAll[A, B, C](ga: Gen[A], gb: Gen[B], gc: Gen[C])(
+      f: (A, B, C) => Unit): Unit =
+    forAll(Gen.zip(ga, gb, gc))(t => f(t._1, t._2, t._3))
+
+  private val genCoord: Gen[TileCoord] = for {
+    z <- Gen.choose(0, 24)
+    x <- Gen.choose(0L, (1L << z) - 1 max 0)
+    y <- Gen.choose(0L, (1L << z) - 1 max 0)
+  } yield TileCoord(z, x, y)
+
+  test("quadkey <-> (z,x,y) bijection") {
+    forAll(genCoord) { tc =>
+      assert(I3DTileLayout.fromQuadcode(I3DTileLayout.quadcode(tc)) == tc)
+      assert(TileCodecs.cellIdToCoord(TileCodecs.cellId(tc.z, tc.x, tc.y)) ==
+        ((tc.z, tc.x, tc.y)))
+    }
+  }
+
+  test("parent of each child is the original (parent . children = id)") {
+    val g = QuadTileGrid()
+    forAll(genCoord) { tc =>
+      g.children(tc).foreach(c => assert(g.parent(c).contains(tc)))
+    }
+  }
+
+  test("extent -> tilecoord roundtrip at the min corner") {
+    val g = TileGrids.Google
+    forAll(genCoord.suchThat(_.z <= 20)) { tc =>
+      val e = g.extent(tc)
+      // nudge inside: the corner itself is on the boundary
+      val eps = (e.maxX - e.minX) * 1e-6
+      assert(g.tilecoord(tc.z, e.minX + eps, e.minY + eps) == tc)
+    }
+  }
+
+  test("metatile snap contains the tile; explode covers exactly n^2 unit tiles") {
+    forAll(genCoord, Gen.oneOf(2, 4, 8)) { (tc, n) =>
+      val m = tc.metatilecoord(n)
+      assert(m.x % n == 0 && m.y % n == 0)
+      assert(tc.x >= m.x && tc.x < m.x + n && tc.y >= m.y && tc.y < m.y + n)
+      val units = m.unitTiles.toList
+      assert(units.size == n * n && units.distinct.size == n * n)
+      assert(units.contains(TileCoord(tc.z, tc.x, tc.y)))
+      units.foreach(u => assert(u.metatilecoord(n) == m))
+    }
+  }
+
+  test("bounds hull: union is commutative, associative, contains both") {
+    val genB = for {
+      a <- Gen.choose(-1000L, 1000L)
+      l <- Gen.choose(1L, 100L)
+    } yield Bounds(a, a + l)
+    forAll(genB, genB, genB) { (a, b, c) =>
+      assert(a.union(b) == b.union(a))
+      assert(a.union(b).union(c) == a.union(b.union(c)))
+      val u = a.union(b)
+      assert(u.contains(a.start) && u.contains(b.stop - 1))
+    }
+  }
+
+  test("cellId preserves z-order locality: parent range covers children") {
+    forAll(genCoord.suchThat(_.z < 24)) { tc =>
+      val p = TileCodecs.cellId(tc.z, tc.x, tc.y)
+      QuadTileGrid().children(tc).foreach { c =>
+        val cc = TileCodecs.cellId(c.z, c.x, c.y)
+        assert(cc >= (p << 2) && cc < (p << 2) + 4)
+      }
+    }
+  }
+
+  test("pyramid size equals enumeration length; membership agrees") {
+    val genBp = for {
+      z <- Gen.choose(0, 6)
+      x1 <- Gen.choose(0L, (1L << z) - 1 max 0)
+      y1 <- Gen.choose(0L, (1L << z) - 1 max 0)
+      w <- Gen.choose(1L, 5L)
+      h <- Gen.choose(1L, 5L)
+    } yield BoundingPyramid(z -> (
+      Bounds(x1, math.min(x1 + w, 1L << z)),
+      Bounds(y1, math.min(y1 + h, 1L << z))))
+    forAll(genBp) { bp =>
+      val all = bp.iterTopDown.toList
+      assert(all.size == bp.size)
+      all.foreach(tc => assert(bp.contains(tc)))
+    }
+  }
+}
