@@ -50,32 +50,44 @@ object ImageCodec {
     * 0.75 lands near 30 dB on hard-edged rasters. */
   val JpegQuality: Float = 0.98f
 
+  // per-thread writer cache: ImageIO.write scans the (shared) service
+  // registry on every call, which contends across executor threads
+  private val writers =
+    ThreadLocal.withInitial[java.util.HashMap[String, javax.imageio.ImageWriter]](
+      () => new java.util.HashMap[String, javax.imageio.ImageWriter]())
+
+  private def writerFor(format: String): javax.imageio.ImageWriter = {
+    val m = writers.get()
+    var w = m.get(format)
+    if (w == null) {
+      w = ImageIO.getImageWritersByFormatName(format).next()
+      m.put(format, w)
+    }
+    w
+  }
+
   /** Encode; JPEG cannot carry alpha, so flatten to RGB first. */
   def encode(img: BufferedImage, format: String): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
+    val toWrite =
+      if (format == "jpeg" && img.getType != BufferedImage.TYPE_INT_RGB) {
+        val r =
+          new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_INT_RGB)
+        val g = r.createGraphics()
+        g.drawImage(img, 0, 0, null)
+        g.dispose()
+        r
+      } else img
+    val writer = writerFor(format)
+    val param = writer.getDefaultWriteParam
     if (format == "jpeg") {
-      val rgb =
-        if (img.getType == BufferedImage.TYPE_INT_RGB) img
-        else {
-          val r =
-            new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_INT_RGB)
-          val g = r.createGraphics()
-          g.drawImage(img, 0, 0, null)
-          g.dispose()
-          r
-        }
-      val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
-      val param = writer.getDefaultWriteParam
       param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
       param.setCompressionQuality(JpegQuality)
-      val ios = ImageIO.createImageOutputStream(bos)
-      writer.setOutput(ios)
-      writer.write(null, new javax.imageio.IIOImage(rgb, null, null), param)
-      writer.dispose()
-      ios.close()
-    } else {
-      require(ImageIO.write(img, format, bos), s"no writer for $format")
     }
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(toWrite, null, null), param)
+    ios.close()
     bos.toByteArray
   }
 
