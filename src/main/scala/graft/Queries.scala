@@ -612,6 +612,38 @@ object GraftQueries {
         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
         |WHERE ${cosE6("a.e", "b2.e")} >= 400000""".stripMargin)),
 
+    // Connected-component dedup clustering over the MinHash candidate
+    // pairs: every doc in a component labeled with its min id.
+    ("q32_dedup_clusters",
+      (s: SparkSession, dir: String) =>
+        graft.dedup.Dedup.clusters(
+          graft.dedup.Dedup.minhashCandidates(
+            graft.dedup.Dedup.minhashSignatures(
+              table(s, dir, "documents"), "doc_id", "text"))),
+      Some {
+        val bandKey = (b: Int) =>
+          (0 until 4).map(r => s"CAST(s${b * 4 + r} AS VARCHAR)").mkString(" || '-' || ")
+        s"""WITH RECURSIVE $ShingleCtes,
+        |hs AS (SELECT doc_id,
+        |         [CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) for s in sl] AS hl
+        |       FROM sh),
+        |sig AS (SELECT doc_id AS id, ${minhashSigSql(16)} FROM hs),
+        |bands AS (
+        |${(0 until 4).map(b => s"  SELECT id, $b AS band, ${bandKey(b)} AS key FROM sig").mkString("\n  UNION ALL\n")}
+        |),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS da, b.id AS db
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+        |edges AS (SELECT da AS a, db AS b FROM pairs UNION SELECT db, da FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS id, least(a, min(b)) AS cluster_id
+        |FROM reach GROUP BY a""".stripMargin
+      }),
+
     // Multimodal plumbing over the generated corpus (no SQL oracle —
     // driver records the rows-only check; pixel tests cover decode).
     ("q30_multimodal_meta",

@@ -5,11 +5,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Runs the assignment+join pipeline shape (enumerate pyramid ->
-    * anti-join -> coordinate join). */
-  def entry(spark: SparkSession): DataFrame =
-    GraftQueries.queryMap("q08_anti_join_resume")(spark, "/root/testdata/sf0.001")
+  /** Flagship query; driver smoke-checks rows>0. The full assignment +
+    * render + region-join pipeline over a small deterministic corpus
+    * (smoke-sized zooms). */
+  def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    graft.sql.TileExpressions.register(spark)
+    val corpus = graft.engine.Corpus.generate(spark, 2000L).toDF()
+    val bp = graft.core.BoundingPyramid.full(4, 8)
+    val rendered = graft.engine.Pipeline.renderTiles(
+      graft.engine.Pipeline.assign(corpus, bp.zs.toSeq))
+    rendered.join(
+      broadcast(graft.sql.TileFunctions.enumeratePyramid(spark, bp)),
+      Seq("z", "x", "y"),
+      "left_semi")
+  }
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

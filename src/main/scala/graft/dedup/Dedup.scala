@@ -184,6 +184,44 @@ object Dedup {
     cands.join(verified, Seq("da", "db"), "inner")
   }
 
+  /** Connected-component clustering of near-dup pairs: every doc in a
+    * component gets the component's minimum id as its cluster id (the
+    * canonical keep-one-per-cluster dedup step). Iterative min-label
+    * propagation — each round joins labels across edges and keeps the
+    * elementwise minimum; converges in O(diameter) rounds, checked via
+    * a count of changed labels (the standard large-graph CC pattern:
+    * only (id, label) pairs shuffle). */
+  def clusters(pairs: DataFrame, idA: String = "da", idB: String = "db"): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
+      .unionAll(pairs.select(col(idB).as("a"), col(idA).as("b")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("a").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .cache()
+    var changed = 1L
+    while (changed > 0) {
+      val propagated = edges
+        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "nl"), Seq("b"))
+        .groupBy(col("a").as("id"))
+        .agg(min("nl").as("nl"))
+      val next = labels
+        .join(propagated, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .cache()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .where(col("n.label") =!= col("o.label"))
+        .count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** 60-bit SimHash: md5-derived word hashes vote per bit position;
     * bit k of the signature is 1 iff the sum of votes is positive. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {

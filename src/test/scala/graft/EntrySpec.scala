@@ -1,0 +1,13 @@
+package graft
+
+/** The driver's smoke contract: entry() returns rows. */
+class EntrySpec extends SparkTestBase {
+  test("entry produces tiles") {
+    val n = SparkEntry.entry(spark).count()
+    assert(n > 0, s"entry returned $n rows")
+  }
+  test("every query key has runnable shape on sf0.001") {
+    // names + oracle keys stay in sync
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}

@@ -69,6 +69,16 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("cluster labeling: components get min-id labels") {
+    val s = spark
+    import s.implicits._
+    // components {1,2,3,4} (chain) and {10,11}
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (10L, 11L)).toDF("da", "db")
+    val out = Dedup.clusters(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("text ops: token counts, langid, quality monotonic") {
     val out = docs.select(
       col("doc_id"),
