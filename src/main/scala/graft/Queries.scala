@@ -526,7 +526,9 @@ object GraftQueries {
         graft.dedup.Dedup.jaccardPairs(
           table(s, dir, "documents"), "doc_id", "text"),
       Some(s"""WITH $ShingleCtes,
-        |ds AS (SELECT DISTINCT doc_id, unnest(sl) AS s FROM sh),
+        |ds0 AS (SELECT DISTINCT doc_id, unnest(sl) AS s FROM sh),
+        |ds AS (SELECT ds0.* FROM ds0
+        |       JOIN (SELECT s FROM ds0 GROUP BY s HAVING count(*) <= 1000) r USING (s)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
         |common AS (
         |  SELECT a.doc_id da, b.doc_id db, count(*) AS common

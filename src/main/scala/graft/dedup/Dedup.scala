@@ -79,8 +79,17 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 2,
-      minJaccardE6: Long = 500000L): DataFrame = {
-    val ds = shingleSet(df, idCol, textCol, n).cache()
+      minJaccardE6: Long = 500000L,
+      maxDocFreq: Long = 1000L): DataFrame = {
+    // drop non-discriminative shingles (document frequency above the
+    // cap): a shingle shared by f docs contributes f^2/2 join pairs —
+    // the classic quadratic blowup — while adding no near-dup signal.
+    // The cap is part of the operator contract (mirrored in the oracle).
+    val ds0 = shingleSet(df, idCol, textCol, n)
+    val rare = ds0.groupBy("s").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDocFreq)
+      .select("s")
+    val ds = ds0.join(rare, Seq("s"), "left_semi").cache()
     val sizes = ds.groupBy("id").agg(count(lit(1)).as("sz"))
     val common = ds.as("a")
       .join(ds.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
