@@ -12,6 +12,37 @@ import graft.sql.TileFunctions
   */
 object Stores {
 
+  /** URL-scheme store registry — the reference's `TileStore.load`
+    * (tilecloud/__init__.py:701-807) as a reader dispatcher:
+    *   tiles://<path>     canonical tile table (parquet, z-partitioned)
+    *   file://<dir>       filesystem tile tree (binaryFile + layout)
+    *   log://<path>       coord log lines
+    *   pyramid://<spec>   generator relation from a pyramid spec string
+    *   null://            empty tile relation
+    * (s3a:// and abfss:// paths flow through the same file-based
+    * readers when the corresponding Hadoop connectors are deployed.) */
+  def open(spark: SparkSession, uri: String): DataFrame = {
+    val idx = uri.indexOf("://")
+    require(idx > 0, s"store uri needs a scheme: $uri")
+    val (scheme, rest) = (uri.substring(0, idx), uri.substring(idx + 3))
+    scheme match {
+      case "tiles"   => TileTable.read(spark, rest)
+      case "file"    => readFilesystem(spark, rest)
+      case "log"     => readLog(spark, rest)
+      case "pyramid" =>
+        graft.sql.TileFunctions.enumeratePyramid(
+          spark, graft.core.BoundingPyramid.fromString(rest))
+      case "null" =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("z", org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("y", org.apache.spark.sql.types.LongType))))
+      case other => throw new IllegalArgumentException(s"unknown store scheme: $other")
+    }
+  }
+
   /** FilesystemTileStore (reference store/filesystem.py:13-78): read a
     * directory of tile files via the binaryFile source, parsing coords
     * out of the relative path with the layout's regex as a column

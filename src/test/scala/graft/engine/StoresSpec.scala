@@ -38,6 +38,16 @@ class StoresSpec extends SparkTestBase {
         (0 until 10).map(i => (i.toLong % 8, i.toLong / 8)).toSet)
   }
 
+  test("store registry dispatches by scheme (ref TileStore.load)") {
+    val p = Stores.open(spark, "pyramid://4/8/5:+3/+1/+1")
+    assert(p.count() == 85)
+    assert(Stores.open(spark, "null://").count() == 0)
+    val root = tmp()
+    Stores.writeFilesystem(Stores.dict(spark, someTiles(3)), root)
+    assert(Stores.open(spark, s"file://$root").count() == 3)
+    intercept[IllegalArgumentException](Stores.open(spark, "redis://nope"))
+  }
+
   test("log store round-trip") {
     val root = tmp() + "/log"
     Stores.writeLog(Stores.dict(spark, someTiles(5)), root)
