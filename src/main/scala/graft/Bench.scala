@@ -49,7 +49,7 @@ object Bench {
 
     val bp = BoundingPyramid.full(zooms.min, zooms.max)
     def joined = {
-      val rendered = Pipeline.renderTiles(Pipeline.assign(corpus, zooms))
+      val rendered = Pipeline.renderTiles(corpus, zooms)
       val region = TileFunctions.enumeratePyramid(spark, BoundingPyramid(
         scala.collection.immutable.SortedMap(
           bp.bounds.filter { case (z, _) => zooms.contains(z) }.toSeq: _*)))

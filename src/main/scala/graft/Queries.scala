@@ -658,6 +658,25 @@ object GraftQueries {
       },
       None),
 
+    // Convolution image filter over the generated corpus (no SQL
+    // oracle — pixel semantics covered by ImageSpec; driver records the
+    // rows-only check).
+    ("q33_image_filter",
+      (s: SparkSession, dir: String) => {
+        val tiles = graft.engine.Corpus.generate(s, 500).toDF()
+          .select(
+            col("image_id"), col("bytes").as("data"),
+            when(col("fmt") === "png", "image/png")
+              .otherwise("image/jpeg").as("content_type"),
+            lit(null).cast("string").as("error"))
+        graft.engine.Filters.imageFilter("sharpen")(tiles)
+          .select(
+            col("image_id"),
+            col("data").isNotNull.as("filtered_ok"),
+            col("error"))
+      },
+      None),
+
     // Data-dependent quadtree subdivision over the generated corpus
     // (no SQL oracle; invariants covered by PipelineSpec).
     ("q31_rendering_world",

@@ -26,7 +26,7 @@ object ScalingBench {
     val bp = BoundingPyramid(
       scala.collection.immutable.SortedMap(
         bpAll.bounds.filter { case (z, _) => Zooms.contains(z) }.toSeq: _*))
-    val rendered = Pipeline.renderTiles(Pipeline.assign(corpus, Zooms))
+    val rendered = Pipeline.renderTiles(corpus, Zooms)
     rendered.join(
       TileFunctions.enumeratePyramid(spark, bp),
       Seq("z", "x", "y"),

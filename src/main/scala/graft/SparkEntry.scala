@@ -13,8 +13,7 @@ object SparkEntry {
     graft.sql.TileExpressions.register(spark)
     val corpus = graft.engine.Corpus.generate(spark, 2000L).toDF()
     val bp = graft.core.BoundingPyramid.full(4, 8)
-    val rendered = graft.engine.Pipeline.renderTiles(
-      graft.engine.Pipeline.assign(corpus, bp.zs.toSeq))
+    val rendered = graft.engine.Pipeline.renderTiles(corpus, bp.zs.toSeq)
     rendered.join(
       broadcast(graft.sql.TileFunctions.enumeratePyramid(spark, bp)),
       Seq("z", "x", "y"),

@@ -210,22 +210,27 @@ object Dedup {
       .distinct()
       .withColumn("label", col("id"))
       .cache()
+    var cachedHandle = labels // exact cached plan, for unpersist
     var changed = 1L
     while (changed > 0) {
       val propagated = edges
         .join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "nl"), Seq("b"))
         .groupBy(col("a").as("id"))
         .agg(min("nl").as("nl"))
+      // carry a per-row "label shrank" flag so convergence detection is
+      // an aggregate over the SAME cached relation — one job per round,
+      // not a second labels-vs-labels join job
       val next = labels
         .join(propagated, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .select(
+          col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          (col("nl") < col("label")).as("__chg"))
         .cache()
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .where(col("n.label") =!= col("o.label"))
-        .count()
-      labels.unpersist()
-      labels = next
+      changed = next.where(col("__chg")).count()
+      cachedHandle.unpersist()
+      cachedHandle = next
+      labels = next.drop("__chg")
     }
     edges.unpersist()
     labels.select(col("id"), col("label").as("cluster_id"))

@@ -168,4 +168,51 @@ object Filters {
         "content_type",
         when(col("data").isNotNull, lit(targetCt)).otherwise(col("content_type")))
   }
+
+  /** Named convolution kernels analogous to PIL's ImageFilter constants
+    * (same shapes/weights as PIL where 3x3: SHARPEN, SMOOTH,
+    * EDGE_ENHANCE; BLUR is a 3x3 box here). Kernel selection is by NAME
+    * so the UDF closure serializes strings, not AWT objects. */
+  private val FilterKernels: Map[String, (Int, Array[Float])] = Map(
+    "sharpen" -> (3, Array(-2, -2, -2, -2, 32, -2, -2, -2, -2).map(_ / 16f)),
+    "smooth" -> (3, Array(1, 1, 1, 1, 5, 1, 1, 1, 1).map(_ / 13f)),
+    "edge_enhance" -> (3, Array(-1, -1, -1, -1, 10, -1, -1, -1, -1).map(_ / 2f)),
+    "blur" -> (3, Array.fill(9)(1 / 9f)))
+
+  /** PILImageFilter (reference filter/image.py:83-106): apply a named
+    * convolution filter to the tile image and re-encode in the SAME
+    * content type (the reference re-saves with the tile's format).
+    * Decode/convolve/encode failures land in the error column. */
+  def imageFilter(kernel: String)(df: DataFrame): DataFrame = {
+    require(FilterKernels.contains(kernel), s"unknown kernel: $kernel")
+    val filterUdf = udf { (data: Array[Byte], ct: String) =>
+      if (data == null) null
+      else
+        try {
+          val (size, weights) = FilterKernels(kernel)
+          val src0 = ImageCodec.decode(data)
+          // convolve on a known direct-color raster; indexed/custom
+          // rasters are not ConvolveOp-compatible
+          val src = new java.awt.image.BufferedImage(
+            src0.getWidth, src0.getHeight,
+            java.awt.image.BufferedImage.TYPE_INT_ARGB)
+          src.getGraphics.drawImage(src0, 0, 0, null)
+          val op = new java.awt.image.ConvolveOp(
+            new java.awt.image.Kernel(size, size, weights),
+            java.awt.image.ConvolveOp.EDGE_NO_OP, null)
+          val dst = op.filter(src, null)
+          ImageCodec.encode(
+            dst, ImageCodec.formatOf(if (ct == null) "image/png" else ct))
+        } catch { case _: Exception => null }
+    }
+    df.withColumn("filtered", filterUdf(col("data"), col("content_type")))
+      .withColumn(
+        "error",
+        when(
+          col("error").isNull && col("data").isNotNull && col("filtered").isNull,
+          lit(s"image filter $kernel failed"))
+          .otherwise(col("error")))
+      .withColumn("data", col("filtered"))
+      .drop("filtered")
+  }
 }

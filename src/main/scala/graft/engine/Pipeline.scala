@@ -54,29 +54,41 @@ object Pipeline {
       .withColumn("cell", TileFunctions.cellId(col("z"), col("x"), col("y")))
 
   /** Per-tile render: deterministic representative image per tile (the
-    * min-phash member — phash is splitmix64-unique per image), image
-    * count, and carried caption.
+    * min-phash member — phash is unique per image by corpus contract),
+    * image count, and carried caption.
     *
-    * Two-phase for scale: (1) a fixed-width `(min(phash), count)`
-    * aggregate — pure codegen HashAggregate with map-side partials, the
-    * shuffle carries ~32 bytes/tile; (2) winners join back to the
-    * assigned rows (AQE turns the small aggregated side into a
-    * broadcast), so image BYTES never enter an aggregation buffer and
-    * never shuffle. A `min_by(struct(bytes...))` formulation instead
-    * drags the payload through a SortAggregate — measured 10x slower
-    * and negatively scaling at 32 threads. */
-  def renderTiles(assigned: DataFrame): DataFrame = {
-    val winners = assigned
+    * Two-phase for scale, and image BYTES flow exactly ONCE:
+    * (1) assignment coordinates are derived from a BYTELESS projection
+    * (`phash` only), so the zoom explode and the fixed-width
+    * `(min(phash), count)` HashAggregate (map-side partials, ~32
+    * bytes/tile through the exchange) never touch the payload;
+    * (2) the winners relation joins back to the ORIGINAL corpus on
+    * `phash = win_phash` — one byte-carrying probe row per image, not
+    * one per (image x zoom). At small tile counts AQE broadcasts the
+    * winners side so bytes never shuffle at all; at huge tile counts the
+    * shuffle key is phash with at most `zooms.size` winner rows per
+    * image — bounded fan-out, no skew. The previous formulation joined
+    * winners to the byte-carrying EXPLODED assignment (x |zooms| payload
+    * duplication through the probe); a `min_by(struct(bytes...))`
+    * formulation is worse still — it drags the payload through a
+    * SortAggregate, measured 10x slower and negatively scaling at 32
+    * threads. */
+  def renderTiles(
+      corpus: DataFrame,
+      zooms: Seq[Int],
+      grid: QuadTileGrid = TileGrids.Google,
+      region: Option[BoundingPyramid] = None): DataFrame = {
+    val coords = assign(corpus.select("phash"), zooms, grid)
+    val inRegion = region
+      .map(bp => coords.where(inPyramid(bp, col("z"), col("x"), col("y"))))
+      .getOrElse(coords)
+    val winners = inRegion
       .groupBy("z", "x", "y")
-      .agg(min("phash").as("min_phash"), count(lit(1)).as("img_count"))
-    assigned
+      .agg(min("phash").as("win_phash"), count(lit(1)).as("img_count"))
+    corpus
       .select(
-        col("z"), col("x"), col("y"), col("phash"),
-        col("bytes"), col("fmt"), col("caption"), col("image_id"))
-      .join(
-        winners,
-        Seq("z", "x", "y"))
-      .where(col("phash") === col("min_phash"))
+        col("phash"), col("bytes"), col("fmt"), col("caption"), col("image_id"))
+      .join(winners, col("phash") === col("win_phash"))
       .select(
         col("z"), col("x"), col("y"), lit(1).as("n"),
         col("bytes").as("data"),
@@ -110,8 +122,7 @@ object Pipeline {
       if (bp.size <= broadcastThreshold) broadcast(region0) else region0
     val todo = Checkpoint.resume(region, sinkPath)
 
-    val rendered = renderTiles(
-      assign(corpus, zooms).where(inPyramid(bp, col("z"), col("x"), col("y"))))
+    val rendered = renderTiles(corpus, zooms, region = Some(bp))
 
     val joined = rendered.join(todo, Seq("z", "x", "y"), "left_semi")
     val converted = Filters.formatConverter(targetCt)(joined)

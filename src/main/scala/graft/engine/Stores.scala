@@ -17,6 +17,7 @@ object Stores {
     *   tiles://<path>     canonical tile table (parquet, z-partitioned)
     *   file://<dir>       filesystem tile tree (binaryFile + layout)
     *   log://<path>       coord log lines
+    *   zip://<dir>        zip archives of layout-named tiles
     *   pyramid://<spec>   generator relation from a pyramid spec string
     *   null://            empty tile relation
     * (s3a:// and abfss:// paths flow through the same file-based
@@ -29,6 +30,7 @@ object Stores {
       case "tiles"   => TileTable.read(spark, rest)
       case "file"    => readFilesystem(spark, rest)
       case "log"     => readLog(spark, rest)
+      case "zip"     => readZip(spark, rest)
       case "pyramid" =>
         graft.sql.TileFunctions.enumeratePyramid(
           spark, graft.core.BoundingPyramid.fromString(rest))
@@ -183,5 +185,145 @@ object Stores {
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .select(col("z"), col("x"), col("y"), col("anc_data").as("data"), col("d"))
+  }
+
+  private val ZipEntryRegex =
+    """(?:.*/)?(\d+)/(\d+)/(\d+)(\.\w+)?$""".r
+
+  /** ZipTileStore source (reference store/zip.py:14-63): each archive is
+    * an indivisible unit, so binaryFile yields one row per .zip and the
+    * entries explode on executors — parallelism scales with the number
+    * of archives (the natural sharding for zip-packaged tile corpora).
+    * Per archive, the layout is auto-detected by extension histogram
+    * exactly like the reference (most frequent `.png`/`.jpe?g` wins,
+    * zip.py:20-31); entries that don't parse as `z/x/y[.ext]` are
+    * dropped (reference list() swallows ValueError, zip.py:57-62). */
+  def readZip(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.zip")
+      .option("recursiveFileLookup", "true")
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (archivePath, bytes) =>
+        val entries = zipEntries(bytes)
+        val extCounts = entries
+          .groupBy(e => extensionOf(e._1)).view.mapValues(_.size).toMap
+        val preferredExt = extCounts.toSeq
+          .sortBy { case (ext, cnt) => (-cnt, ext) }
+          .collectFirst {
+            case (ext, _) if ext.matches("""(?i)\.(jpe?g|png)""") => ext
+          }
+        val ct = preferredExt.map {
+          case e if e.toLowerCase.startsWith(".j") => "image/jpeg"
+          case _                                   => "image/png"
+        }.orNull
+        entries.flatMap { case (name, data) =>
+          name match {
+            case ZipEntryRegex(z, x, y, _) =>
+              Some((z.toInt, x.toLong, y.toLong, data, ct, archivePath, name))
+            case _ => None
+          }
+        }
+      }
+      .toDF("z", "x", "y", "data", "content_type", "archive", "entry")
+  }
+
+  /** ZipTileStore sink (reference store/zip.py:65-76 put_one): the
+    * distributed analogue writes one archive per partition (the
+    * reference appends to a single driver-local zip — a serialization
+    * point that cannot scale), entries named by the OSM layout. */
+  def writeZip(tiles: DataFrame, dir: String, ext: String = "png"): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    tiles.select("z", "x", "y", "data")
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val rows = it.toSeq
+        if (rows.nonEmpty) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val out = new java.util.zip.ZipOutputStream(
+            java.nio.file.Files.newOutputStream(
+              java.nio.file.Paths.get(dir, f"part-$pid%05d.zip")))
+          try rows.foreach { r =>
+            val e = new java.util.zip.ZipEntry(
+              s"${r.getInt(0)}/${r.getLong(1)}/${r.getLong(2)}.$ext")
+            out.putNextEntry(e)
+            out.write(r.getAs[Array[Byte]]("data"))
+            out.closeEntry()
+          } finally out.close()
+        }
+      }
+  }
+
+  private def extensionOf(name: String): String = {
+    val i = name.lastIndexOf('.')
+    if (i < 0) "" else name.substring(i)
+  }
+
+  private def zipEntries(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+    var e = zin.getNextEntry
+    while (e != null) {
+      if (!e.isDirectory) buf += ((e.getName, zin.readAllBytes()))
+      e = zin.getNextEntry
+    }
+    zin.close()
+    buf.toSeq
+  }
+
+  /** Parsed TileJSON document (reference store/tilejson.py:19-71):
+    * template layouts from the `tiles` URLs, bounding pyramid from
+    * `bounds`+`minzoom`/`maxzoom` (full pyramid when absent), content
+    * type inferred from the URL extensions, well-known keys carried as
+    * metadata. */
+  final case class TileJsonConfig(
+      layouts: Seq[graft.core.TemplateTileLayout],
+      boundingPyramid: graft.core.BoundingPyramid,
+      contentType: Option[String],
+      metadata: Map[String, String])
+
+  /** TileJSONTileStore config parse — driver-side, like the reference's
+    * ctor (tilejson.py:32-66). The `{x}`/`{y}`/`{z}` URL placeholders
+    * become template layouts; WGS84 `bounds` corners project into the
+    * grid's WebMercator extent before the per-zoom fill. */
+  def tileJson(json: String): TileJsonConfig = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val doc = JsonMethods.parse(json)
+    val urls = (doc \ "tiles").extract[List[String]]
+    require(urls.nonEmpty, "TileJSON needs a non-empty tiles list")
+    val layouts = urls.map { u =>
+      graft.core.TemplateTileLayout(
+        u.replace("{z}", "%(z)d").replace("{x}", "%(x)d").replace("{y}", "%(y)d"))
+    }
+    val zmin = (doc \ "minzoom").extractOpt[Int].getOrElse(0)
+    val zmax = (doc \ "maxzoom").extractOpt[Int].getOrElse(22)
+    val bp = (doc \ "bounds").extractOpt[List[Double]] match {
+      case Some(List(lonMin, latMin, lonMax, latMax)) =>
+        def mercX(lon: Double) = lon / 180.0 * 20037508.342789244
+        def mercY(lat: Double) =
+          math.log(math.tan((90.0 + lat) * math.Pi / 360.0)) / math.Pi *
+            20037508.342789244
+        graft.core.BoundingPyramid.empty.fill(
+          zmin to zmax,
+          graft.core.Extent(
+            mercX(lonMin), mercY(latMin), mercX(lonMax), mercY(latMax)))
+      case _ => graft.core.BoundingPyramid.full(zmin, zmax)
+    }
+    val ct = urls.map(u => extensionOf(u.takeWhile(c => c != '?' && c != '#')))
+      .distinct match {
+      case Seq(e) if e.matches("""(?i)\.jpe?g""") => Some("image/jpeg")
+      case Seq(".png")                            => Some("image/png")
+      case Seq(".pbf") | Seq(".mvt")              => Some("application/x-protobuf")
+      case _                                      => None
+    }
+    val meta = Seq(
+      "name", "description", "version", "attribution", "template", "legend")
+      .flatMap(k => (doc \ k).extractOpt[String].map(k -> _))
+      .toMap
+    TileJsonConfig(layouts, bp, ct, meta)
   }
 }

@@ -32,8 +32,7 @@ object PlanAudit {
     }
     audit("flagship render join (expect single exchange on coords + broadcast winners)")(
       graft.engine.Pipeline.renderTiles(
-        graft.engine.Pipeline.assign(
-          graft.engine.Corpus.generate(spark, 1000).toDF(), Seq(4, 6))))
+        graft.engine.Corpus.generate(spark, 1000).toDF(), Seq(4, 6)))
     audit("minhash candidates (expect cached band exchange, no recompute)")(
       graft.dedup.Dedup.minhashCandidates(
         graft.dedup.Dedup.minhashSignatures(

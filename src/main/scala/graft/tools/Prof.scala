@@ -30,7 +30,7 @@ object Prof {
     time("corpus cache")(cached.count())
     val zooms = Seq(4, 6, 8, 10)
     time("assign only")(noop(Pipeline.assign(cached, zooms)))
-    val rendered = Pipeline.renderTiles(Pipeline.assign(cached, zooms))
+    val rendered = Pipeline.renderTiles(cached, zooms)
     time("render (shuffle bytes)")(noop(rendered))
     val bp = BoundingPyramid(
       scala.collection.immutable.SortedMap(
@@ -40,7 +40,7 @@ object Prof {
     time("full join count")(
       println("tiles=" + rendered.join(region, Seq("z", "x", "y"), "left_semi").count()))
     time("uncached full pipeline")(
-      println("tiles=" + Pipeline.renderTiles(Pipeline.assign(corpus, zooms))
+      println("tiles=" + Pipeline.renderTiles(corpus, zooms)
         .join(region, Seq("z", "x", "y"), "left_semi").count()))
     spark.stop()
   }

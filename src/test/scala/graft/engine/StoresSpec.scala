@@ -48,6 +48,71 @@ class StoresSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Stores.open(spark, "redis://nope"))
   }
 
+  test("zip store round-trip; layout/content-type auto-detect (ref store/zip.py)") {
+    val dir = tmp() + "/zips"
+    Stores.writeZip(Stores.dict(spark, someTiles(10)).repartition(2), dir)
+    assert(
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".zip")) >= 1)
+    val back = Stores.readZip(spark, dir)
+    assert(back.count() == 10)
+    val got = back.collect()
+    got.foreach { r =>
+      assert(r.getAs[Int]("z") == 3)
+      assert(r.getAs[String]("content_type") == "image/png")
+      assert(
+        ImageCodec.sniffContentType(r.getAs[Array[Byte]]("data"))
+          .contains("image/png"))
+    }
+    assert(
+      got.map(r => (r.getAs[Long]("x"), r.getAs[Long]("y"))).toSet ==
+        (0 until 10).map(i => (i.toLong % 8, i.toLong / 8)).toSet)
+    // registry dispatch
+    assert(Stores.open(spark, s"zip://$dir").count() == 10)
+  }
+
+  test("zip reader drops non-layout entries (ref zip.py list ValueError)") {
+    val dir = tmp() + "/zips2"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val out = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(
+        java.nio.file.Paths.get(dir, "a.zip")))
+    def put(name: String, data: Array[Byte]): Unit = {
+      out.putNextEntry(new java.util.zip.ZipEntry(name)); out.write(data)
+      out.closeEntry()
+    }
+    put("readme.txt", "hi".getBytes)
+    put("5/1/2.png", ImageCodec.encode(ImageCodec.gradientImage(8, 1L), "png"))
+    put("deep/prefix/5/3/4.png",
+      ImageCodec.encode(ImageCodec.gradientImage(8, 2L), "png"))
+    out.close()
+    val back = Stores.readZip(spark, dir).collect()
+    assert(back.length == 2)
+    assert(back.map(r => (r.getLong(1), r.getLong(2))).toSet == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("tileJson config parse (ref store/tilejson.py)") {
+    val cfg = Stores.tileJson(
+      """{"name":"osm","tiles":["http://a.example/{z}/{x}/{y}.png",
+        |"http://b.example/{z}/{x}/{y}.png"],
+        |"minzoom":3,"maxzoom":5,"bounds":[-10.0,-10.0,10.0,10.0],
+        |"attribution":"(c) osm"}""".stripMargin)
+    assert(cfg.layouts.size == 2)
+    assert(
+      cfg.layouts.head.filename(graft.core.TileCoord(3, 1, 2)) ==
+        "http://a.example/3/1/2.png")
+    assert(cfg.contentType.contains("image/png"))
+    assert(cfg.metadata("attribution") == "(c) osm")
+    assert(cfg.boundingPyramid.zs.toSet == Set(3, 4, 5))
+    // bounds straddle the center: z=3 must include tiles 3 and 4 both ways
+    val (xb, yb) = cfg.boundingPyramid.zget(3)
+    assert(xb.contains(3) && xb.contains(4) && yb.contains(3) && yb.contains(4))
+    // no bounds -> full pyramid
+    val full = Stores.tileJson("""{"tiles":["http://t/{z}/{x}/{y}.jpg"],
+      |"minzoom":0,"maxzoom":2}""".stripMargin)
+    assert(full.contentType.contains("image/jpeg"))
+    assert(full.boundingPyramid.size == 1 + 4 + 16)
+  }
+
   test("log store round-trip") {
     val root = tmp() + "/log"
     Stores.writeLog(Stores.dict(spark, someTiles(5)), root)

@@ -155,6 +155,35 @@ class ImageSpec extends SparkTestBase {
     assert(bad.getAs[String]("error").contains("conversion"))
   }
 
+  test("image filter convolves and re-encodes in-place (ref filter/image.py:83-106)") {
+    import spark.implicits._
+    val png = ImageCodec.encode(ImageCodec.gradientImage(16, 42L), "png")
+    val df = Seq(
+      (png, "image/png", null: String),
+      ("garbage".getBytes, "image/png", null: String),
+      (null: Array[Byte], null: String, "upstream".asInstanceOf[String]))
+      .toDF("data", "content_type", "error")
+    val out = Filters.imageFilter("smooth")(df).collect()
+    val ok = out.find(r =>
+      r.getAs[String]("error") == null && r.getAs[Array[Byte]]("data") != null).get
+    // still PNG, same dimensions, but smoothed pixels differ from input
+    assert(ImageCodec.sniffContentType(ok.getAs[Array[Byte]]("data")).contains("image/png"))
+    val img = ImageCodec.decode(ok.getAs[Array[Byte]]("data"))
+    assert(img.getWidth == 16 && img.getHeight == 16)
+    assert(!ok.getAs[Array[Byte]]("data").sameElements(png))
+    // smoothing barely perturbs a smooth gradient: PSNR stays high
+    assert(ImageCodec.psnr(ImageCodec.decode(png), img) >= 30.0)
+    // determinism: same input -> same bytes
+    val again = Filters.imageFilter("smooth")(df).collect()
+      .find(r => r.getAs[String]("error") == null && r.getAs[Array[Byte]]("data") != null).get
+    assert(again.getAs[Array[Byte]]("data").sameElements(ok.getAs[Array[Byte]]("data")))
+    // decode failure -> error column; upstream error untouched
+    assert(out.exists(r =>
+      r.getAs[String]("error") != null && r.getAs[String]("error").contains("filter")))
+    assert(out.exists(r => r.getAs[String]("error") == "upstream"))
+    intercept[IllegalArgumentException](Filters.imageFilter("nope")(df))
+  }
+
   test("corpus is deterministic, schema-exact, and jpeg slice meets PSNR") {
     val a = Corpus.generate(spark, 50).collect().sortBy(_.image_id)
     val b = Corpus.generate(spark, 50, numPartitions = 7).collect().sortBy(_.image_id)
