@@ -450,6 +450,58 @@ object GraftQueries {
         |ORDER BY (px - qx) * (px - qx) + (py - qy) * (py - qy), id
         |LIMIT 25""".stripMargin)),
 
+    // Batch ring-bounded kNN: many queries at once via ring-cell
+    // explode + one equi-join + per-query window top-k (the
+    // distributed form of q18's single-query expansion).
+    ("q34_knn_batch",
+      (s: SparkSession, dir: String) => {
+        val e = graft.core.TileGrids.Google.maxExtent
+        val pts = table(s, dir, "lineitem").select(
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("image_id"),
+          (lit(e.minX) + lit(e.width) * ((col("l_orderkey") % 1000) / 1000.0)).as("px"),
+          (lit(e.minY) + lit(e.height) * ((col("l_partkey") % 1000) / 1000.0)).as("py"))
+        val assigned = pts
+          .withColumn("z", lit(6))
+          .withColumn("x", tileOfPointX(col("px"), lit(6)))
+          .withColumn("y", tileOfPointY(col("py"), lit(6)))
+        val queries = table(s, dir, "part")
+          .where(col("p_partkey") <= 20)
+          .select(
+            col("p_partkey").as("qid"),
+            (lit(e.minX) + lit(e.width) * ((col("p_partkey") * 37 % 1000) / 1000.0)).as("qx"),
+            (lit(e.minY) + lit(e.height) * ((col("p_partkey") * 73 % 1000) / 1000.0)).as("qy"))
+        graft.engine.SpatialKnn.nearestBatch(queries, assigned, 6, 10, 1)
+          .select(col("qid"), col("rnk"), col("image_id").as("id"))
+      },
+      Some("""WITH pts AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS id,
+        |    (-20037508.34 + (20037508.34 - (-20037508.34)) * ((l_orderkey % 1000) / 1000.0)) AS px,
+        |    (-20037508.34 + (20037508.34 - (-20037508.34)) * ((l_partkey % 1000) / 1000.0)) AS py
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT id, px, py,
+        |    CAST(trunc(((px - (-20037508.34)) * (1::BIGINT << 6)) / (20037508.34 - (-20037508.34))) AS BIGINT) AS x,
+        |    (1::BIGINT << 6) - CAST(trunc(((py - (-20037508.34)) * (1::BIGINT << 6)) / (20037508.34 - (-20037508.34))) AS BIGINT) - 1 AS y
+        |  FROM pts),
+        |q AS (
+        |  SELECT p_partkey AS qid,
+        |    (-20037508.34 + (20037508.34 - (-20037508.34)) * ((p_partkey * 37 % 1000) / 1000.0)) AS qx,
+        |    (-20037508.34 + (20037508.34 - (-20037508.34)) * ((p_partkey * 73 % 1000) / 1000.0)) AS qy
+        |  FROM part WHERE p_partkey <= 20),
+        |qt AS (
+        |  SELECT qid, qx, qy,
+        |    CAST(trunc(((qx - (-20037508.34)) * (1::BIGINT << 6)) / (20037508.34 - (-20037508.34))) AS BIGINT) AS qtx,
+        |    (1::BIGINT << 6) - CAST(trunc(((qy - (-20037508.34)) * (1::BIGINT << 6)) / (20037508.34 - (-20037508.34))) AS BIGINT) - 1 AS qty
+        |  FROM q)
+        |SELECT qid,
+        |  CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY (px - qx) * (px - qx) + (py - qy) * (py - qy), id) AS INT) AS rnk,
+        |  id
+        |FROM qt JOIN a
+        |  ON a.x BETWEEN qt.qtx - 1 AND qt.qtx + 1
+        | AND a.y BETWEEN qt.qty - 1 AND qt.qty + 1
+        |QUALIFY rnk <= 10""".stripMargin)),
+
     // Sessionization over the events table (30-min gap), the batch
     // contract of the streaming session-window op.
     ("q19_sessionize",

@@ -72,6 +72,47 @@ object SpatialKnn {
     result.orderBy(col("dist2"), col("image_id")).limit(k)
   }
 
+  /** Batch ring-bounded kNN — the many-query distributed form promised
+    * by the class doc: every query row gets its k nearest assigned
+    * points whose tile lies within `ring` cells (Chebyshev) of the
+    * query's tile at zoom z. Ring cells explode per query (a tiny
+    * (2r+1)^2 fan-out of 24-byte coordinate rows), candidates arrive
+    * via ONE equi-join on (x, y) — partition-prunable against the
+    * z-partitioned, Z-order-sorted tile layout — and the per-query
+    * top-k is a window over candidates only. Contract: candidates are
+    * ring-bounded (size `ring` so k neighbors exist within it;
+    * `nearest()` is the single-query exact-expansion form).
+    *
+    * `queries` carries (qid, qx, qy); `assigned` carries
+    * (z, x, y, px, py, image_id). Output: (qid, rnk, image_id, dist2),
+    * rnk 1..k ordered by squared distance with image_id tie-break. */
+  def nearestBatch(
+      queries: DataFrame,
+      assigned: DataFrame,
+      z: Int,
+      k: Int,
+      ring: Int,
+      grid: QuadTileGrid = TileGrids.Google): DataFrame = {
+    val r = ring.toLong
+    val cells = queries
+      .withColumn("qtx", tileOfPointX(col("qx"), lit(z), grid))
+      .withColumn("qty", tileOfPointY(col("qy"), lit(z), grid))
+      .withColumn("x", explode(sequence(col("qtx") - r, col("qtx") + r)))
+      .withColumn("y", explode(sequence(col("qty") - r, col("qty") + r)))
+    val cand = cells
+      .join(assigned.where(col("z") === z).drop("z"), Seq("x", "y"))
+      .withColumn(
+        "dist2",
+        (col("px") - col("qx")) * (col("px") - col("qx")) +
+          (col("py") - col("qy")) * (col("py") - col("qy")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("dist2"), col("image_id"))
+    cand
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("image_id"), col("dist2"))
+  }
+
   /** Brute-force reference (for tests): exact top-k over the full level. */
   def nearestBrute(
       assigned: DataFrame,

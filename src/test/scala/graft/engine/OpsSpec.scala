@@ -43,6 +43,38 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("spatial knn batch: per-query results equal ring-bounded brute force") {
+    val s = spark
+    import s.implicits._
+    val corpus = Corpus.generate(spark, 3000).toDF()
+    val assigned = Pipeline.assign(corpus, Seq(6)).cache()
+    val e = graft.core.TileGrids.Google.maxExtent
+    val qs = Seq((1L, 0.31, 0.77), (2L, 0.12, 0.12), (3L, 0.88, 0.41))
+      .map { case (id, fx, fy) =>
+        (id, e.minX + e.width * fx, e.minY + e.height * fy)
+      }
+    val queries = qs.toDF("qid", "qx", "qy")
+    val got = SpatialKnn.nearestBatch(queries, assigned, 6, 5, 1)
+      .orderBy("qid", "rnk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // oracle: brute force restricted to the same 3x3 ring per query
+    val want = qs.flatMap { case (qid, qx, qy) =>
+      val qt = graft.core.TileGrids.Google.tilecoord(6, qx, qy)
+      assigned
+        .where(col("x").between(qt.x - 1, qt.x + 1) &&
+          col("y").between(qt.y - 1, qt.y + 1))
+        .withColumn("dist2",
+          (col("px") - qx) * (col("px") - qx) +
+            (col("py") - qy) * (col("py") - qy))
+        .orderBy(col("dist2"), col("image_id"))
+        .limit(5).collect().zipWithIndex
+        .map { case (r, i) => (qid, i + 1, r.getAs[String]("image_id")) }
+    }
+    assert(got.toSeq == want)
+    // every query got exactly k hits on this dense corpus
+    assert(got.count(_._2 == 5) == 3)
+  }
+
   test("mergeStores alpha-pastes overlays by coord") {
     val s = spark
     import s.implicits._
