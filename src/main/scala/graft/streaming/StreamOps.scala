@@ -1,10 +1,24 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import graft.engine.{Filters, Stores}
+
+/** One event flowing into the stateful sessionizer; `ts` is the
+  * watermarked event-time column. */
+case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+
+/** An open (not yet gap-closed) session interval kept in state. */
+case class OpenSession(start_us: Long, end_us: Long, events: Long)
+
+/** Per-user sessionizer state: the open intervals (usually one; more
+  * only transiently when a batch arrives with interior gaps). */
+case class SessionStateBuf(open: List[OpenSession])
+
+/** A closed session emitted downstream. */
+case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, events: Long)
 
 /** Structured-Streaming form of the queue-driven tile pipeline: the
   * reference's Redis/SQS consumer loop (store/redis.py:212-328,
@@ -57,6 +71,61 @@ object StreamOps {
       .withColumn("session_id", sum("new_session").over(
         w.rowsBetween(Window.unboundedPreceding, 0)))
       .drop("prev_us", "new_session")
+  }
+
+  /** Streaming session windows via `flatMapGroupsWithState` — the
+    * stateful-streaming form of [[sessionize]]. Events are grouped per
+    * user; gap-separated runs become sessions. A session closes (and is
+    * emitted) once the event-time watermark passes its last event plus
+    * the gap, so output is deterministic given the same input and
+    * watermark schedule regardless of parallelism. Input must have
+    * `user_id: Long` and an event-time `ts` timestamp column.
+    */
+  def sessionizeStream(
+      events: DataFrame,
+      gapMinutes: Int = 30,
+      watermark: String = "10 minutes"): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+
+    val typed = events
+      .select(
+        col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+      .as[SessionEvent]
+
+    /** Merge sorted event timestamps into the open-interval list with
+      * the gap rule; pure and order-insensitive (inputs re-sorted). */
+    def merge(open: List[OpenSession], tsUs: Seq[Long]): List[OpenSession] = {
+      val pts = (open ++ tsUs.map(t => OpenSession(t, t, 1L)))
+        .sortBy(s => (s.start_us, s.end_us))
+      pts.foldLeft(List.empty[OpenSession]) { (acc, s) =>
+        acc match {
+          case h :: t if s.start_us - h.end_us <= gapUs =>
+            OpenSession(h.start_us, math.max(h.end_us, s.end_us), h.events + s.events) :: t
+          case _ => s :: acc
+        }
+      }.reverse
+    }
+
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionStateBuf]) =>
+          val prior = state.getOption.map(_.open).getOrElse(Nil)
+          val merged = merge(prior, rows.map(_.ts.getTime * 1000L).toSeq)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (closed, stillOpen) = merged.partition(_.end_us + gapUs < wmUs)
+          if (stillOpen.isEmpty) state.remove()
+          else {
+            state.update(SessionStateBuf(stillOpen))
+            // wake up when the earliest open session could gap-close
+            state.setTimeoutTimestamp(stillOpen.map(_.end_us).min / 1000L + gapUs / 1000L + 1L)
+          }
+          closed.iterator.map(s => ClosedSession(user, s.start_us, s.end_us, s.events))
+      }
   }
 
   /** Run the tile work-queue consumer as a streaming query: decode ->

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkTestBase
+
+/** Stateful streaming: flatMapGroupsWithState session windows must
+  * agree with the batch window-function sessionizer on the same data. */
+class StreamingSpec extends SparkTestBase {
+
+  private val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime // ms
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(t0 + minutes * 60000L)
+
+  test("sessionizeStream closes gap-separated sessions and matches batch sessionize") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    // user 1: two sessions (0,5,20 | 70,75); user 2: one session (2)
+    val live = Seq(
+      (1L, ts(0)), (1L, ts(5)), (1L, ts(20)),
+      (2L, ts(2)),
+      (1L, ts(70)), (1L, ts(75)))
+
+    val mem = MemoryStream[(Long, Timestamp)]
+    val sessions = StreamOps.sessionizeStream(
+      mem.toDF().toDF("user_id", "ts"), gapMinutes = 30, watermark = "1 minute")
+
+    val q = sessions.writeStream
+      .format("memory")
+      .queryName("sessions_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      mem.addData(live)
+      q.processAllAvailable()
+      // sentinel far in the future: advances the watermark past every
+      // live session's end+gap so all of them close
+      mem.addData(Seq((99L, ts(100000))))
+      q.processAllAvailable()
+      mem.addData(Seq((99L, ts(200000)))) // one more trigger to fire timeouts
+      q.processAllAvailable()
+
+      val got = spark.table("sessions_out")
+        .where(col("user_id") < 99)
+        .select("user_id", "start_us", "end_us", "events")
+        .as[(Long, Long, Long, Long)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+
+      // batch oracle: window-function sessionizer over the same rows
+      val batch = StreamOps.sessionize(
+          live.toDF("user_id", "ts").withColumn("event_id", lit(0L)),
+          gapMinutes = 30)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          min(unix_micros(col("ts"))).as("start_us"),
+          max(unix_micros(col("ts"))).as("end_us"),
+          count(lit(1)).as("events"))
+        .select("user_id", "start_us", "end_us", "events")
+        .as[(Long, Long, Long, Long)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+
+      assert(got == batch)
+      assert(got.map(_._4).sum == live.size.toLong)
+    } finally q.stop()
+  }
+
+  test("sessionizeStream is incremental: state carries sessions across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val mem = MemoryStream[(Long, Timestamp)]
+    val sessions = StreamOps.sessionizeStream(
+      mem.toDF().toDF("user_id", "ts"), gapMinutes = 30, watermark = "1 minute")
+    val q = sessions.writeStream
+      .format("memory")
+      .queryName("sessions_inc")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      mem.addData(Seq((7L, ts(0)), (7L, ts(10))))
+      q.processAllAvailable()
+      mem.addData(Seq((7L, ts(25)))) // still inside the same session
+      q.processAllAvailable()
+      mem.addData(Seq((99L, ts(50000))))
+      q.processAllAvailable()
+      mem.addData(Seq((99L, ts(99000))))
+      q.processAllAvailable()
+
+      val got = spark.table("sessions_inc")
+        .where(col("user_id") === 7L)
+        .select("start_us", "end_us", "events")
+        .as[(Long, Long, Long)]
+        .collect().toSeq
+      // one session spanning all three batch-1/batch-2 events
+      assert(got == Seq((t0 * 1000L, (t0 + 25 * 60000L) * 1000L, 3L)))
+    } finally q.stop()
+  }
+}
