@@ -84,6 +84,10 @@ object GraftQueries {
       s"(CASE WHEN list_dot_product(e, ${planeLiteral(p)}) >= 0 THEN (1::BIGINT << $i) ELSE 0 END)"
     }.mkString(" +\n       ")
 
+  /** Deterministic ±1 IVF centroids (distinct seed from the LSH
+    * planes); ±1 keeps the DuckDB literal exact. */
+  private val ivfCentroids: Seq[Array[Double]] = graft.ann.Ann.planes(64, 8, seed = 99L)
+
   private val cosineSql =
     "CAST(floor(1000000.0 * list_dot_product(%A, %B) / " +
       "(sqrt(list_dot_product(%A, %A)) * sqrt(list_dot_product(%B, %B)))) AS BIGINT)"
@@ -578,7 +582,9 @@ object GraftQueries {
         graft.dedup.Dedup.jaccardPairs(
           table(s, dir, "documents"), "doc_id", "text"),
       Some(s"""WITH $ShingleCtes,
-        |ds0 AS (SELECT DISTINCT doc_id, unnest(sl) AS s FROM sh),
+        |u AS (SELECT doc_id, unnest(sl) AS s0 FROM sh),
+        |ds0 AS (SELECT DISTINCT doc_id,
+        |          CAST(('0x' || substr(md5(s0), 1, 8)) AS BIGINT) AS s FROM u),
         |ds AS (SELECT ds0.* FROM ds0
         |       JOIN (SELECT s FROM ds0 GROUP BY s HAVING count(*) <= 1000) r USING (s)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
@@ -665,6 +671,32 @@ object GraftQueries {
         |SELECT a.id AS ida, b2.id AS idb, ${cosE6("a.e", "b2.e")} AS sim_e6
         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
         |WHERE ${cosE6("a.e", "b2.e")} >= 400000""".stripMargin)),
+
+    // IVF coarse quantization (the ANN index-build scale path): every
+    // vector assigned to its nearest of 8 deterministic centroids;
+    // output is the per-list histogram. At 100 TB the per-list layout
+    // is what lets a query probe 1-2 lists instead of the full corpus.
+    ("q35_ann_ivf",
+      (s: SparkSession, dir: String) =>
+        graft.ann.Ann.ivfAssign(
+            table(s, dir, "embeddings"), "vec_id", "embedding", ivfCentroids)
+          .groupBy("list_id")
+          .agg(count(lit(1)).as("cnt"), min("id").as("min_id")),
+      Some {
+        val dists = ivfCentroids.zipWithIndex.map { case (c, i) =>
+          s"(-2.0 * list_dot_product(e, ${planeLiteral(c)}) + ${c.map(x => x * x).sum}) AS d$i"
+        }.mkString(",\n       ")
+        val m = ivfCentroids.indices.map(i => s"d$i").mkString("least(", ", ", ")")
+        val pick = ivfCentroids.indices
+          .map(i => s"WHEN d$i = m THEN $i").mkString("CASE ", " ", " END")
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |d AS (SELECT vec_id,
+        |       $dists
+        |      FROM v),
+        |a AS (SELECT vec_id, $pick AS list_id FROM (SELECT *, $m AS m FROM d))
+        |SELECT list_id, count(*) AS cnt, min(vec_id) AS min_id
+        |FROM a GROUP BY list_id""".stripMargin
+      }),
 
     // Connected-component dedup clustering over the MinHash candidate
     // pairs: every doc in a component labeled with its min id.

@@ -71,9 +71,64 @@ object Dedup {
       .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
       .distinct()
 
-  /** n-gram Jaccard near-dup pairs: docs sharing shingles, scored
-    * |A ∩ B| / |A ∪ B|, floor-scaled e6, thresholded. The self-join is
-    * on the shingle key; pairs with zero overlap never materialize. */
+  /** Per-doc distinct hashed-shingle array (hash32 of each shingle —
+    * the same 32-bit md5 hash the MinHash kernel and every oracle use),
+    * sorted by (global document frequency asc, hash asc) — the
+    * rarest-first total order that prefix filtering requires — plus the
+    * set size. Long arrays shuffle ~8x smaller than string shingles and
+    * intersect without hashing strings per pair. Shingles above the
+    * document-frequency cap are dropped first (a shingle shared by f
+    * docs adds f^2/2 join pairs and no near-dup signal; cap and hash
+    * are part of the operator contract, mirrored in the oracle). */
+  def shingleSets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      maxDocFreq: Long = 1000L): DataFrame = {
+    val ds0 = parallelize(df)
+      .select(
+        col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("s"))
+      .select(col("id"), hash32(col("s")).as("h"))
+      .distinct()
+    val dfreq = ds0.groupBy("h").agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDocFreq)
+    ds0.join(dfreq, Seq("h"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("__df"), col("h")))).as("__arr"))
+      .select(
+        col("id"),
+        transform(col("__arr"), e => e.getField("h")).as("sa"),
+        size(col("__arr")).as("sz"))
+  }
+
+  /** Exact Jaccard over candidate pairs: each side joins its sorted
+    * shingle array once; |A ∩ B| is per-row array math, no re-join of
+    * the inverted index. Emits (da, db, common, jaccard_e6) >= min. */
+  def jaccardScore(cands: DataFrame, sets: DataFrame, minJaccardE6: Long): DataFrame =
+    cands
+      .join(sets.select(col("id").as("da"), col("sa").as("__sa"), col("sz").as("na")), "da")
+      .join(sets.select(col("id").as("db"), col("sa").as("__sb"), col("sz").as("nb")), "db")
+      .select(
+        col("da"), col("db"),
+        size(array_intersect(col("__sa"), col("__sb"))).as("common"),
+        col("na"), col("nb"))
+      .select(
+        col("da"), col("db"), col("common"),
+        floor(lit(1000000.0) * col("common") /
+          (col("na") + col("nb") - col("common"))).cast("long").as("jaccard_e6"))
+      .where(col("jaccard_e6") >= minJaccardE6)
+
+  /** n-gram Jaccard near-dup pairs: exact output (all pairs with
+    * J >= t over the df-capped shingle universe), computed with
+    * PPJoin-style prefix filtering [Xiao et al., WWW'08]: under any
+    * global token order, J(A,B) >= t implies A and B share a token in
+    * their first |X| - ceil(t*|X|) + 1 tokens — so only those prefix
+    * tokens enter the inverted-index self-join. With rarest-first
+    * ordering the high-frequency shingles (the f^2/2 blowup) never
+    * reach the join. A length filter (t*|B| <= |A| <= |B|/t) prunes
+    * further. Lossless: scoring is exact on the surviving candidates. */
   def jaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -81,28 +136,21 @@ object Dedup {
       n: Int = 2,
       minJaccardE6: Long = 500000L,
       maxDocFreq: Long = 1000L): DataFrame = {
-    // drop non-discriminative shingles (document frequency above the
-    // cap): a shingle shared by f docs contributes f^2/2 join pairs —
-    // the classic quadratic blowup — while adding no near-dup signal.
-    // The cap is part of the operator contract (mirrored in the oracle).
-    val ds0 = shingleSet(df, idCol, textCol, n)
-    val rare = ds0.groupBy("s").agg(count(lit(1)).as("__df"))
-      .where(col("__df") <= maxDocFreq)
-      .select("s")
-    val ds = ds0.join(rare, Seq("s"), "left_semi").cache()
-    val sizes = ds.groupBy("id").agg(count(lit(1)).as("sz"))
-    val common = ds.as("a")
-      .join(ds.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("da"), col("b.id").as("db"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("id").as("da"), col("sz").as("na")), "da")
-      .join(sizes.select(col("id").as("db"), col("sz").as("nb")), "db")
-      .select(
-        col("da"), col("db"), col("common"),
-        floor(lit(1000000.0) * col("common") /
-          (col("na") + col("nb") - col("common"))).cast("long").as("jaccard_e6"))
-      .where(col("jaccard_e6") >= minJaccardE6)
+    val t = minJaccardE6.toDouble / 1e6
+    val sets = shingleSets(df, idCol, textCol, n, maxDocFreq).cache()
+    val prefixLen = (col("sz") - ceil(lit(t) * col("sz")) + 1).cast("int")
+    val prefix = sets.select(
+      col("id"), col("sz"),
+      explode(slice(col("sa"), lit(1), prefixLen)).as("s"))
+    val cands = prefix.as("a")
+      .join(
+        prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          col("a.sz") >= lit(t) * col("b.sz") &&
+          col("b.sz") >= lit(t) * col("a.sz"))
+      .select(col("a.id").as("da"), col("b.id").as("db"))
+      .distinct()
+    jaccardScore(cands, sets, minJaccardE6)
   }
 
   /** Deterministic MinHash permutation coefficients (odd a). */
@@ -189,8 +237,9 @@ object Dedup {
       n: Int = 2,
       minJaccardE6: Long = 500000L): DataFrame = {
     val cands = minhashCandidates(minhashSignatures(df, idCol, textCol, k, n), k, bands)
-    val verified = jaccardPairs(df, idCol, textCol, n, minJaccardE6)
-    cands.join(verified, Seq("da", "db"), "inner")
+    // exact-verify ONLY the LSH candidates (array math per pair) —
+    // never the full all-pairs jaccard
+    jaccardScore(cands, shingleSets(df, idCol, textCol, n), minJaccardE6)
   }
 
   /** Connected-component clustering of near-dup pairs: every doc in a

@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Dev profiler: minhash/jaccard stage timing over the documents table. */
+object DedupProf {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = if (args.length > 1) args(1).toInt else 32
+    val spark = graft.Bench.mkSession(cpus)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    Prof.time("docs read")(docs.count())
+
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    Prof.time("minhash sigs x1")(Prof.noop(sigs))
+    Prof.time("minhash sigs x2")(Prof.noop(sigs))
+
+    val cands = Dedup.minhashCandidates(sigs)
+    Prof.time("lsh candidates")(println("pairs=" + cands.count()))
+
+    val sets = Dedup.shingleSets(docs, "doc_id", "text").cache()
+    Prof.time("shingle sets build")(println("sets=" + sets.count()))
+    val t = 0.5
+    val prefixLen = (col("sz") - ceil(lit(t) * col("sz")) + 1).cast("int")
+    val prefix = sets.select(col("id"), col("sz"),
+      explode(slice(col("sa"), lit(1), prefixLen)).as("s"))
+    Prof.time("prefix explode")(println("prefix=" + prefix.count()))
+    val pcands = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          col("a.sz") >= lit(t) * col("b.sz") && col("b.sz") >= lit(t) * col("a.sz"))
+      .select(col("a.id").as("da"), col("b.id").as("db")).distinct().cache()
+    Prof.time("prefix candidates")(println("cands=" + pcands.count()))
+    Prof.time("score candidates")(
+      println("jp=" + Dedup.jaccardScore(pcands, sets, 500000L).count()))
+
+    val jp = Dedup.jaccardPairs(docs, "doc_id", "text")
+    Prof.time("jaccard pairs e2e")(println("jp=" + jp.count()))
+    spark.stop()
+  }
+}

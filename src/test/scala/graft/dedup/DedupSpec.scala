@@ -118,6 +118,24 @@ class DedupSpec extends SparkTestBase {
     assert(nd.length == 1 && nd.head.getAs[Long]("sim_e6") >= 999999L)
   }
 
+  test("ann: ivfAssign puts every vector in its argmin-distance list") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(64)(d => math.sin(i * 0.37 + d * 0.11).toFloat))
+    }
+    val centroids = Ann.planes(64, 8, seed = 99L)
+    val got = Ann.ivfAssign(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", centroids)
+      .select("id", "list_id").as[(Long, Int)].collect().toMap
+    vecs.foreach { case (id, v) =>
+      val want = centroids.zipWithIndex.map { case (c, li) =>
+        val dot = v.map(_.toDouble).zip(c).map { case (a, b) => a * b }.sum
+        (-2.0 * dot + c.map(x => x * x).sum, li)
+      }.min._2
+      assert(got(id) == want, s"vector $id")
+    }
+  }
+
   test("multimodal: real image meta + resize, stub audio/video plumbing") {
     val media = graft.engine.Corpus.generate(spark, 20).toDF()
       .select(
