@@ -46,7 +46,7 @@ object ScalingBench {
 
   final case class RunResult(cpus: Int, secs: Double, tiles: Long, parity: Long, throughput: Double)
 
-  def runAt(cpus: Int, corpusRows: Long, iters: Int = 2): RunResult = {
+  def runAt(cpus: Int, corpusRows: Long, iters: Int = 3): RunResult = {
     val spark = Bench.mkSession(cpus)
     try {
       // Corpus materialization = input table read, outside the timed

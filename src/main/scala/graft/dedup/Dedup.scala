@@ -141,15 +141,25 @@ object Dedup {
     val prefixLen = (col("sz") - ceil(lit(t) * col("sz")) + 1).cast("int")
     val prefix = sets.select(
       col("id"), col("sz"),
-      explode(slice(col("sa"), lit(1), prefixLen)).as("s"))
+      posexplode(slice(col("sa"), lit(1), prefixLen)).as(Seq("p", "s")))
+    // positional filter: taking each pair's FIRST shared token (minimal
+    // in the global order — tokens below it are disjoint by minimality),
+    // the overlap is at most 1 + min(|A|-pa, |B|-pb); J >= t needs
+    // overlap >= ceil(t/(1+t) * (|A|+|B|)).
     val cands = prefix.as("a")
       .join(
         prefix.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
           col("a.sz") >= lit(t) * col("b.sz") &&
           col("b.sz") >= lit(t) * col("a.sz"))
-      .select(col("a.id").as("da"), col("b.id").as("db"))
-      .distinct()
+      .groupBy(col("a.id").as("da"), col("b.id").as("db"))
+      .agg(
+        min(col("a.p") + 1).as("pa"), min(col("b.p") + 1).as("pb"),
+        first(col("a.sz")).as("sza"), first(col("b.sz")).as("szb"))
+      .where(
+        lit(1) + least(col("sza") - col("pa"), col("szb") - col("pb")) >=
+          ceil(lit(t / (1 + t)) * (col("sza") + col("szb"))))
+      .select("da", "db")
     jaccardScore(cands, sets, minJaccardE6)
   }
 
