@@ -20,6 +20,9 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // stream the byte-carrying side through a shuffled-hash probe
+      // instead of sorting it (SMJ would sort payload rows)
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -44,16 +47,23 @@ object Bench {
     * bare count() measures a coordinates-only pipeline). */
   def flagship(spark: SparkSession, corpusRows: Long): (Long, Long, Double) = {
     val zooms = Seq(4, 6, 8, 10)
-    val corpus = Corpus.generate(spark, corpusRows).toDF().cache()
+    // the input table is laid out hash-distributed on phash (the
+    // bucketing / Iceberg write-distribution story at 100 TB); the
+    // phash-repartitioned cache models that layout, so the byte side of
+    // the attach join needs no exchange
+    val corpus =
+      Corpus.generate(spark, corpusRows).toDF().repartition(col("phash")).cache()
     corpus.count() // materialize outside the timed window
 
     val bp = BoundingPyramid.full(zooms.min, zooms.max)
     def joined = {
-      val rendered = Pipeline.renderTiles(corpus, zooms)
       val region = TileFunctions.enumeratePyramid(spark, BoundingPyramid(
         scala.collection.immutable.SortedMap(
           bp.bounds.filter { case (z, _) => zooms.contains(z) }.toSeq: _*)))
-      rendered.join(region, Seq("z", "x", "y"), "left_semi")
+      // spatial semi-join on byteless winner coords, bytes attached last
+      val winners = Pipeline.tileWinners(corpus, zooms)
+        .join(region, Seq("z", "x", "y"), "left_semi")
+      Pipeline.attachBytes(corpus, winners)
     }
     def timedRun(): (Long, Double) = {
       val t0 = System.nanoTime()

@@ -26,11 +26,14 @@ object ScalingBench {
     val bp = BoundingPyramid(
       scala.collection.immutable.SortedMap(
         bpAll.bounds.filter { case (z, _) => Zooms.contains(z) }.toSeq: _*))
-    val rendered = Pipeline.renderTiles(corpus, Zooms)
-    rendered.join(
-      TileFunctions.enumeratePyramid(spark, bp),
-      Seq("z", "x", "y"),
-      "left_semi")
+    // spatial semi-join on byteless winner coords; bytes attach last via
+    // the phash join against the (phash-distributed) input table
+    val winners = Pipeline.tileWinners(corpus, Zooms)
+      .join(
+        TileFunctions.enumeratePyramid(spark, bp),
+        Seq("z", "x", "y"),
+        "left_semi")
+    Pipeline.attachBytes(corpus, winners)
   }
 
   /** Order-independent parity hash over the full output: bit_xor of
@@ -51,7 +54,8 @@ object ScalingBench {
     try {
       // Corpus materialization = input table read, outside the timed
       // window (the metric is assignment+join throughput).
-      val corpus = Corpus.generate(spark, corpusRows).toDF().cache()
+      val corpus = Corpus.generate(spark, corpusRows).toDF()
+        .repartition(col("phash")).cache()
       corpus.count()
       // The timed action is the parity aggregate: md5(data) per output
       // tile forces the full render path (a bare count() would let

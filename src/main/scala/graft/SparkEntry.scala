@@ -13,11 +13,14 @@ object SparkEntry {
     graft.sql.TileExpressions.register(spark)
     val corpus = graft.engine.Corpus.generate(spark, 2000L).toDF()
     val bp = graft.core.BoundingPyramid.full(4, 8)
-    val rendered = graft.engine.Pipeline.renderTiles(corpus, bp.zs.toSeq)
-    rendered.join(
-      broadcast(graft.sql.TileFunctions.enumeratePyramid(spark, bp)),
-      Seq("z", "x", "y"),
-      "left_semi")
+    // coordinate joins first, payload attach last: the region semi-join
+    // runs against 32-byte winner rows, so image bytes never shuffle
+    val winners = graft.engine.Pipeline.tileWinners(corpus, bp.zs.toSeq)
+      .join(
+        broadcast(graft.sql.TileFunctions.enumeratePyramid(spark, bp)),
+        Seq("z", "x", "y"),
+        "left_semi")
+    graft.engine.Pipeline.attachBytes(corpus, winners)
   }
 
   /** One per implemented operator from SURVEY.md §2. */

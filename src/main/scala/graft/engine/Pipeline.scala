@@ -77,14 +77,37 @@ object Pipeline {
       corpus: DataFrame,
       zooms: Seq[Int],
       grid: QuadTileGrid = TileGrids.Google,
+      region: Option[BoundingPyramid] = None): DataFrame =
+    attachBytes(corpus, tileWinners(corpus, zooms, grid, region))
+
+  /** Phase 1 of the render: the byteless winner-coordinate relation —
+    * one 32-byte row per output tile `(z, x, y, win_phash, img_count)`.
+    * ALL spatial filtering and joining (region semi-joins, resume
+    * anti-joins) should happen against THIS relation, not against the
+    * byte-carrying output: joining coordinates first and attaching
+    * payloads last is what keeps image bytes off every shuffle. */
+  def tileWinners(
+      corpus: DataFrame,
+      zooms: Seq[Int],
+      grid: QuadTileGrid = TileGrids.Google,
       region: Option[BoundingPyramid] = None): DataFrame = {
     val coords = assign(corpus.select("phash"), zooms, grid)
     val inRegion = region
       .map(bp => coords.where(inPyramid(bp, col("z"), col("x"), col("y"))))
       .getOrElse(coords)
-    val winners = inRegion
+    inRegion
       .groupBy("z", "x", "y")
       .agg(min("phash").as("win_phash"), count(lit(1)).as("img_count"))
+  }
+
+  /** Phase 2: attach payload bytes to an (already filtered/joined)
+    * winners relation via the `phash = win_phash` equi-join. With the
+    * input table laid out hash-distributed on `phash` (bucketing /
+    * Iceberg write-distribution — modeled in-sandbox by a
+    * phash-repartitioned cache), the byte side needs NO exchange: only
+    * the 32-byte winner rows shuffle, and each image's bytes stream
+    * straight from the scan into the probe. */
+  def attachBytes(corpus: DataFrame, winners: DataFrame): DataFrame =
     corpus
       .select(
         col("phash"), col("bytes"), col("fmt"), col("caption"), col("image_id"))
@@ -100,7 +123,6 @@ object Pipeline {
           lit("caption"), col("caption"),
           lit("image_id"), col("image_id"),
           lit("img_count"), col("img_count").cast("string")).as("metadata"))
-  }
 
   /** The copy/seed pipeline (reference examples/download.py:15-34 shape):
     * enumerate the region pyramid, resume-anti-join against the sink,
@@ -122,9 +144,12 @@ object Pipeline {
       if (bp.size <= broadcastThreshold) broadcast(region0) else region0
     val todo = Checkpoint.resume(region, sinkPath)
 
-    val rendered = renderTiles(corpus, zooms, region = Some(bp))
-
-    val joined = rendered.join(todo, Seq("z", "x", "y"), "left_semi")
+    // coordinate-phase joins first (region restriction + resume
+    // anti-join against 32-byte winner rows), payload attach last —
+    // image bytes never ride a coordinate shuffle
+    val winners = tileWinners(corpus, zooms, region = Some(bp))
+      .join(todo, Seq("z", "x", "y"), "left_semi")
+    val joined = attachBytes(corpus, winners)
     val converted = Filters.formatConverter(targetCt)(joined)
     val instrumented =
       Checkpoint.instrument(converted, jobId, "sink", metricsPath)

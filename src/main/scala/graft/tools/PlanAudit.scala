@@ -33,6 +33,12 @@ object PlanAudit {
     audit("flagship render join (expect single exchange on coords + broadcast winners)")(
       graft.engine.Pipeline.renderTiles(
         graft.engine.Corpus.generate(spark, 1000).toDF(), Seq(4, 6)))
+    audit("scaling flagship (expect NO exchange on the byte side: cache is phash-partitioned)") {
+      val corpus = graft.engine.Corpus.generate(spark, 1000).toDF()
+        .repartition(col("phash")).cache()
+      corpus.count()
+      graft.ScalingBench.flagshipDF(spark, corpus)
+    }
     audit("minhash candidates (expect cached band exchange, no recompute)")(
       graft.dedup.Dedup.minhashCandidates(
         graft.dedup.Dedup.minhashSignatures(
