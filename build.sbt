@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Scaling-evidence runs emulate an N-core cluster node faithfully:
+  // cap the JVM's visible processor count so GC/JIT/common-pool threads
+  // are sized for N cores, not for the 32-core host.
+  sys.env.get("SPARK_GRAFT_APC").map(n => s"-XX:ActiveProcessorCount=$n").toSeq

@@ -57,12 +57,13 @@ object Bench {
 
     val bp = BoundingPyramid.full(zooms.min, zooms.max)
     def joined = {
-      val region = TileFunctions.enumeratePyramid(spark, BoundingPyramid(
+      val region = BoundingPyramid(
         scala.collection.immutable.SortedMap(
-          bp.bounds.filter { case (z, _) => zooms.contains(z) }.toSeq: _*)))
-      // spatial semi-join on byteless winner coords, bytes attached last
-      val winners = Pipeline.tileWinners(corpus, zooms)
-        .join(region, Seq("z", "x", "y"), "left_semi")
+          bp.bounds.filter { case (z, _) => zooms.contains(z) }.toSeq: _*))
+      // spatial semi-join on byteless winner coords (broadcast range
+      // join on per-zoom bounds), bytes attached last
+      val winners =
+        TileFunctions.regionSemiJoin(Pipeline.tileWinners(corpus, zooms), region)
       Pipeline.attachBytes(corpus, winners)
     }
     def timedRun(): (Long, Double) = {

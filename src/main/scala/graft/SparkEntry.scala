@@ -9,17 +9,14 @@ object SparkEntry {
     * render + region-join pipeline over a small deterministic corpus
     * (smoke-sized zooms). */
   def entry(spark: SparkSession): DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
     graft.sql.TileExpressions.register(spark)
     val corpus = graft.engine.Corpus.generate(spark, 2000L).toDF()
     val bp = graft.core.BoundingPyramid.full(4, 8)
     // coordinate joins first, payload attach last: the region semi-join
-    // runs against 32-byte winner rows, so image bytes never shuffle
-    val winners = graft.engine.Pipeline.tileWinners(corpus, bp.zs.toSeq)
-      .join(
-        broadcast(graft.sql.TileFunctions.enumeratePyramid(spark, bp)),
-        Seq("z", "x", "y"),
-        "left_semi")
+    // is a broadcast range join against 32-byte winner rows, so image
+    // bytes never shuffle
+    val winners = graft.sql.TileFunctions.regionSemiJoin(
+      graft.engine.Pipeline.tileWinners(corpus, bp.zs.toSeq), bp)
     graft.engine.Pipeline.attachBytes(corpus, winners)
   }
 

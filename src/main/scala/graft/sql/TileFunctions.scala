@@ -144,6 +144,33 @@ object TileFunctions {
     levels.reduceLeft(_ unionAll _)
   }
 
+  /** A bounding pyramid as its per-level bounds relation — one row per
+    * zoom, `(bz, bxmin, bxmax, bymin, bymax)` with inclusive max. This
+    * is the BROADCAST side of region range joins: a dense pyramid
+    * region is a set of per-z intervals; enumerating its tiles just to
+    * filter against them (22M generated rows at z=12) is the wrong plan
+    * at every scale. */
+  def pyramidBounds(spark: SparkSession, bp: BoundingPyramid): DataFrame = {
+    import spark.implicits._
+    bp.bounds.toSeq
+      .map { case (z, (xb, yb)) => (z, xb.start, xb.stop - 1, yb.start, yb.stop - 1) }
+      .toDF("bz", "bxmin", "bxmax", "bymin", "bymax")
+  }
+
+  /** Restrict a (z, x, y)-keyed relation to a pyramid region via a
+    * broadcast range semi-join on the per-level bounds (equi-key z +
+    * range residuals — a BroadcastHashJoin, O(rows) work, no
+    * enumeration). */
+  def regionSemiJoin(df: DataFrame, bp: BoundingPyramid): DataFrame = {
+    val b = pyramidBounds(df.sparkSession, bp)
+    df.join(
+      broadcast(b),
+      df("z") === b("bz") &&
+        df("x").between(b("bxmin"), b("bxmax")) &&
+        df("y").between(b("bymin"), b("bymax")),
+      "left_semi")
+  }
+
   /** Enumerate the covering meta-tile coords (span n) of a pyramid,
     * aligned to multiples of n from the bounds' corner
     * (reference __init__.py:253-267). */

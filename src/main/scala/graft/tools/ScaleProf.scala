@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Corpus, Pipeline}
+import graft.sql.TileFunctions
+import graft.core.BoundingPyramid
+
+/** Component-level scaling profile of the flagship job: times each
+  * sub-pipeline at the given parallelism so the non-scaling stage can
+  * be identified instead of guessed.
+  */
+object ScaleProf {
+  def main(args: Array[String]): Unit = {
+    val cpus = if (args.nonEmpty) args(0).toInt else 16
+    val rows = if (args.length > 1) args(1).toLong else 800000L
+    val spark = graft.Bench.mkSession(cpus)
+    val zooms = (4 to 12).toSeq
+    val corpus = Corpus.generate(spark, rows).toDF()
+      .repartition(col("phash")).cache()
+    corpus.count()
+
+    def time(name: String)(f: => Any): Unit = {
+      f // warm
+      var best = Double.MaxValue
+      for (_ <- 0 until 2) {
+        val t0 = System.nanoTime()
+        f
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      println(f"[scaleprof] cpus=$cpus $name: $best%.2fs")
+    }
+
+    val bp = BoundingPyramid.full(zooms.min, zooms.max)
+
+    time("A corpus md5 scan only")(
+      corpus.select(md5(col("bytes")).as("m"))
+        .agg(expr("bit_xor(xxhash64(m))")).collect())
+    time("B assign+winners agg only")(
+      Pipeline.tileWinners(corpus, zooms)
+        .agg(expr("bit_xor(xxhash64(z,x,y,win_phash))")).collect())
+    time("C pyramid enum only")(
+      TileFunctions.enumeratePyramid(spark, bp)
+        .agg(expr("bit_xor(xxhash64(z,x,y))")).collect())
+    time("D winners semi-join enum")(
+      Pipeline.tileWinners(corpus, zooms)
+        .join(TileFunctions.enumeratePyramid(spark, bp), Seq("z", "x", "y"), "left_semi")
+        .agg(expr("bit_xor(xxhash64(z,x,y,win_phash))")).collect())
+    time("E full flagship (attach+md5 parity)")(
+      graft.ScalingBench.parityHash(graft.ScalingBench.flagshipDF(spark, corpus)))
+    spark.stop()
+  }
+}

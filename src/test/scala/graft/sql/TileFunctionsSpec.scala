@@ -135,6 +135,18 @@ class TileFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("regionSemiJoin equals semi-join against the enumerated pyramid") {
+    for (spec <- Seq("4/8/5:+3/+1/+1", "2/1/1:4/6/7")) {
+      val bp = BoundingPyramid.fromString(spec)
+      val viaBounds = regionSemiJoin(df, bp)
+        .select("z", "x", "y").collect().toSet
+      val viaEnum = df
+        .join(enumeratePyramid(spark, bp), Seq("z", "x", "y"), "left_semi")
+        .select("z", "x", "y").collect().toSet
+      assert(viaBounds == viaEnum, spec)
+    }
+  }
+
   test("enumerateMetatiles matches driver-side metatilecoords") {
     val bp = BoundingPyramid.full(1, 2)
     val rows = enumerateMetatiles(spark, bp, 2)

@@ -1,0 +1,15 @@
+#!/bin/bash
+# Two-cluster-size scaling evidence (BASELINE.md §In-sandbox protocol).
+# Each parallelism level runs in its OWN JVM with ActiveProcessorCount
+# matching the emulated cluster size, so GC/JIT/common-pool threads are
+# sized like a real N-core node instead of the 32-core host.
+set -e
+cd "$(dirname "$0")/.."
+N="${SPARK_GRAFT_N:-4}"
+N4=$((4 * N))
+ROWS="${SPARK_GRAFT_SCALE_ROWS:-800000}"
+export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-16g}"
+
+SPARK_GRAFT_APC=$N sbt -batch "runMain graft.ScalingBench solo $N $ROWS"
+SPARK_GRAFT_APC=$N4 sbt -batch "runMain graft.ScalingBench solo $N4 $ROWS"
+sbt -batch "runMain graft.ScalingBench combine" | grep '"metric"'
