@@ -761,6 +761,47 @@ object GraftQueries {
       },
       None),
 
+    // WMTS GetTile KVP URL building as codegen column concat
+    // (reference layout/wmts.py:6-63).
+    ("q36_wmts_url",
+      (s: SparkSession, dir: String) =>
+        coords(s, dir)
+          .select("z", "x", "y").distinct()
+          .select(
+            col("z"), col("x"), col("y"),
+            TileFunctions.wmtsKvpUrl(
+              "http://wmts.example.org/", "lyr", "default", "image/png",
+              "webmercator", col("z"), col("x"), col("y")).as("url")),
+      Some(s"""WITH $CoordsCte,
+        |d AS (SELECT DISTINCT z, x, y FROM coords)
+        |SELECT z, x, y,
+        |  'http://wmts.example.org/?Service=WMTS&Request=GetTile' ||
+        |  '&Format=image/png&Version=1.0.0&Layer=lyr&Style=default' ||
+        |  '&TileMatrixSet=webmercator' ||
+        |  '&TileMatrix=' || CAST(z AS VARCHAR) ||
+        |  '&TileRow=' || CAST(y AS VARCHAR) ||
+        |  '&TileCol=' || CAST(x AS VARCHAR) AS url
+        |FROM d""".stripMargin)),
+
+    // Gzip compress->decompress round trip over the documents payloads
+    // (reference filter/gzip_.py). The oracle pins every roundtrip_ok
+    // flag to TRUE: any corrupted byte on either leg hash-mismatches.
+    ("q37_gzip_roundtrip",
+      (s: SparkSession, dir: String) => {
+        val tiles = table(s, dir, "documents").select(
+          col("doc_id"), col("text"),
+          encode(col("text"), "UTF-8").as("data"),
+          lit(null).cast("string").as("content_encoding"))
+        val back =
+          graft.engine.Filters.gzipDecompress(graft.engine.Filters.gzipCompress(tiles))
+        back.select(
+          col("doc_id"),
+          (col("data") === encode(col("text"), "UTF-8") &&
+            col("content_encoding").isNull).as("roundtrip_ok"))
+      },
+      Some(
+        "SELECT doc_id, CAST(TRUE AS BOOLEAN) AS roundtrip_ok FROM documents")),
+
     // Data-dependent quadtree subdivision over the generated corpus
     // (no SQL oracle; invariants covered by PipelineSpec).
     ("q31_rendering_world",

@@ -209,4 +209,28 @@ object TileFunctions {
       substring(xs, 1, 3), substring(xs, 4, 3), substring(xs, 7, 3),
       substring(ys, 1, 3), substring(ys, 4, 3), substring(ys, 7, 3))
   }
+
+  /** WMTS GetTile KVP URL as pure column concat (reference
+    * layout/wmts.py:6-63; the no-dimensions KVP form — matches
+    * core.WMTSTileLayout.filename, cross-checked by TileFunctionsSpec).
+    * Codegen string building: enumerate a billion tile URLs without a
+    * UDF in the path. */
+  def wmtsKvpUrl(
+      url: String,
+      layer: String,
+      style: String,
+      format: String,
+      tileMatrixSet: String,
+      z: Column,
+      x: Column,
+      y: Column): Column = {
+    val base = if (url.isEmpty || url.last == '?') url else url + "?"
+    concat(
+      lit(s"${base}Service=WMTS&Request=GetTile&Format=$format" +
+        s"&Version=1.0.0&Layer=$layer&Style=$style" +
+        s"&TileMatrixSet=$tileMatrixSet&TileMatrix="),
+      z.cast("string"),
+      lit("&TileRow="), y.cast("string"),
+      lit("&TileCol="), x.cast("string"))
+  }
 }

@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Stage-level timing of the q24 PPJoin pipeline at sf0.1. */
+object JaccardProf {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Bench.mkSession(32)
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    import graft.dedup.Dedup._
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[jprof] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+
+    val t = 0.5
+    val sets = shingleSets(docs, "doc_id", "text").cache()
+    time("sets build")(println("sets=" + sets.count()))
+    val prefixLen = (col("sz") - ceil(lit(t) * col("sz")) + 1).cast("int")
+    val prefix = sets.select(
+      col("id"), col("sz"),
+      posexplode(slice(col("sa"), lit(1), prefixLen)).as(Seq("p", "s"))).cache()
+    time("prefix build")(println("prefix=" + prefix.count()))
+    val joined = prefix.as("a").join(
+      prefix.as("b"),
+      col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+        col("a.sz") >= lit(t) * col("b.sz") &&
+        col("b.sz") >= lit(t) * col("a.sz"))
+    time("raw prefix join")(println("joinrows=" + joined.count()))
+    val cands = joined
+      .groupBy(col("a.id").as("da"), col("b.id").as("db"))
+      .agg(
+        min(col("a.p") + 1).as("pa"), min(col("b.p") + 1).as("pb"),
+        first(col("a.sz")).as("sza"), first(col("b.sz")).as("szb"))
+      .where(
+        lit(1) + least(col("sza") - col("pa"), col("szb") - col("pb")) >=
+          ceil(lit(t / (1 + t)) * (col("sza") + col("szb"))))
+      .select("da", "db").cache()
+    time("cands")(println("cands=" + cands.count()))
+    time("score")(println("pairs=" + jaccardScore(cands, sets, 500000L).count()))
+    time("full fresh")(println(
+      "pairs=" + jaccardPairs(docs, "doc_id", "text").count()))
+    spark.stop()
+  }
+}

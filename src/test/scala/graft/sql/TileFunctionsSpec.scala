@@ -135,6 +135,24 @@ class TileFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("wmtsKvpUrl column matches core WMTSTileLayout.filename") {
+    val layout = graft.core.WMTSTileLayout(
+      url = "http://wmts.example.org/", layer = "lyr", style = "default",
+      format = "image/png", tileMatrixSet = "webmercator")
+    val got = df
+      .select(
+        col("z"), col("x"), col("y"),
+        wmtsKvpUrl(
+          "http://wmts.example.org/", "lyr", "default", "image/png",
+          "webmercator", col("z"), col("x"), col("y")).as("url"))
+      .collect()
+    got.foreach { r =>
+      assert(
+        r.getString(3) ==
+          layout.filename(TileCoord(r.getInt(0), r.getLong(1), r.getLong(2)), Map.empty))
+    }
+  }
+
   test("regionSemiJoin equals semi-join against the enumerated pyramid") {
     for (spec <- Seq("4/8/5:+3/+1/+1", "2/1/1:4/6/7")) {
       val bp = BoundingPyramid.fromString(spec)
