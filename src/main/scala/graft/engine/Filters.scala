@@ -169,6 +169,32 @@ object Filters {
         when(col("data").isNotNull, lit(targetCt)).otherwise(col("content_type")))
   }
 
+  /** OptiPNG (reference filter/optipng.py): lossless PNG byte-size
+    * optimization, pure-JDK re-encode-and-keep-smaller (no external
+    * binary). Non-PNG rows and error rows pass through untouched;
+    * undecodable PNGs land in the error column. */
+  def optiPng(df: DataFrame): DataFrame = {
+    val optUdf = udf { (data: Array[Byte]) =>
+      if (data == null) null
+      else
+        try ImageCodec.optimizePng(data)
+        catch { case _: Exception => null }
+    }
+    df.withColumn(
+        "optimized",
+        when(col("content_type") === "image/png" && col("error").isNull,
+          optUdf(col("data")))
+          .otherwise(col("data")))
+      .withColumn(
+        "error",
+        when(
+          col("error").isNull && col("data").isNotNull && col("optimized").isNull,
+          lit("png optimization failed"))
+          .otherwise(col("error")))
+      .withColumn("data", col("optimized"))
+      .drop("optimized")
+  }
+
   /** Named convolution kernels analogous to PIL's ImageFilter constants
     * (same shapes/weights as PIL where 3x3: SHARPEN, SMOOTH,
     * EDGE_ENHANCE; BLUR is a 3x3 box here). Kernel selection is by NAME

@@ -91,6 +91,30 @@ object ImageCodec {
     bos.toByteArray
   }
 
+  /** Lossless PNG size optimization (reference filter/optipng.py shells
+    * out to the optipng binary; none here, so this is the pure-JDK
+    * equivalent): re-encode at maximum deflate effort and keep the
+    * smaller encoding. PNG is lossless, so pixels are bit-identical
+    * either way; when re-encoding doesn't shrink, the original bytes
+    * pass through untouched (optipng's own contract). */
+  def optimizePng(data: Array[Byte]): Array[Byte] = {
+    val img = decode(data)
+    val bos = new ByteArrayOutputStream()
+    val writer = writerFor("png")
+    val param = writer.getDefaultWriteParam
+    if (param.canWriteCompressed) {
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      // the PNG plugin maps quality 0.0 -> highest deflate effort
+      param.setCompressionQuality(0.0f)
+    }
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close()
+    val out = bos.toByteArray
+    if (out.length < data.length) out else data
+  }
+
   /** Re-encode bytes to the target content type if different
     * (reference filter/image.py:17-41, ImageFormatConverter). */
   def convert(data: Array[Byte], fromCt: String, toCt: String): Array[Byte] =

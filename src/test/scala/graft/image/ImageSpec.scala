@@ -139,6 +139,35 @@ class ImageSpec extends SparkTestBase {
     assert(unzipped.getAs[String]("content_encoding") == null)
   }
 
+  test("optiPng shrinks or passes through, pixels bit-identical (ref filter/optipng.py)") {
+    val img = ImageCodec.gradientImage(32, 7L)
+    val png = ImageCodec.encode(img, "png")
+    val opt = ImageCodec.optimizePng(png)
+    assert(opt.length <= png.length)
+    val a = ImageCodec.decode(png)
+    val b = ImageCodec.decode(opt)
+    for (y <- 0 until a.getHeight; x <- 0 until a.getWidth)
+      assert(a.getRGB(x, y) == b.getRGB(x, y))
+
+    val s = spark
+    import s.implicits._
+    val jpg = ImageCodec.encode(img, "jpeg")
+    val df = Seq(
+      (png, "image/png", null: String),
+      (jpg, "image/jpeg", null: String),
+      ("junk".getBytes, "image/png", null: String))
+      .toDF("data", "content_type", "error")
+    val out = Filters.optiPng(df).collect()
+    val rows = out.map(r =>
+      (r.getAs[String]("content_type"), r.getAs[Array[Byte]]("data"), r.getAs[String]("error")))
+    val okPng = rows.find(r => r._1 == "image/png" && r._3 == null).get
+    assert(okPng._2.length <= png.length && okPng._2 != null)
+    val passJpg = rows.find(_._1 == "image/jpeg").get
+    assert(passJpg._2.sameElements(jpg) && passJpg._3 == null)
+    val bad = rows.find(_._3 != null).get
+    assert(bad._3.contains("png optimization"))
+  }
+
   test("format converter rewrites content type; failures go to error column") {
     val s = spark
     import s.implicits._
