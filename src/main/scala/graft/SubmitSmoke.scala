@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entrypoint (the cluster deployment path of the north
+  * rule): builds no master/conf of its own — everything comes from the
+  * submit command line, exactly as it would on a real multi-executor
+  * cluster. Runs the flagship pipeline plus a sample of operator
+  * queries and prints one JSON line.
+  *
+  *   spark-submit --master local[8] --class graft.SubmitSmoke \
+  *     target/scala-2.13/tilecloudspark_2.13-0.1.0.jar [sfDir]
+  */
+object SubmitSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().appName("graft-submit").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.sql.TileExpressions.register(spark)
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+
+    val t0 = System.nanoTime()
+    val entryRows = SparkEntry.entry(spark).count()
+    val sample = Seq("q01_pyramid_levels", "q07_enum_pyramid", "q20_doc_dedup_exact")
+      .map(q => q -> SparkEntry.queries(q)(spark, sfDir).count())
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(
+      s"""{"metric":"spark-submit smoke","entry_rows":$entryRows,""" +
+        sample.map { case (q, n) => s""""$q":$n""" }.mkString(",") +
+        s""","secs":${f"$secs%.2f"},"master":"${spark.sparkContext.master}"}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,17 @@
+#!/bin/bash
+# Deployment-path evidence: the packaged library running under
+# spark-submit (as it would on a real multi-executor cluster; local
+# master in-sandbox). No session config is hardcoded in the entrypoint —
+# master, memory, and shuffle partitions all come from this command
+# line, exactly like a cluster submit.
+set -e
+cd "$(dirname "$0")/.."
+sbt -batch package > /dev/null
+exec /opt/spark/bin/spark-submit \
+  --master "local[${SPARK_GRAFT_CPUS:-8}]" \
+  --driver-memory "${SPARK_DRIVER_MEM:-8g}" \
+  --conf "spark.sql.shuffle.partitions=${SPARK_GRAFT_CPUS:-8}" \
+  --conf spark.ui.enabled=false \
+  --class graft.SubmitSmoke \
+  target/scala-2.13/tilecloudspark_2.13-0.1.0.jar \
+  "${1:-/root/testdata/sf0.001}"
