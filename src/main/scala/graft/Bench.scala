@@ -46,7 +46,7 @@ object Bench {
     * the byte-carrying render path cannot be pruned out of the plan (a
     * bare count() measures a coordinates-only pipeline). */
   def flagship(spark: SparkSession, corpusRows: Long): (Long, Long, Double) = {
-    val zooms = Seq(4, 6, 8, 10)
+    val zooms = (4 to 12).toSeq // same shape as ScalingBench
     // the input table is laid out hash-distributed on phash (the
     // bucketing / Iceberg write-distribution story at 100 TB); the
     // phash-repartitioned cache models that layout, so the byte side of
