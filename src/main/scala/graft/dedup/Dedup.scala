@@ -105,20 +105,29 @@ object Dedup {
 
   /** Exact Jaccard over candidate pairs: each side joins its sorted
     * shingle array once; |A ∩ B| is per-row array math, no re-join of
-    * the inverted index. Emits (da, db, common, jaccard_e6) >= min. */
-  def jaccardScore(cands: DataFrame, sets: DataFrame, minJaccardE6: Long): DataFrame =
+    * the inverted index. The intersection count runs as a codegen
+    * merge-walk over value-sorted arrays (zero per-pair allocation) —
+    * the per-doc value sort happens once on the sets side before the
+    * join, never per candidate pair. Emits (da, db, common,
+    * jaccard_e6) >= min. */
+  def jaccardScore(cands: DataFrame, sets: DataFrame, minJaccardE6: Long): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val byValue = sets.select(col("id"), sort_array(col("sa")).as("sv"), col("sz"))
+    val common = column(graft.sql.SortedIntersectCountExpr(
+      expression(col("__sa")), expression(col("__sb"))))
     cands
-      .join(sets.select(col("id").as("da"), col("sa").as("__sa"), col("sz").as("na")), "da")
-      .join(sets.select(col("id").as("db"), col("sa").as("__sb"), col("sz").as("nb")), "db")
+      .join(byValue.select(col("id").as("da"), col("sv").as("__sa"), col("sz").as("na")), "da")
+      .join(byValue.select(col("id").as("db"), col("sv").as("__sb"), col("sz").as("nb")), "db")
       .select(
         col("da"), col("db"),
-        size(array_intersect(col("__sa"), col("__sb"))).as("common"),
+        common.as("common"),
         col("na"), col("nb"))
       .select(
         col("da"), col("db"), col("common"),
         floor(lit(1000000.0) * col("common") /
           (col("na") + col("nb") - col("common"))).cast("long").as("jaccard_e6"))
       .where(col("jaccard_e6") >= minJaccardE6)
+  }
 
   /** n-gram Jaccard near-dup pairs: exact output (all pairs with
     * J >= t over the df-capped shingle universe), computed with
@@ -259,10 +268,53 @@ object Dedup {
     * elementwise minimum; converges in O(diameter) rounds, checked via
     * a count of changed labels (the standard large-graph CC pattern:
     * only (id, label) pairs shuffle). */
-  def clusters(pairs: DataFrame, idA: String = "da", idB: String = "db"): DataFrame = {
+  def clusters(
+      pairs: DataFrame,
+      idA: String = "da",
+      idB: String = "db",
+      localEdgeLimit: Long = 1L << 22): DataFrame = {
     val spark = pairs.sparkSession
-    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
-      .unionAll(pairs.select(col(idB).as("a"), col(idA).as("b")))
+    val undirected = pairs
+      .select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
+      .distinct()
+      .cache()
+    val edgeCount = undirected.count()
+    if (edgeCount <= localEdgeLimit) {
+      // Near-dup edge sets are a tiny fraction of the corpus (the pairs
+      // already survived LSH banding + verification), so the standard
+      // large-graph pattern applies: iterate distributed only while the
+      // graph is big, finish with driver union-find once edges fit in
+      // one task's memory. 2^22 edges ~ 64 MB of (long, long) — far
+      // below driver heap; above the limit the O(diameter) label loop
+      // below takes over.
+      val es = undirected.collect()
+      undirected.unpersist()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { row =>
+        val a = row.getLong(0)
+        val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val ra = find(a)
+        val rb = find(b)
+        // union by min id: the component minimum is always a root, so
+        // every final root IS the component's min id (the contract)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      import spark.implicits._
+      return parent.keys.toSeq.sorted
+        .map(id => (id, find(id)))
+        .toDF("id", "cluster_id")
+    }
+    val edges = undirected
+      .unionAll(undirected.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .cache()
     var labels = edges.select(col("a").as("id"))
@@ -271,7 +323,9 @@ object Dedup {
       .cache()
     var cachedHandle = labels // exact cached plan, for unpersist
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
+      rounds += 1
       val propagated = edges
         .join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "nl"), Seq("b"))
         .groupBy(col("a").as("id"))
@@ -292,6 +346,8 @@ object Dedup {
       labels = next.drop("__chg")
     }
     edges.unpersist()
+    undirected.unpersist()
+    if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"[cc] rounds=$rounds")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

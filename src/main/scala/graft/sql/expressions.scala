@@ -148,6 +148,52 @@ object MinHashKernel {
   }
 }
 
+/** Sorted-array set kernels for near-dup verification: merge-walk
+  * intersection count over two value-sorted LongType arrays — O(|a|+|b|)
+  * with zero per-row allocation (the built-in `array_intersect` builds a
+  * hash set and materializes the intersection array per row; on the
+  * candidate-verification hot path that is all garbage).
+  */
+object ArrayKernels {
+  def sortedIntersectCount(
+      a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val va = a.getLong(i)
+      val vb = b.getLong(j)
+      if (va == vb) { c += 1; i += 1; j += 1 }
+      else if (va < vb) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+/** `sorted_intersect_count(a, b)` — |a ∩ b| for value-sorted long arrays
+  * with distinct elements; codegen-capable. */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayKernels.sortedIntersectCount(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.sql.ArrayKernels.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression,
+      r: Expression): Expression = copy(l, r)
+}
+
 /** `minhash_sig(shingles)` — ArrayType(LongType) signature of length k. */
 case class MinHashSigExpr(child: Expression, k: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {

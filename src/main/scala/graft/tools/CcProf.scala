@@ -1,0 +1,18 @@
+package graft.tools
+
+/** Dev: time the q32 connected-components pipeline stage by stage. */
+object CcProf {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Bench.mkSession(32)
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    import graft.dedup.Dedup._
+    Prof.time("warm")(docs.count())
+    val sigs = minhashSignatures(docs, "doc_id", "text")
+    val cands = minhashCandidates(sigs)
+    Prof.time("candidates")(println("pairs=" + cands.count()))
+    Prof.time("clusters")(println("rows=" + clusters(cands).count()))
+    Prof.time("full fresh")(println("rows=" + clusters(
+      minhashCandidates(minhashSignatures(docs, "doc_id", "text"))).count()))
+    spark.stop()
+  }
+}

@@ -18,6 +18,12 @@ object JaccardProf {
     }
 
     val t = 0.5
+    time("full fresh FIRST (no caches)")(println(
+      "pairs=" + jaccardPairs(docs, "doc_id", "text").count()))
+    spark.sharedState.cacheManager.clearCache()
+    time("full fresh SECOND (warm JVM, no caches)")(println(
+      "pairs=" + jaccardPairs(docs, "doc_id", "text").count()))
+    spark.sharedState.cacheManager.clearCache()
     val sets = shingleSets(docs, "doc_id", "text").cache()
     time("sets build")(println("sets=" + sets.count()))
     val prefixLen = (col("sz") - ceil(lit(t) * col("sz")) + 1).cast("int")

@@ -1,0 +1,22 @@
+package graft.tools
+
+/** Dev: reproduce the Bench-context timing of q24 (warm JVM, cold query). */
+object Q24Bench {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Bench.mkSession(32)
+    val dir = "/root/testdata/sf0.1"
+    val qm = graft.GraftQueries.queryMap
+    // warm the JVM the way the bench does: run the preceding doc queries
+    for (q <- Seq("q20_doc_dedup_exact", "q21_doc_stats", "q22_langid")) {
+      Prof.time(q)(qm(q)(spark, dir).count())
+    }
+    Prof.time("q24 bench-style #1")(qm("q24_jaccard_pairs")(spark, dir).count())
+    spark.sharedState.cacheManager.clearCache()
+    Prof.time("q24 bench-style #2")(qm("q24_jaccard_pairs")(spark, dir).count())
+    spark.sharedState.cacheManager.clearCache()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Prof.time("q24 direct-call")(println(
+      "pairs=" + graft.dedup.Dedup.jaccardPairs(docs, "doc_id", "text").count()))
+    spark.stop()
+  }
+}

@@ -1,0 +1,24 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Dev: print the physical plan of the q24 score stage. */
+object ScorePlan {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Bench.mkSession(32)
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    import graft.dedup.Dedup._
+    val sets = shingleSets(docs, "doc_id", "text").cache()
+    sets.count()
+    val t = 0.5
+    val prefixLen = (col("sz") - ceil(lit(t) * col("sz")) + 1).cast("int")
+    val prefix = sets.select(col("id"), col("sz"),
+      posexplode(slice(col("sa"), lit(1), prefixLen)).as(Seq("p", "s")))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("da"), col("b.id").as("db")).distinct()
+    val scored = jaccardScore(cands, sets, 500000L)
+    scored.explain("formatted")
+    spark.stop()
+  }
+}

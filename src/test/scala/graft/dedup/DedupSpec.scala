@@ -77,6 +77,10 @@ class DedupSpec extends SparkTestBase {
     val out = Dedup.clusters(pairs).collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // force the distributed label-propagation path (the scale branch)
+    val outDist = Dedup.clusters(pairs, localEdgeLimit = 0L).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(outDist == out)
   }
 
   test("text ops: token counts, langid, quality monotonic") {
