@@ -90,17 +90,24 @@ object Bench {
     val (assignedRows, outTiles, flagSecs) = flagship(spark, corpusRowsFor(sfDir))
     val throughput = assignedRows / flagSecs
 
+    // best-of-2 with a cache clear before each run: every query is
+    // timed standalone (no reuse of another query's cached relations),
+    // and the min damps this box's noisy-neighbor variance
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        spark.sharedState.cacheManager.clearCache()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> math.min(once(), once())
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"tiles assigned + spatially joined per second","value":${f"$throughput%.1f"},"unit":"tiles/sec","flagship_secs":${f"$flagSecs%.3f"},"assigned_rows":$assignedRows,"out_tiles":$outTiles,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"tiles assigned + spatially joined per second","value":${f"$throughput%.1f"},"unit":"tiles/sec","flagship_secs":${f"$flagSecs%.3f"},"assigned_rows":$assignedRows,"out_tiles":$outTiles,"cpus":$cpus,"query_timing":"best_of_2_cold_cache","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
