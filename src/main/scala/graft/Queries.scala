@@ -802,6 +802,61 @@ object GraftQueries {
       Some(
         "SELECT doc_id, CAST(TRUE AS BOOLEAN) AS roundtrip_ok FROM documents")),
 
+    // WMS GetMap URL building as codegen column concat (reference
+    // layout/wms.py:7-53). No SQL oracle: the BBOX is %f-formatted and
+    // Java (HALF_UP) vs DuckDB/C (half-even) round the dyadic
+    // web-mercator tie values differently — the semantic gate is the
+    // TileFunctionsSpec bit-exact cross-check against the core layout.
+    ("q38_wms_url",
+      (s: SparkSession, dir: String) => {
+        val layout = graft.core.WMSTileLayout(
+          url = "http://wms.example.org/wms", layers = "roads,water",
+          srs = "EPSG:3857", format = "image/png",
+          grid = graft.core.TileGrids.Google)
+        coords(s, dir)
+          .select("z", "x", "y").distinct()
+          .select(
+            col("z"), col("x"), col("y"),
+            TileFunctions.wmsUrl(layout, col("z"), col("x"), col("y")).as("url"))
+      },
+      None),
+
+    // FreeTileGrid (resolution-list pyramid) point->tile assignment as
+    // pure column math (reference grid/free.py:96-112) over a
+    // swiss-grid-like CRS; per-tile counts.
+    ("q39_free_assign",
+      (s: SparkSession, dir: String) => {
+        val grid = graft.core.FreeTileGrid(
+          resolutions = IndexedSeq(750.0, 20.0, 10.0, 5.0),
+          maxExtent = graft.core.Extent(420000.0, 30000.0, 900000.0, 350000.0),
+          tileSize = 100.0)
+        table(s, dir, "lineitem")
+          .select(
+            (col("l_linenumber") % 4).cast("int").as("z"),
+            (lit(grid.maxExtent.minX) +
+              lit(grid.maxExtent.width) * ((col("l_orderkey") % 1000) / 1000.0)).as("px"),
+            (lit(grid.maxExtent.minY) +
+              lit(grid.maxExtent.height) * ((col("l_partkey") % 1000) / 1000.0)).as("py"))
+          .select(
+            col("z"),
+            TileFunctions.freeTileOfPointX(col("px"), col("z"), grid).as("tx"),
+            TileFunctions.freeTileOfPointY(col("py"), col("z"), grid).as("ty"))
+          .groupBy("z", "tx", "ty")
+          .agg(count(lit(1)).as("cnt"))
+      },
+      Some("""WITH pts AS (
+        |  SELECT CAST(l_linenumber % 4 AS INT) AS z,
+        |    (420000.0 + (900000.0 - 420000.0) * ((l_orderkey % 1000) / 1000.0)) AS px,
+        |    (30000.0 + (350000.0 - 30000.0) * ((l_partkey % 1000) / 1000.0)) AS py
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT z,
+        |    CAST(floor(1.0 * (px - 420000.0) / (([750.0,20.0,10.0,5.0][z+1]) * 100.0)) AS BIGINT) AS tx,
+        |    CAST(floor(1.0 * (350000.0 - 30000.0) / (100.0 * ([750.0,20.0,10.0,5.0][z+1]))
+        |         - 1.0 * (py - 30000.0) / (([750.0,20.0,10.0,5.0][z+1]) * 100.0)) AS BIGINT) AS ty
+        |  FROM pts)
+        |SELECT z, tx, ty, count(*) AS cnt FROM a GROUP BY 1, 2, 3""".stripMargin)),
+
     // Data-dependent quadtree subdivision over the generated corpus
     // (no SQL oracle; invariants covered by PipelineSpec).
     ("q31_rendering_world",

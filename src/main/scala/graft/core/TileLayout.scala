@@ -227,7 +227,7 @@ final case class WMSTileLayout(
     params: Map[String, String] = Map.empty)
     extends TileLayout {
 
-  private val baseParams: Seq[(String, String)] = {
+  private[graft] val baseParams: Seq[(String, String)] = {
     val defaults = scala.collection.mutable.LinkedHashMap(
       "LAYERS" -> layers,
       "FORMAT" -> format,

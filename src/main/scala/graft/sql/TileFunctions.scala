@@ -3,7 +3,7 @@ package graft.sql
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{BoundingPyramid, Extent, QuadTileGrid, TileGrids}
+import graft.core.{BoundingPyramid, Extent, FreeTileGrid, QuadTileGrid, TileGrids}
 
 /** The engine's Column-expression library: every tile-coordinate
   * operation as pure Catalyst column math (shiftleft / pmod / floor /
@@ -208,6 +208,58 @@ object TileFunctions {
       lpad(z.cast("string"), 2, "0"),
       substring(xs, 1, 3), substring(xs, 4, 3), substring(xs, 7, 3),
       substring(ys, 1, 3), substring(ys, 4, 3), substring(ys, 7, 3))
+  }
+
+  /** FreeTileGrid point -> tile assignment as pure Column math
+    * (reference grid/free.py:96-112): the per-z resolution is an
+    * `element_at` over a literal array, so the whole expression stays in
+    * codegen with no UDF and no join against a resolutions table.
+    * Bit-identical to `FreeTileGrid.tilecoord` (same IEEE op order). */
+  def freeTileOfPointX(px: Column, z: Column, grid: FreeTileGrid): Column = {
+    val res = element_at(lit(grid.resolutions.toArray), z.cast("int") + 1)
+    floor(lit(grid.scale) * (px - lit(grid.maxExtent.minX)) / (res * lit(grid.tileSize)))
+  }
+
+  def freeTileOfPointY(py: Column, z: Column, grid: FreeTileGrid): Column = {
+    val res = element_at(lit(grid.resolutions.toArray), z.cast("int") + 1)
+    val ty0 = lit(grid.scale) * (py - lit(grid.maxExtent.minY)) / (res * lit(grid.tileSize))
+    val ty =
+      if (grid.flipY) ty0
+      else lit(grid.scale * grid.maxExtent.height) / (lit(grid.tileSize) * res) - ty0
+    floor(ty)
+  }
+
+  /** WMS GetMap URL as pure column concat (reference layout/wms.py:7-53;
+    * the no-metadata form — matches core.WMSTileLayout.filename exactly,
+    * cross-checked by TileFunctionsSpec): the static query params are
+    * URL-encoded driver-side once, only the BBOX varies per row, built
+    * with `format_string("%f")` — the same java.util.Formatter the core
+    * layout uses. One-way, like the reference. */
+  def wmsUrl(
+      layout: graft.core.WMSTileLayout,
+      z: Column,
+      x: Column,
+      y: Column,
+      n: Int = 1): Column = {
+    val grid = layout.grid match {
+      case g: QuadTileGrid => g
+      case g =>
+        throw new IllegalArgumentException(
+          s"wmsUrl column form supports quad grids, got $g")
+    }
+    val enc = (s: String) => java.net.URLEncoder.encode(s, "UTF-8")
+    val prefix = layout.url + "?" +
+      layout.baseParams.map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&") +
+      "&BBOX="
+    val size = (n * grid.tileSize + 2 * layout.border).toInt
+    val suffix = s"&WIDTH=$size&HEIGHT=$size"
+    val Seq(minx, miny, maxx, maxy) =
+      tileExtent(z, x, y, lit(n.toLong), layout.border.toDouble, grid)
+    concat(
+      lit(prefix),
+      // the comma is URL-encoded to %2C, as URLEncoder does in the core
+      format_string("%f%%2C%f%%2C%f%%2C%f", minx, miny, maxx, maxy),
+      lit(suffix))
   }
 
   /** WMTS GetTile KVP URL as pure column concat (reference

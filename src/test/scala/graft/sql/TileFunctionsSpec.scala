@@ -153,6 +153,55 @@ class TileFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("wmsUrl column matches core WMSTileLayout.filename") {
+    for (border <- Seq(0, 5)) {
+      val layout = graft.core.WMSTileLayout(
+        url = "http://wms.example.org/wms", layers = "roads,water",
+        srs = "EPSG:3857", format = "image/png",
+        grid = TileGrids.Google, border = border,
+        params = Map("EXCEPTIONS" -> "XML"))
+      val got = df
+        .where(col("z") <= 12) // realistic WMS zooms
+        .select(
+          col("z"), col("x"), col("y"),
+          TileFunctions.wmsUrl(layout, col("z"), col("x"), col("y")).as("url"))
+        .collect()
+      assert(got.nonEmpty)
+      got.foreach { r =>
+        assert(
+          r.getString(3) ==
+            layout.filename(TileCoord(r.getInt(0), r.getLong(1), r.getLong(2)), Map.empty))
+      }
+    }
+  }
+
+  test("freeTileOfPoint matches FreeTileGrid.tilecoord (swiss-like grid)") {
+    val grid = FreeTileGrid(
+      resolutions = IndexedSeq(750.0, 20.0, 10.0, 5.0),
+      maxExtent = Extent(420000.0, 30000.0, 900000.0, 350000.0),
+      tileSize = 100.0)
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 400).map { _ =>
+      val z = rnd.nextInt(4)
+      val px = grid.maxExtent.minX + rnd.nextDouble() * grid.maxExtent.width
+      val py = grid.maxExtent.minY + rnd.nextDouble() * grid.maxExtent.height
+      (z, px, py)
+    }
+    val got = pts.toDF("z", "px", "py")
+      .select(
+        col("z"), col("px"), col("py"),
+        freeTileOfPointX(col("px"), col("z"), grid).as("tx"),
+        freeTileOfPointY(col("py"), col("z"), grid).as("ty"))
+      .collect()
+    got.foreach { r =>
+      val expect = grid.tilecoord(r.getInt(0), r.getDouble(1), r.getDouble(2))
+      assert(r.getLong(3) == expect.x && r.getLong(4) == expect.y,
+        s"z=${r.getInt(0)} px=${r.getDouble(1)} py=${r.getDouble(2)}")
+    }
+  }
+
   test("regionSemiJoin equals semi-join against the enumerated pyramid") {
     for (spec <- Seq("4/8/5:+3/+1/+1", "2/1/1:4/6/7")) {
       val bp = BoundingPyramid.fromString(spec)
