@@ -76,6 +76,20 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sortedIntersectCount equals set intersection size") {
+    import org.scalacheck.Gen
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val gen = Gen.listOf(Gen.chooseNum(0L, 40L))
+    forAll(Gen.zip(gen, gen)) { case (a: List[Long], b: List[Long]) =>
+      val sa = a.distinct.sorted
+      val sb = b.distinct.sorted
+      val got = graft.sql.ArrayKernels.sortedIntersectCount(
+        new GenericArrayData(sa.toArray),
+        new GenericArrayData(sb.toArray))
+      assert(got == sa.toSet.intersect(sb.toSet).size)
+    }
+  }
+
   test("bounds hull: union is commutative, associative, contains both") {
     val genB = for {
       a <- Gen.choose(-1000L, 1000L)
