@@ -55,6 +55,32 @@ object Filters {
         s"TooManyErrors: $errors >= $maxErrors")
   }
 
+  /** Per-partition consecutive-error circuit breaker — the distributed
+    * analogue of MaximumConsecutiveErrors (reference filter/error.py:
+    * 37-60): the reference counts consecutive errors along its single
+    * stream and raises TooManyErrors; distributed, "consecutive" is only
+    * meaningful within a partition's row order, so each task keeps its
+    * own counter (reset on any healthy row) and fails the task — and
+    * with it the job — when the streak reaches `n`. Rows pass through
+    * unchanged otherwise. */
+  def maxConsecutiveErrorsPerPartition(n: Int)(df: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    val errIdx = df.schema.fieldIndex("error")
+    df.mapPartitions { it =>
+      var streak = 0
+      it.map { row =>
+        if (row.isNullAt(errIdx)) streak = 0
+        else {
+          streak += 1
+          if (streak >= n)
+            throw new IllegalStateException(
+              s"TooManyErrors: $streak consecutive errored tiles in partition")
+        }
+        row
+      }
+    }(enc)
+  }
+
   /** MergeFilter (reference filter/image.py:44-80): alpha-paste
     * same-coord tiles from other stores onto each tile, re-encode.
     * Join by coord; missing overlays pass the base tile through. */

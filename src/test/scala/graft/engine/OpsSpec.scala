@@ -144,6 +144,24 @@ class OpsSpec extends SparkTestBase {
     Filters.checkMaxErrors(Map("errors" -> 9L), 10)
   }
 
+  test("per-partition consecutive-error breaker trips at n, resets on success") {
+    val s = spark
+    import s.implicits._
+    def tiles(errs: Seq[Boolean]) = errs.zipWithIndex
+      .map { case (e, i) => (i.toLong, if (e) "boom" else null) }
+      .toDF("id", "error")
+      .coalesce(1)
+    // streak of 3 trips
+    val bad = tiles(Seq(false, true, true, true, false))
+    val thrown = intercept[org.apache.spark.SparkException](
+      Filters.maxConsecutiveErrorsPerPartition(3)(bad).count())
+    assert(thrown.getMessage.contains("TooManyErrors") ||
+      Option(thrown.getCause).exists(_.getMessage.contains("TooManyErrors")))
+    // healthy row resets the streak: same error count, never 3 in a row
+    val ok = tiles(Seq(true, true, false, true, true, false))
+    assert(Filters.maxConsecutiveErrorsPerPartition(3)(ok).count() == 6)
+  }
+
   test("mbtiles-parity metadata table round-trip") {
     val path = Files.createTempDirectory("graft-md").toString
     val s = spark
