@@ -31,6 +31,32 @@ object TileTable {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Bucketed variant (managed table): hash-bucketed and sorted by
+    * (x, y) inside each z partition. Two tables written with the same
+    * bucket count co-locate matching coords, so coord equi-joins
+    * (merge/diff/resume between tile generations at 100 TB) need NO
+    * exchange on either side — the parquet/metastore stand-in for
+    * Iceberg's bucket write-distribution in this sandbox. When joining
+    * on (z, x, y), set `spark.sql.requireAllClusterKeysForCoPartition`
+    * to false (bucket keys are a subset of the join keys — subset
+    * co-partitioning is correct, Spark just gates it conservatively),
+    * or join on the bucket keys alone within a z partition. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      buckets: Int = 64,
+      mode: String = "overwrite"): Unit =
+    df.write
+      .mode(mode)
+      .partitionBy("z")
+      .bucketBy(buckets, "x", "y")
+      .sortBy("x", "y")
+      .format("parquet")
+      .saveAsTable(table)
+
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
   def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

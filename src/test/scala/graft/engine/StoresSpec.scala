@@ -212,4 +212,36 @@ class StoresSpec extends SparkTestBase {
     assert(agg.columns.toSeq == Seq("hr", "event_type", "cnt", "max_v"))
     assert(agg.count() > 0)
   }
+
+  test("bucketed tile tables join co-located: no exchange on either side") {
+    val s = spark
+    import s.implicits._
+    def tiles(seed: Int) = (0 until 200).map { i =>
+      (3, (i * seed % 8).toLong, (i % 8).toLong, s"payload-$seed-$i")
+    }.toDF("z", "x", "y", "payload")
+    TileTable.writeBucketed(tiles(1), "bkt_a", buckets = 8)
+    TileTable.writeBucketed(tiles(3), "bkt_b", buckets = 8)
+    try {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // bucket keys (x,y) are a subset of the join keys (z,x,y); subset
+      // co-partitioning is correct (same (x,y) => same bucket) but
+      // gated behind this conservative-by-default flag
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      try {
+        val a = TileTable.readBucketed(spark, "bkt_a")
+        val b = TileTable.readBucketed(spark, "bkt_b")
+        val joined = a.join(b, Seq("z", "x", "y"))
+        assert(joined.count() > 0)
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join:\n$plan")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "true")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
 }
