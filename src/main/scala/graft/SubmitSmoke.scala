@@ -15,6 +15,16 @@ object SubmitSmoke {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().appName("graft-submit").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // when launched with --conf spark.sql.extensions=graft.sql.GraftExtensions
+    // the native functions are already injected; prove that path works
+    // before the session-registry fallback registers anything
+    val viaExtensions =
+      spark.conf.getOption("spark.sql.extensions").exists(_.contains("GraftExtensions")) && {
+        val qk = spark.sql("SELECT tc_quadkey(3, 5, 3) AS qk").head().getString(0)
+        val expect = graft.sql.TileCodecs.quadkey(3, 5L, 3L)
+        require(qk == expect, s"extension-injected tc_quadkey returned $qk != $expect")
+        true
+      }
     graft.sql.TileExpressions.register(spark)
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
 
@@ -26,7 +36,8 @@ object SubmitSmoke {
     println(
       s"""{"metric":"spark-submit smoke","entry_rows":$entryRows,""" +
         sample.map { case (q, n) => s""""$q":$n""" }.mkString(",") +
-        s""","secs":${f"$secs%.2f"},"master":"${spark.sparkContext.master}"}""")
+        s""","secs":${f"$secs%.2f"},"extensions_injected":$viaExtensions,""" +
+        s""""master":"${spark.sparkContext.master}"}""")
     spark.stop()
   }
 }

@@ -29,5 +29,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Cast(exprs(0), IntegerType),
           Cast(exprs(1), LongType),
           Cast(exprs(2), LongType))))
+    ext.injectFunction((
+      FunctionIdentifier("tc_sorted_intersect_count"),
+      new ExpressionInfo(
+        classOf[SortedIntersectCountExpr].getName,
+        "tc_sorted_intersect_count"),
+      (exprs: Seq[Expression]) => SortedIntersectCountExpr(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("tc_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "tc_minhash_sig"),
+      (exprs: Seq[Expression]) =>
+        MinHashSigExpr(exprs(0), TileExpressions.literalInt(exprs, 1, 16))))
   }
 }

@@ -226,8 +226,20 @@ case class MinHashSigExpr(child: Expression, k: Int)
 }
 
 object TileExpressions {
-  /** Register `tc_quadkey` / `tc_cellid` in the session's function
-    * registry so they are usable from SQL and `call_function`. */
+  /** Second argument as a literal Int with a default — for SQL-facing
+    * expression builders whose parameter must be plan-time constant. */
+  def literalInt(exprs: Seq[Expression], idx: Int, default: Int): Int =
+    if (exprs.length <= idx) default
+    else exprs(idx) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other =>
+        throw new IllegalArgumentException(
+          s"argument ${idx + 1} must be an integer literal, got $other")
+    }
+
+  /** Register `tc_quadkey` / `tc_cellid` / `tc_sorted_intersect_count` /
+    * `tc_minhash_sig` in the session's function registry so they are
+    * usable from SQL and `call_function`. */
   def register(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.expressions.Cast
     import org.apache.spark.sql.types.IntegerType
@@ -247,6 +259,14 @@ object TileExpressions {
           Cast(exprs(0), IntegerType),
           Cast(exprs(1), LongType),
           Cast(exprs(2), LongType)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "tc_sorted_intersect_count",
+      exprs => SortedIntersectCountExpr(exprs(0), exprs(1)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "tc_minhash_sig",
+      exprs => MinHashSigExpr(exprs(0), literalInt(exprs, 1, 16)),
       "built-in")
   }
 }

@@ -153,6 +153,20 @@ class TileFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("tc_sorted_intersect_count / tc_minhash_sig registered in SQL") {
+    val c = spark.sql(
+      "SELECT tc_sorted_intersect_count(array(1L,3L,5L,9L), array(3L,4L,9L)) AS c")
+      .head().getInt(0)
+    assert(c == 2)
+    val sig = spark.sql(
+      "SELECT tc_minhash_sig(array('a b', 'b c'), 4) AS s")
+      .head().getSeq[Long](0)
+    assert(sig.length == 4 && sig.forall(_ >= 0L))
+    // k defaults to 16
+    assert(spark.sql("SELECT tc_minhash_sig(array('a b')) AS s")
+      .head().getSeq[Long](0).length == 16)
+  }
+
   test("wmsUrl column matches core WMSTileLayout.filename") {
     for (border <- Seq(0, 5)) {
       val layout = graft.core.WMSTileLayout(

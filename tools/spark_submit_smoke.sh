@@ -12,6 +12,7 @@ exec /opt/spark/bin/spark-submit \
   --driver-memory "${SPARK_DRIVER_MEM:-8g}" \
   --conf "spark.sql.shuffle.partitions=${SPARK_GRAFT_CPUS:-8}" \
   --conf spark.ui.enabled=false \
+  --conf spark.sql.extensions=graft.sql.GraftExtensions \
   --class graft.SubmitSmoke \
   target/scala-2.13/tilecloudspark_2.13-0.1.0.jar \
   "${1:-/root/testdata/sf0.001}"
