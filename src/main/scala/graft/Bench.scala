@@ -77,9 +77,10 @@ object Bench {
     timedRun() // warm-up (JIT + AQE stats) — this box has noisy neighbors
     val (tiles1, s1) = timedRun()
     val (_, s2) = timedRun()
+    val (_, s3) = timedRun()
     val assignedRows = corpusRows * zooms.size
     corpus.unpersist()
-    (assignedRows, tiles1, math.min(s1, s2))
+    (assignedRows, tiles1, Seq(s1, s2, s3).min)
   }
 
   def main(args: Array[String]): Unit = {
@@ -90,7 +91,7 @@ object Bench {
     val (assignedRows, outTiles, flagSecs) = flagship(spark, corpusRowsFor(sfDir))
     val throughput = assignedRows / flagSecs
 
-    // best-of-2 with a cache clear before each run: every query is
+    // best-of-3 with a cache clear before each run: every query is
     // timed standalone (no reuse of another query's cached relations),
     // and the min damps this box's noisy-neighbor variance
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -101,13 +102,13 @@ object Bench {
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      name -> Seq(once(), once(), once()).min
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"tiles assigned + spatially joined per second","value":${f"$throughput%.1f"},"unit":"tiles/sec","flagship_secs":${f"$flagSecs%.3f"},"assigned_rows":$assignedRows,"out_tiles":$outTiles,"cpus":$cpus,"query_timing":"best_of_2_cold_cache","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"tiles assigned + spatially joined per second","value":${f"$throughput%.1f"},"unit":"tiles/sec","flagship_secs":${f"$flagSecs%.3f"},"assigned_rows":$assignedRows,"out_tiles":$outTiles,"cpus":$cpus,"query_timing":"best_of_3_cold_cache","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
