@@ -43,6 +43,21 @@ object PlanAudit {
       graft.dedup.Dedup.minhashCandidates(
         graft.dedup.Dedup.minhashSignatures(
           spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")))
+    audit("jaccard verify (expect broadcast sets joins + codegen intersect, no array shuffle)")(
+      graft.dedup.Dedup.jaccardPairs(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))
+    audit("bucketed coord join (expect Bucketed: true scans, no Exchange)") {
+      import spark.implicits._
+      val t = Seq((3, 1L, 2L, "p")).toDF("z", "x", "y", "payload")
+      graft.engine.TileTable.writeBucketed(t, "audit_bkt_a", buckets = 8)
+      graft.engine.TileTable.writeBucketed(t, "audit_bkt_b", buckets = 8)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      graft.engine.TileTable.readBucketed(spark, "audit_bkt_a")
+        .join(graft.engine.TileTable.readBucketed(spark, "audit_bkt_b"), Seq("z", "x", "y"))
+    }
+    spark.sql("DROP TABLE IF EXISTS audit_bkt_a")
+    spark.sql("DROP TABLE IF EXISTS audit_bkt_b")
     spark.stop()
   }
 }
