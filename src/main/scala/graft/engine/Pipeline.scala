@@ -111,7 +111,14 @@ object Pipeline {
     corpus
       .select(
         col("phash"), col("bytes"), col("fmt"), col("caption"), col("image_id"))
-      .join(winners, col("phash") === col("win_phash"))
+      // force a shuffled-hash join built on the 32-byte winner rows:
+      // Catalyst's pre-AQE size estimate for the winners aggregate is
+      // far above the local-hash-map bound, so it would otherwise plan a
+      // sort-merge join — which SORTS the byte-carrying side (measured:
+      // an 8 GB spill-heavy sort at 800k images). The winners hash map
+      // is img_count-bounded per partition; bytes stream through the
+      // probe unsorted.
+      .join(winners.hint("shuffle_hash"), col("phash") === col("win_phash"))
       .select(
         col("z"), col("x"), col("y"), lit(1).as("n"),
         col("bytes").as("data"),

@@ -33,10 +33,8 @@ object PlanAudit {
     audit("flagship render join (expect single exchange on coords + broadcast winners)")(
       graft.engine.Pipeline.renderTiles(
         graft.engine.Corpus.generate(spark, 1000).toDF(), Seq(4, 6)))
-    audit("scaling flagship (expect NO exchange on the byte side: cache is phash-partitioned)") {
-      val corpus = graft.engine.Corpus.generate(spark, 1000).toDF()
-        .repartition(col("phash")).cache()
-      corpus.count()
+    audit("scaling flagship (expect NO exchange on the byte side: phash-bucketed scan)") {
+      val corpus = graft.Bench.bucketedCorpus(spark, 1000, table = "audit_corpus")
       graft.ScalingBench.flagshipDF(spark, corpus)
     }
     audit("minhash candidates (expect cached band exchange, no recompute)")(

@@ -1,0 +1,19 @@
+package graft.tools
+
+/** Dev: executed plan + per-stage timing of the scaling flagship at
+  * real scaling-bench size. */
+object ScalePlan {
+  def main(args: Array[String]): Unit = {
+    val cpus = if (args.nonEmpty) args(0).toInt else 8
+    val rows = if (args.length > 1) args(1).toLong else 800000L
+    val spark = graft.Bench.mkSession(cpus)
+    val corpus = graft.Bench.bucketedCorpus(spark, rows)
+    val df = graft.ScalingBench.flagshipDF(spark, corpus)
+    graft.ScalingBench.parityHash(df) // execute once so AQE finalizes
+    val executed = org.apache.spark.sql.classic.ClassicConversions
+      .castToImpl(df).queryExecution.executedPlan
+    println("######## executed plan (after run) ########")
+    println(executed.toString.linesIterator.take(80).mkString("\n"))
+    spark.stop()
+  }
+}

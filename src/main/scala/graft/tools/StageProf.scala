@@ -1,0 +1,48 @@
+package graft.tools
+
+import scala.collection.mutable
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerStageSubmitted}
+
+/** Dev: per-stage wall-clock breakdown of one timed flagship iteration —
+  * shows which stages scale and where driver-side gaps (planning,
+  * scheduling, broadcast builds) sit. */
+object StageProf {
+  def main(args: Array[String]): Unit = {
+    val cpus = if (args.nonEmpty) args(0).toInt else 8
+    val rows = if (args.length > 1) args(1).toLong else 800000L
+    val spark = graft.Bench.mkSession(cpus)
+    val corpus = graft.Bench.bucketedCorpus(spark, rows)
+    graft.ScalingBench.parityHash(graft.ScalingBench.flagshipDF(spark, corpus)) // warm
+
+    val events = mutable.ArrayBuffer.empty[(Int, String, Long, Long, Int)]
+    val listener = new SparkListener {
+      private val submitted = mutable.Map.empty[Int, Long]
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+        submitted(s.stageInfo.stageId) = System.nanoTime()
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val id = s.stageInfo.stageId
+        events.synchronized {
+          events += ((id, s.stageInfo.name.takeWhile(_ != '\n').take(60),
+            submitted.getOrElse(id, 0L), System.nanoTime(),
+            s.stageInfo.numTasks))
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    graft.ScalingBench.parityHash(graft.ScalingBench.flagshipDF(spark, corpus))
+    val total = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500)
+    println(f"[stageprof] total iteration: $total%.2fs at $cpus cores")
+    var covered = 0.0
+    events.sortBy(_._3).foreach { case (id, name, sub, done, tasks) =>
+      val s = (sub - t0) / 1e9
+      val e = (done - t0) / 1e9
+      covered += (e - s)
+      println(f"[stageprof] stage $id%3d ($tasks%3d tasks) $s%6.2f -> $e%6.2f  (${e - s}%5.2f s)  $name")
+    }
+    println(f"[stageprof] sum of stage spans: $covered%.2fs (gaps = driver time)")
+    spark.stop()
+  }
+}

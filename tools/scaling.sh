@@ -2,14 +2,21 @@
 # Two-cluster-size scaling evidence (BASELINE.md §In-sandbox protocol).
 # Each parallelism level runs in its OWN JVM with ActiveProcessorCount
 # matching the emulated cluster size, so GC/JIT/common-pool threads are
-# sized like a real N-core node instead of the 32-core host.
+# sized like a real N-core node instead of the 32-core host. Heap
+# scales with the emulated cluster too (GB per core via
+# SPARK_GRAFT_MEM_PER_CORE, default 2): a real 4N-executor cluster has
+# 4x the total memory of the N-executor one, so giving both legs the
+# same heap would hand the small cluster 4x the per-core memory and
+# bias the ratio.
 set -e
 cd "$(dirname "$0")/.."
 N="${SPARK_GRAFT_N:-4}"
 N4=$((4 * N))
 ROWS="${SPARK_GRAFT_SCALE_ROWS:-800000}"
-export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-16g}"
+PER_CORE="${SPARK_GRAFT_MEM_PER_CORE:-2}"
 
-SPARK_GRAFT_APC=$N sbt -batch "runMain graft.ScalingBench solo $N $ROWS"
-SPARK_GRAFT_APC=$N4 sbt -batch "runMain graft.ScalingBench solo $N4 $ROWS"
+SPARK_DRIVER_MEM="$((N * PER_CORE))g" SPARK_GRAFT_APC=$N \
+  sbt -batch "runMain graft.ScalingBench solo $N $ROWS"
+SPARK_DRIVER_MEM="$((N4 * PER_CORE))g" SPARK_GRAFT_APC=$N4 \
+  sbt -batch "runMain graft.ScalingBench solo $N4 $ROWS"
 sbt -batch "runMain graft.ScalingBench combine" | grep '"metric"'
