@@ -20,11 +20,20 @@ object ParityCheck {
     val Array(inPath, outPath) = args
     val inputs = Files.readAllLines(Paths.get(inPath)).asScala
     val sb = new StringBuilder
+    val wmts = WMTSTileLayout(
+      url = "http://wmts.example.org/",
+      layer = "lyr",
+      style = "default",
+      format = "image/png",
+      tileMatrixSet = "webmercator")
     for (line <- inputs if line.nonEmpty) {
       val Array(z, x, y) = line.trim.split("\\s+")
       val tc = TileCoord(z.toInt, x.toLong, y.toLong)
       val e = TileGrids.Google.extent(tc)
+      val eb = TileGrids.Google.extent(tc, border = 5.0)
       val rt = TileGrids.Google.tilecoord(tc.z, e.minX + 1e-9, e.minY + 1e-9)
+      val kids = TileGrids.Google.children(tc).mkString(",")
+      val par = TileGrids.Google.parent(tc).map(_.toString).getOrElse("None")
       sb.append(
         Seq(
           tc.toString,
@@ -32,7 +41,12 @@ object ParityCheck {
           tc.metatilecoord(8).toString,
           I3DTileLayout.quadcode(tc),
           f"${e.minX}%.9e,${e.minY}%.9e,${e.maxX}%.9e,${e.maxY}%.9e",
-          rt.toString).mkString("|"))
+          rt.toString,
+          kids,
+          par,
+          f"${eb.minX}%.9e,${eb.minY}%.9e,${eb.maxX}%.9e,${eb.maxY}%.9e",
+          OSMTileLayout.filename(tc),
+          wmts.filename(tc)).mkString("|"))
       sb.append('\n')
     }
     for (

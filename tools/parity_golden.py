@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Generate the reference-side goldens for graft.tools.ParityCheck by
+running the ACTUAL reference implementation (tilecloud, imported in
+place from /root/reference). Record format must match ParityCheck
+field-for-field; diff of the two outputs must be byte-identical.
+
+Usage: parity_golden.py [inputs.txt] [out.txt]
+  inputs.txt: one "z x y" triple per line (default /tmp/parity_inputs.txt)
+"""
+import itertools
+import sys
+
+sys.path.insert(0, "/root/reference")
+from tilecloud import BoundingPyramid, TileCoord  # noqa: E402
+from tilecloud.grid.google import GoogleTileGrid  # noqa: E402
+from tilecloud.layout.i3d import I3DTileLayout  # noqa: E402
+from tilecloud.layout.osm import OSMTileLayout  # noqa: E402
+from tilecloud.layout.wmts import WMTSTileLayout  # noqa: E402
+
+inputs = sys.argv[1] if len(sys.argv) > 1 else "/tmp/parity_inputs.txt"
+outpath = sys.argv[2] if len(sys.argv) > 2 else "/tmp/parity_ref.txt"
+
+g = GoogleTileGrid
+i3d = I3DTileLayout()
+osm = OSMTileLayout()
+wmts = WMTSTileLayout(
+    url="http://wmts.example.org/", layer="lyr", style="default",
+    format_pattern="image/png", tile_matrix_set="webmercator")
+
+out = []
+for line in open(inputs):
+    line = line.strip()
+    if not line:
+        continue
+    z, x, y = map(int, line.split())
+    tc = TileCoord(z, x, y)
+    e = g.extent(tc)
+    eb = g.extent(tc, 5.0)
+    rt = g.tilecoord(tc.z, e[0] + 1e-9, e[1] + 1e-9)
+    p = g.parent(tc)
+    out.append("|".join([
+        str(tc),
+        str(hash(tc)),
+        str(tc.metatilecoord(8)),
+        i3d.quadcode_from_tilecoord(tc),
+        "%.9e,%.9e,%.9e,%.9e" % e,
+        str(rt),
+        ",".join(str(t) for t in g.children(tc)),
+        str(p) if p is not None else "None",
+        "%.9e,%.9e,%.9e,%.9e" % eb,
+        osm.filename(tc),
+        wmts.filename(tc),
+    ]))
+for spec in ["4/8/5:+3/+1/+1", "0/0/0:2/*/*", "2/1/3:+1/+1/+1",
+             "5/9/13:12/15", "2/1/3:0/2/4"]:
+    bp = BoundingPyramid.from_string(spec)
+    first5 = list(itertools.islice(bp.itertopdown(), 5))
+    out.append(spec + "=>" + str(len(bp)) + ";" +
+               ",".join(str(t) for t in first5))
+open(outpath, "w").write("\n".join(out) + "\n")
+print(f"[parity_golden] wrote {outpath} ({len(out)} lines)")
