@@ -72,7 +72,7 @@ object Bench {
     spark.table(table)
   }
 
-  /** The flagship job: corpus -> point assignment at 4 zoom levels ->
+  /** The flagship job: corpus -> point assignment at zooms 4..12 ->
     * per-tile render aggregation -> region semi-join. Returns (assigned
     * rows, output tiles, seconds). Corpus generation/materialization is
     * excluded from the timed section. The timed action aggregates
@@ -91,7 +91,7 @@ object Bench {
       // join on per-zoom bounds), bytes attached last
       val winners =
         TileFunctions.regionSemiJoin(Pipeline.tileWinners(corpus, zooms), region)
-      Pipeline.attachBytes(corpus, winners)
+      Pipeline.attachBytes(corpus, winners, shuffleHashWinners = true)
     }
     def timedRun(): (Long, Double) = {
       val t0 = System.nanoTime()

@@ -20,20 +20,11 @@ object ScalingBench {
   private val Zooms = (4 to 12).toSeq
 
   /** The flagship output relation (tiles assigned + joined) over an
-    * already-materialized corpus. */
-  def flagshipDF(spark: SparkSession, corpus: DataFrame): DataFrame = {
-    val bpAll = BoundingPyramid.full(Zooms.min, Zooms.max)
-    val bp = BoundingPyramid(
-      scala.collection.immutable.SortedMap(
-        bpAll.bounds.filter { case (z, _) => Zooms.contains(z) }.toSeq: _*))
-    // spatial semi-join on byteless winner coords — a broadcast range
-    // join against the per-zoom bounds relation (dense regions are
-    // intervals, never enumerations); bytes attach last via the phash
-    // join against the (phash-distributed) input table
-    val winners =
-      TileFunctions.regionSemiJoin(Pipeline.tileWinners(corpus, Zooms), bp)
-    Pipeline.attachBytes(corpus, winners)
-  }
+    * already-materialized corpus: coordinate pipeline first, bytes
+    * attached last via the winners-built shuffled-hash join (the
+    * corpus side is phash-bucketed — no exchange, no sort of bytes). */
+  def flagshipDF(spark: SparkSession, corpus: DataFrame): DataFrame =
+    Pipeline.attachBytes(corpus, coordinateDF(corpus), shuffleHashWinners = true)
 
   /** Order-independent parity hash over the full output: bit_xor of
     * xxhash64(z, x, y, data, caption). Every payload byte flows through
@@ -59,11 +50,13 @@ object ScalingBench {
       coordSecs: Double)
 
   /** The coordinate pipeline alone: winners aggregation + region
-    * semi-join, no payload attach. This is where every shuffle, join,
-    * and aggregate of the engine lives; the payload stage it excludes
-    * is a zero-shuffle scan->probe->hash stream whose single-host
+    * semi-join (a broadcast range join against the per-zoom bounds
+    * relation — dense regions are intervals, never enumerations), no
+    * payload attach. This is where every shuffle, join, and aggregate
+    * of the engine lives; the payload stage it excludes is a
+    * zero-shuffle scan->probe->hash stream whose single-host
     * throughput is DRAM-bandwidth-bound (see BASELINE.md). */
-  def coordinateDF(spark: SparkSession, corpus: DataFrame): DataFrame = {
+  def coordinateDF(corpus: DataFrame): DataFrame = {
     val bpAll = BoundingPyramid.full(Zooms.min, Zooms.max)
     val bp = BoundingPyramid(
       scala.collection.immutable.SortedMap(
@@ -103,11 +96,11 @@ object ScalingBench {
       val coordRows = corpusRows * 10
       def coordInput = spark.range(coordRows)
         .select((xxhash64(col("id")) % 100000007L).as("phash"))
-      coordinateDF(spark, coordInput).count() // warm-up
+      coordinateDF(coordInput).count() // warm-up
       var coordBest = Double.MaxValue
       for (_ <- 0 until iters) {
         val t0 = System.nanoTime()
-        coordinateDF(spark, coordInput).count()
+        coordinateDF(coordInput).count()
         coordBest = math.min(coordBest, (System.nanoTime() - t0) / 1e9)
       }
       val tiles = flagshipDF(spark, corpus).count()

@@ -250,8 +250,14 @@ final case class WMSTileLayout(
     metadata.foreach { case (k, v) =>
       if (k.startsWith("dimension_")) merged(k.stripPrefix("dimension_")) = v
     }
-    merged("BBOX") =
-      f"${bbox.minX}%f,${bbox.minY}%f,${bbox.maxX}%f,${bbox.maxY}%f"
+    // Locale.US pins the decimal separator: Python's %f (the reference)
+    // and Spark's format_string are locale-independent, the scala f""
+    // interpolator is not
+    merged("BBOX") = String.format(
+      java.util.Locale.US,
+      "%f,%f,%f,%f",
+      Double.box(bbox.minX), Double.box(bbox.minY),
+      Double.box(bbox.maxX), Double.box(bbox.maxY))
     merged("WIDTH") = size.toString
     merged("HEIGHT") = size.toString
     url + "?" + merged

@@ -274,20 +274,36 @@ object Dedup {
       idB: String = "db",
       localEdgeLimit: Long = 1L << 22): DataFrame = {
     val spark = pairs.sparkSession
+    // the union-find shortcut is long-keyed; non-integral ids (strings,
+    // UUIDs) keep their type and take the generic distributed loop —
+    // a silent cast("long") would null them into one bogus cluster
+    val integralIds = Seq(idA, idB).forall { c =>
+      pairs.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType |
+            org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      }
+    }
     val undirected = pairs
-      .select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
+      .select(
+        (if (integralIds) col(idA).cast("long") else col(idA)).as("a"),
+        (if (integralIds) col(idB).cast("long") else col(idB)).as("b"))
       .distinct()
       .cache()
-    val edgeCount = undirected.count()
+    val edgeCount = if (integralIds) undirected.count() else Long.MaxValue
     if (edgeCount <= localEdgeLimit) {
       // Near-dup edge sets are a tiny fraction of the corpus (the pairs
       // already survived LSH banding + verification), so the standard
       // large-graph pattern applies: iterate distributed only while the
       // graph is big, finish with driver union-find once edges fit in
-      // one task's memory. 2^22 edges ~ 64 MB of (long, long) — far
-      // below driver heap; above the limit the O(diameter) label loop
-      // below takes over.
-      val es = undirected.collect()
+      // driver memory. The typed collect keeps edges as (Long, Long)
+      // tuples (~32 B each with boxing in the Scala tuple) — 2^22
+      // edges stay in the low hundreds of MB; above the limit the
+      // O(diameter) label loop below takes over.
+      import spark.implicits._
+      val es = undirected.as[(Long, Long)].collect()
       undirected.unpersist()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -297,9 +313,7 @@ object Dedup {
         while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      es.foreach { row =>
-        val a = row.getLong(0)
-        val b = row.getLong(1)
+      es.foreach { case (a, b) =>
         parent.getOrElseUpdate(a, a)
         parent.getOrElseUpdate(b, b)
         val ra = find(a)
@@ -308,7 +322,6 @@ object Dedup {
         // every final root IS the component's min id (the contract)
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      import spark.implicits._
       return parent.keys.toSeq.sorted
         .map(id => (id, find(id)))
         .toDF("id", "cluster_id")

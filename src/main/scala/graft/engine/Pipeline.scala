@@ -103,22 +103,29 @@ object Pipeline {
   /** Phase 2: attach payload bytes to an (already filtered/joined)
     * winners relation via the `phash = win_phash` equi-join. With the
     * input table laid out hash-distributed on `phash` (bucketing /
-    * Iceberg write-distribution — modeled in-sandbox by a
-    * phash-repartitioned cache), the byte side needs NO exchange: only
+    * Iceberg write-distribution), the byte side needs NO exchange: only
     * the 32-byte winner rows shuffle, and each image's bytes stream
-    * straight from the scan into the probe. */
-  def attachBytes(corpus: DataFrame, winners: DataFrame): DataFrame =
+    * straight from the scan into the probe.
+    *
+    * `shuffleHashWinners = true` forces a shuffled-hash join built on
+    * the winner rows — use it when the winners relation is too big to
+    * broadcast AND the corpus is phash-bucketed: Catalyst's pre-AQE
+    * size estimate for the winners aggregate is far above the
+    * local-hash-map bound, so it would otherwise plan a sort-merge
+    * join that SORTS the byte-carrying side (measured: an 8 GB
+    * spill-heavy sort at 800k images). Leave it false (default) for
+    * small/medium winner sets, where AQE's broadcast of the winners is
+    * strictly better — bytes then move zero times. */
+  def attachBytes(
+      corpus: DataFrame,
+      winners: DataFrame,
+      shuffleHashWinners: Boolean = false): DataFrame =
     corpus
       .select(
         col("phash"), col("bytes"), col("fmt"), col("caption"), col("image_id"))
-      // force a shuffled-hash join built on the 32-byte winner rows:
-      // Catalyst's pre-AQE size estimate for the winners aggregate is
-      // far above the local-hash-map bound, so it would otherwise plan a
-      // sort-merge join — which SORTS the byte-carrying side (measured:
-      // an 8 GB spill-heavy sort at 800k images). The winners hash map
-      // is img_count-bounded per partition; bytes stream through the
-      // probe unsorted.
-      .join(winners.hint("shuffle_hash"), col("phash") === col("win_phash"))
+      .join(
+        if (shuffleHashWinners) winners.hint("shuffle_hash") else winners,
+        col("phash") === col("win_phash"))
       .select(
         col("z"), col("x"), col("y"), lit(1).as("n"),
         col("bytes").as("data"),

@@ -175,9 +175,16 @@ object ArrayKernels {
 }
 
 /** `sorted_intersect_count(a, b)` — |a ∩ b| for value-sorted long arrays
-  * with distinct elements; codegen-capable. */
+  * with distinct elements; codegen-capable. Inputs are type-checked as
+  * ARRAY<BIGINT> at analysis (int-element arrays would stride-read
+  * garbage through ArrayData.getLong at runtime). */
 case class SortedIntersectCountExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(
+      org.apache.spark.sql.types.ArrayType(LongType),
+      org.apache.spark.sql.types.ArrayType(LongType))
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
 
   override protected def nullSafeEval(a: Any, b: Any): Any =

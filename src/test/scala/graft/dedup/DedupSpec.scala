@@ -81,6 +81,11 @@ class DedupSpec extends SparkTestBase {
     val outDist = Dedup.clusters(pairs, localEdgeLimit = 0L).collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
     assert(outDist == out)
+    // non-integral ids keep their type (no silent cast-to-null)
+    val spairs = Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("da", "db")
+    val sout = Dedup.clusters(spairs).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("cluster_id")).toMap
+    assert(sout == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
 
   test("text ops: token counts, langid, quality monotonic") {
