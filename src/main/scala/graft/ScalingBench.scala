@@ -93,9 +93,12 @@ object ScalingBench {
       // on one box. Runs at 10x the corpus row count (phash-only rows,
       // no payloads) so the engine's shuffles/aggregates/joins dominate
       // the measurement instead of fixed per-query driver costs.
+      // full 64-bit hashes: px/py derive from bit ranges 0-29 and
+      // 30-59 of phash, so a small-modulus hash would collapse py to a
+      // constant and degenerate the winners grouping
       val coordRows = corpusRows * 10
       def coordInput = spark.range(coordRows)
-        .select((xxhash64(col("id")) % 100000007L).as("phash"))
+        .select(xxhash64(col("id")).as("phash"))
       coordinateDF(coordInput).count() // warm-up
       var coordBest = Double.MaxValue
       for (_ <- 0 until iters) {

@@ -1,0 +1,18 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Dev: inspect the coordinate-pipeline count plan. */
+object CoordPlan {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Bench.mkSession(8)
+    val coordInput = spark.range(8000000L)
+      .select(xxhash64(col("id")).as("phash"))
+    val df = graft.ScalingBench.coordinateDF(coordInput)
+    df.groupBy().count().explain("formatted")
+    val t0 = System.nanoTime()
+    val n = df.count()
+    println(f"[coordplan] count=$n in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    spark.stop()
+  }
+}
