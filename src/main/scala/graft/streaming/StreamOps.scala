@@ -128,6 +128,73 @@ object StreamOps {
       }
   }
 
+  /** Bounded-retry queue processing with a dead-letter table — the
+    * reference's Redis pending-claim / max_retries / `_errors`-stream
+    * loop (store/redis.py:212-328) in resumable batch form. One call =
+    * one consumer pass:
+    *
+    *   - work items already in the sink (succeeded on a previous run)
+    *     or in the dead-letter table are excluded (anti-joins);
+    *   - `transform` runs the tile pipeline over the remainder; rows
+    *     with a null `error` column are appended to the sink;
+    *   - errored rows increment their attempt count in `retriesPath`;
+    *     on reaching `maxRetries` they move to `deadPath` with their
+    *     last error (the dead-letter record) and are never retried.
+    *
+    * All bookkeeping is coordinate-keyed parquet — order-independent
+    * and at-least-once across arbitrarily interleaved runs. Returns
+    * (tiles written this pass, items newly dead-lettered). */
+  def processWithDeadLetter(
+      messages: DataFrame,
+      sinkPath: String,
+      retriesPath: String,
+      deadPath: String,
+      maxRetries: Int = 5)(
+      transform: DataFrame => DataFrame): (Long, Long) = {
+    val spark = messages.sparkSession
+    val key = Seq("z", "x", "y")
+    def tableOr(path: String, empty: => DataFrame): DataFrame =
+      if (graft.engine.TileTable.exists(spark, path)) spark.read.parquet(path)
+      else empty
+    import spark.implicits._
+    val emptyRetries = Seq.empty[(Int, Long, Long, Int)].toDF("z", "x", "y", "attempts")
+
+    val work = graft.engine.Checkpoint
+      .resume(decodeQueueStream(messages), sinkPath)
+      .join(tableOr(deadPath, emptyRetries).select(key.map(col): _*), key, "left_anti")
+
+    val processed = transform(work).cache()
+    val (ok, errored) = Filters.collectErrors(processed)
+    val written = ok.count()
+    if (written > 0) graft.engine.TileTable.write(ok, sinkPath)
+
+    val prior = tableOr(retriesPath, emptyRetries).select("z", "x", "y", "attempts")
+    val failed = errored.select(col("z"), col("x"), col("y"), col("error")).cache()
+    val updated = failed
+      .join(prior, key, "left")
+      .select(
+        col("z"), col("x"), col("y"), col("error"),
+        (coalesce(col("attempts"), lit(0)) + 1).as("attempts"))
+      .cache()
+    val deadNew = updated.where(col("attempts") >= maxRetries)
+    val deadCount = deadNew.count()
+    if (deadCount > 0)
+      deadNew.write.mode("append").parquet(deadPath)
+    // retries table: prior rows not touched this pass + still-retryable
+    val nextRetries = prior.join(failed, key, "left_anti")
+      .unionByName(
+        updated.where(col("attempts") < maxRetries).drop("error"))
+      .cache()
+    nextRetries.count() // materialize before overwriting its own input
+    nextRetries.write.mode("overwrite").parquet(retriesPath + ".next")
+    spark.read.parquet(retriesPath + ".next").write.mode("overwrite").parquet(retriesPath)
+    processed.unpersist()
+    failed.unpersist()
+    updated.unpersist()
+    nextRetries.unpersist()
+    (written, deadCount)
+  }
+
   /** Run the tile work-queue consumer as a streaming query: decode ->
     * transform chain -> parquet tile sink with checkpoint dir (exactly
     * the resumable at-least-once model of the reference's queue

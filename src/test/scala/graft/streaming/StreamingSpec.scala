@@ -16,6 +16,38 @@ class StreamingSpec extends SparkTestBase {
 
   private def ts(minutes: Long): Timestamp = new Timestamp(t0 + minutes * 60000L)
 
+  test("dead-letter consumer: bounded retries, then quarantine, fully resumable") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dlq").toString
+    val (sink, retries, dead) = (s"$dir/sink", s"$dir/retries", s"$dir/dead")
+    // 6 work items; x == 1 rows fail on every attempt
+    val messages = (0L until 6L).toDF("i")
+      .select(graft.engine.Stores.encodeQueueMessage(
+        lit(3), col("i") % 2, col("i"), lit(1),
+        map(lit("caption"), concat(lit("c"), col("i")))).as("value"))
+      .cache()
+    def pipeline(work: org.apache.spark.sql.DataFrame) = work.select(
+      col("z"), col("x"), col("y"), lit(1).as("n"),
+      lit(Array[Byte](1, 2)).as("data"),
+      lit("image/png").as("content_type"),
+      lit(null).cast("string").as("content_encoding"),
+      when(col("x") === 1, "boom").otherwise(lit(null)).cast("string").as("error"),
+      col("metadata"))
+    def pass() = graft.streaming.StreamOps.processWithDeadLetter(
+      messages, sink, retries, dead, maxRetries = 2)(pipeline)
+
+    assert(pass() == ((3L, 0L))) // 3 succeed, 3 enter retry table at 1
+    assert(pass() == ((0L, 3L))) // retried once more -> attempts 2 -> dead
+    assert(pass() == ((0L, 0L))) // nothing left: done + dead excluded
+    assert(spark.read.parquet(sink).count() == 3)
+    val deadRows = spark.read.parquet(dead).collect()
+    assert(deadRows.length == 3 &&
+      deadRows.forall(r => r.getAs[String]("error") == "boom" &&
+        r.getAs[Int]("attempts") == 2))
+    assert(spark.read.parquet(retries).count() == 0)
+  }
+
   test("sessionizeStream closes gap-separated sessions and matches batch sessionize") {
     val s = spark
     import s.implicits._
