@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must pass through to stdout UNTAGGED: the bench
+// driver parses the one-line JSON that graft.Bench prints, and sbt's
+// default LoggedOutput strategy prefixes every child line with
+// "[info] "/"[error] ", which breaks line-oriented JSON parsing.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -56,12 +56,25 @@ object Bench {
       table: String = "graft_corpus"): org.apache.spark.sql.DataFrame = {
     // a fresh JVM has a fresh in-memory catalog: drop any stale
     // registration AND the on-disk location a previous JVM left behind
-    // (saveAsTable refuses to overwrite an unregistered location)
+    // (saveAsTable refuses to overwrite an unregistered location).
+    // Deleting is guarded: only a directory whose every entry is a
+    // Spark-table artifact (part files, _SUCCESS, crc, bucket temp) is
+    // removed — a user-configured warehouse dir holding an unrelated
+    // directory that happens to share the table name must survive.
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    if (fs.exists(loc)) {
+      val entries = fs.listStatus(loc).map(_.getPath.getName)
+      val sparkArtifact = (n: String) =>
+        n.startsWith("part-") || n.startsWith("_") || n.startsWith(".")
+      require(
+        entries.forall(sparkArtifact),
+        s"refusing to delete $loc: contains non-table entries " +
+          entries.filterNot(sparkArtifact).take(3).mkString(", "))
+      fs.delete(loc, true)
+    }
     Corpus.generate(spark, rows).toDF()
       .write
       .mode("overwrite")
@@ -133,8 +146,14 @@ object Bench {
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(
-      s"""{"metric":"tiles assigned + spatially joined per second","value":${f"$throughput%.1f"},"unit":"tiles/sec","flagship_secs":${f"$flagSecs%.3f"},"assigned_rows":$assignedRows,"out_tiles":$outTiles,"cpus":$cpus,"query_timing":"best_of_3_cold_cache","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"tiles assigned + spatially joined per second","value":${f"$throughput%.1f"},"unit":"tiles/sec","flagship_secs":${f"$flagSecs%.3f"},"assigned_rows":$assignedRows,"out_tiles":$outTiles,"cpus":$cpus,"query_timing":"best_of_3_cold_cache","queries":$qs,"sf":"$sfDir"}"""
+    // belt and braces for the driver's parser: the JSON line goes to
+    // stdout untagged (build.sbt StdOutOutput) AND to a dedicated file
+    println(json)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH/bench_latest.json"), json + "\n")
     spark.stop()
   }
 }

@@ -626,9 +626,11 @@ object GraftQueries {
         |         [CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) for s in sl] AS hl
         |       FROM sh),
         |sig AS (SELECT doc_id AS id, ${minhashSigSql(16)} FROM hs),
-        |bands AS (
+        |bands0 AS (
         |${(0 until 4).map(b => s"  SELECT id, $b AS band, ${bandKey(b)} AS key FROM sig").mkString("\n  UNION ALL\n")}
-        |)
+        |),
+        |kept AS (SELECT band, key FROM bands0 GROUP BY band, key HAVING count(*) <= 1000),
+        |bands AS (SELECT bands0.* FROM bands0 JOIN kept USING (band, key))
         |SELECT DISTINCT a.id AS da, b.id AS db
         |FROM bands a JOIN bands b
         |  ON a.band = b.band AND a.key = b.key AND a.id < b.id""".stripMargin
@@ -665,9 +667,11 @@ object GraftQueries {
         graft.ann.Ann.nearDupPairs(
           table(s, dir, "embeddings"), "vec_id", "embedding"),
       Some(s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
-        |b AS (SELECT id, e,
+        |b0 AS (SELECT id, e,
         |       $lshBucketSql AS bucket
-        |      FROM v)
+        |      FROM v),
+        |keptb AS (SELECT bucket FROM b0 GROUP BY bucket HAVING count(*) <= 1000),
+        |b AS (SELECT b0.* FROM b0 JOIN keptb USING (bucket))
         |SELECT a.id AS ida, b2.id AS idb, ${cosE6("a.e", "b2.e")} AS sim_e6
         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
         |WHERE ${cosE6("a.e", "b2.e")} >= 400000""".stripMargin)),
@@ -714,9 +718,11 @@ object GraftQueries {
         |         [CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) for s in sl] AS hl
         |       FROM sh),
         |sig AS (SELECT doc_id AS id, ${minhashSigSql(16)} FROM hs),
-        |bands AS (
+        |bands0 AS (
         |${(0 until 4).map(b => s"  SELECT id, $b AS band, ${bandKey(b)} AS key FROM sig").mkString("\n  UNION ALL\n")}
         |),
+        |kept AS (SELECT band, key FROM bands0 GROUP BY band, key HAVING count(*) <= 1000),
+        |bands AS (SELECT bands0.* FROM bands0 JOIN kept USING (band, key)),
         |pairs AS (
         |  SELECT DISTINCT a.id AS da, b.id AS db
         |  FROM bands a JOIN bands b

@@ -68,28 +68,54 @@ object Ann {
     }.reduce(_ + _)
 
   /** LSH-bucketed near-duplicate pairs: same-bucket candidates verified
-    * by exact cosine >= minCosineE6. Shuffles on the bucket id only. */
+    * by exact cosine >= minCosineE6. Shuffles on the bucket id only.
+    *
+    * Scale guards (both part of the operator contract, mirrored in the
+    * SQL oracle): (1) `maxBucketSize` drops buckets whose membership
+    * exceeds the cap before the self-join — with fixed planes a hot
+    * bucket is quadratic in its size, the same failure mode as an
+    * uncapped LSH band; (2) the plane count should GROW with corpus
+    * size (buckets ~ n / 2^planes; pick nPlanes ~ log2(n) - log2(target
+    * bucket size)), which `planesForCount` computes. */
   def nearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       nPlanes: Int = 8,
       minCosineE6: Long = 400000L,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64,
+      maxBucketSize: Long = 1000L): DataFrame = {
     val pls = planes(dim, nPlanes)
     val bucketed = df.select(
       col(idCol).as("id"),
       col(vecCol).as("v"),
       lshBucket(col(vecCol), pls).as("bucket"))
-    bucketed.as("a")
+    val capped =
+      if (maxBucketSize <= 0) bucketed
+      else {
+        val kept = bucketed.groupBy("bucket")
+          .agg(count(lit(1)).as("bucket_size"))
+          .where(col("bucket_size") <= maxBucketSize)
+          .select("bucket")
+        bucketed.join(kept, Seq("bucket"))
+      }
+    capped.as("a")
       .join(
-        bucketed.as("b"),
+        capped.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(
         col("a.id").as("ida"), col("b.id").as("idb"),
         cosineE6(col("a.v"), col("b.v")).as("sim_e6"))
       .where(col("sim_e6") >= minCosineE6)
   }
+
+  /** Plane count sized to the corpus: ~log2(n / targetBucket) sign bits
+    * put the EXPECTED bucket size near `targetBucket`, so the self-join
+    * stays linear as n grows (8 fixed planes = 256 buckets is only
+    * right around n ~ 10^5; at 10^9 vectors it would be ~4M/bucket). */
+  def planesForCount(n: Long, targetBucket: Long = 1000L): Int =
+    math.max(1, math.ceil(
+      math.log(math.max(n.toDouble / targetBucket, 2.0)) / math.log(2.0)).toInt)
 
   /** IVF-style coarse quantization: assign each vector to its nearest
     * of `centroids`; search probes only matching lists. Centroids are

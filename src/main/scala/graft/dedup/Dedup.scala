@@ -58,11 +58,40 @@ object Dedup {
   /** Spread a (possibly single-file, single-partition) input across the
     * session's parallelism before compute-dense per-row work — small
     * dimension tables otherwise serialize md5/shingle work onto one
-    * task. */
+    * task. The decision reads the optimizer's size estimate (no RDD
+    * conversion, no plan execution): inputs big enough to already split
+    * into >= target scan partitions pass through untouched, so a 100 TB
+    * corpus never pays a gratuitous repartition shuffle here. */
   private def parallelize(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "32").toInt
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val conf = df.sparkSession.sessionState.conf
+    val target = conf.numShufflePartitions
+    val bytesPerPart = math.max(conf.filesMaxPartitionBytes, 1L)
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estParts = (estBytes / bytesPerPart).min(Int.MaxValue).toLong
+    if (estParts >= target) df else df.repartition(target)
+  }
+
+  /** Per-(band, key) bucket sizes of an LSH banding — the skew profile
+    * of the candidate join. Buckets above `maxBucketSize` are the ones
+    * [[minhashCandidates]] drops; query this to see what a cap costs
+    * (no silent truncation: the drop is observable). */
+  def bandBucketSizes(exploded: DataFrame): DataFrame =
+    exploded.groupBy("band", "key").agg(count(lit(1)).as("bucket_size"))
+
+  /** Filter an exploded (id, band, key) banding down to buckets of at
+    * most `maxBucketSize` members. A bucket with f members contributes
+    * f*(f-1)/2 candidate pairs — unbounded hot buckets (empty docs,
+    * boilerplate, near-constant signatures) turn the self-join
+    * quadratic at corpus scale; capping them keeps candidate counts
+    * linear while exact/cheaper paths (exact dedup) still catch the
+    * identical-content case. The cap is part of the operator contract,
+    * mirrored in the SQL oracles. */
+  private def capBuckets(exploded: DataFrame, maxBucketSize: Long): DataFrame = {
+    if (maxBucketSize <= 0) return exploded
+    val kept = bandBucketSizes(exploded)
+      .where(col("bucket_size") <= maxBucketSize)
+      .select("band", "key")
+    exploded.join(kept, Seq("band", "key"))
   }
 
   /** Distinct (id, shingle) pairs. */
@@ -218,11 +247,16 @@ object Dedup {
 
   /** LSH banding: split the signature into `bands` bands of
     * `k / bands` rows; docs sharing any full band become candidates.
-    * Only (band_idx, band_key) shuffles. */
+    * Only (band_idx, band_key) shuffles. Buckets larger than
+    * `maxBucketSize` are dropped before the self-join (see
+    * [[bandBucketSizes]] for observing what a cap drops) — without the
+    * cap a single degenerate band key with f members yields f^2/2
+    * pairs, the classic LSH production fire at corpus scale. */
   def minhashCandidates(
       sigs: DataFrame,
       k: Int = 16,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      maxBucketSize: Long = 1000L): DataFrame = {
     val rows = k / bands
     val bandCols = (0 until bands).map { b =>
       struct(
@@ -232,9 +266,11 @@ object Dedup {
     }
     // cache: the self-join below reads the banded set twice; without it
     // the whole shingle->minhash pipeline re-executes per join side
-    val exploded = sigs
-      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val exploded = capBuckets(
+      sigs
+        .select(col("id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key")),
+      maxBucketSize)
       .cache()
     exploded.as("a")
       .join(
@@ -386,15 +422,24 @@ object Dedup {
 
   /** SimHash near-dup pairs: block on 15-bit bands (a pair within
     * hamming distance 3 shares at least one of 4 bands), verify by
-    * hamming distance. */
-  def simhashPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val banded = sigs.select(
-      col("id"), col("simhash"),
-      explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 15).bitwiseAND(0x7fffL).as("key"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    * hamming distance. Band buckets larger than `maxBucketSize` are
+    * dropped before the self-join (same quadratic-hot-bucket guard as
+    * [[minhashCandidates]]; cap mirrored in the SQL oracle). */
+  def simhashPairs(
+      sigs: DataFrame,
+      maxHamming: Int = 3,
+      maxBucketSize: Long = 1000L): DataFrame = {
+    val banded = capBuckets(
+      sigs.select(
+        col("id"), col("simhash"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * 15).bitwiseAND(0x7fffL).as("key"))
+        }: _*)).as("bk"))
+        .select(
+          col("id"), col("simhash"),
+          col("bk.band").as("band"), col("bk.key").as("key")),
+      maxBucketSize)
     banded.as("a")
       .join(
         banded.as("b"),

@@ -217,12 +217,18 @@ object Pipeline {
       maxPerTile: Long,
       maxZ: Int,
       grid: QuadTileGrid = TileGrids.Google): DataFrame = {
-    val spark = corpus.sparkSession
-    // counts at the deepest level
+    // The BFS is EAGER per level: each rollup and the accumulated leaf
+    // set are materialized (cache + count), and every superseded cached
+    // level is unpersisted before the next iteration — a lazy
+    // formulation would pin O(maxZ) cached count relations until the
+    // caller's action completes (the round-1 leak). Only the final
+    // (small) leaf relation and the 1-row root level stay cached; they
+    // back the returned DataFrame.
     var counts = assign(corpus, Seq(maxZ), grid)
       .groupBy("z", "x", "y")
       .agg(count(lit(1)).as("cnt"))
       .cache()
+    counts.count()
     var leaves: DataFrame = null
     var z = maxZ
     while (z > 0) {
@@ -235,6 +241,7 @@ object Pipeline {
         .groupBy("z", "x", "y")
         .agg(sum("cnt").as("cnt"))
         .cache()
+      up.count()
       // a tile at level z is a leaf if its parent (at z-1) subdivides
       // (parent cnt > maxPerTile) but it does not (cnt <= maxPerTile or
       // z == maxZ)
@@ -249,7 +256,12 @@ object Pipeline {
             intDiv(col("x"), lit(2L)) === col("px") &&
             intDiv(col("y"), lit(2L)) === col("py"),
           "left_semi")
-      leaves = if (leaves == null) lvlLeaves else leaves.unionAll(lvlLeaves)
+      val acc =
+        (if (leaves == null) lvlLeaves else leaves.unionAll(lvlLeaves)).cache()
+      acc.count()
+      if (leaves != null) leaves.unpersist()
+      counts.unpersist() // superseded by `up`; leaf rows now live in `acc`
+      leaves = acc
       counts = up
       z -= 1
     }

@@ -164,6 +164,13 @@ object ArrayKernels {
     var j = 0
     var c = 0
     while (i < na && j < nb) {
+      // a null slot would read as 0 through getLong and silently skew
+      // the count — fail loudly instead (one predictable branch per
+      // step; the merge walk stays allocation-free)
+      if (a.isNullAt(i) || b.isNullAt(j))
+        throw new IllegalArgumentException(
+          "sorted_intersect_count: null array element (arrays must be " +
+            "ascending-sorted, distinct, non-null)")
       val va = a.getLong(i)
       val vb = b.getLong(j)
       if (va == vb) { c += 1; i += 1; j += 1 }
@@ -175,9 +182,14 @@ object ArrayKernels {
 }
 
 /** `sorted_intersect_count(a, b)` — |a ∩ b| for value-sorted long arrays
-  * with distinct elements; codegen-capable. Inputs are type-checked as
-  * ARRAY<BIGINT> at analysis (int-element arrays would stride-read
-  * garbage through ArrayData.getLong at runtime). */
+  * with DISTINCT, NON-NULL elements; codegen-capable. Inputs are
+  * type-checked as ARRAY<BIGINT> at analysis (int-element arrays would
+  * stride-read garbage through ArrayData.getLong); a null slot throws
+  * at runtime instead of silently reading as 0. PRECONDITION
+  * (documented contract, not checked per row): both arrays
+  * ascending-sorted with distinct elements — e.g.
+  * `sort_array(collect_set(...))`; unsorted or duplicate inputs return
+  * counts that differ from `array_intersect` semantics. */
 case class SortedIntersectCountExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
     with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {

@@ -180,8 +180,14 @@ object StreamOps {
     val deadCount = deadNew.count()
     if (deadCount > 0)
       deadNew.write.mode("append").parquet(deadPath)
-    // retries table: prior rows not touched this pass + still-retryable
-    val nextRetries = prior.join(failed, key, "left_anti")
+    // retries table: prior rows neither failed NOR succeeded this pass
+    // + still-retryable failures. The success anti-join prunes items
+    // that failed on an earlier run but went through now — without it
+    // their stale attempt counts accumulate forever (and a sink reset
+    // would resume them with inflated attempts).
+    val nextRetries = prior
+      .join(failed, key, "left_anti")
+      .join(ok.select(key.map(col): _*), key, "left_anti")
       .unionByName(
         updated.where(col("attempts") < maxRetries).drop("error"))
       .cache()

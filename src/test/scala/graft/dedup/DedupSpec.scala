@@ -69,6 +69,37 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("lsh hot-bucket caps keep candidate counts linear under pathological skew") {
+    val s = spark
+    import s.implicits._
+    // 1000 identical docs: every band key collapses to ONE bucket of
+    // 1000 members -> 499,500 candidate pairs uncapped (the quadratic
+    // hot-bucket blowup). With a bucket cap the degenerate buckets drop
+    // and the candidate count stays 0 — identical content is exact
+    // dedup's job, not LSH's.
+    val clones = (1 to 1000).map(i =>
+      (i.toLong, "the same boilerplate text repeated in every document"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(clones, "doc_id", "text").cache()
+    assert(Dedup.minhashCandidates(sigs, maxBucketSize = 100).count() == 0L)
+    val cands500 = Dedup.minhashCandidates(sigs, maxBucketSize = 1000).count()
+    assert(cands500 == 499500L, "cap above the bucket size keeps all pairs")
+    sigs.unpersist()
+
+    val sh = Dedup.simhash(clones, "doc_id", "text")
+    assert(Dedup.simhashPairs(sh, maxBucketSize = 100).count() == 0L)
+
+    val dupVecs = (1 to 200).map(i => (i.toLong, Array.fill(64)(0.25f)))
+      .toDF("vec_id", "embedding")
+    assert(Ann.nearDupPairs(dupVecs, "vec_id", "embedding", maxBucketSize = 100)
+      .count() == 0L)
+    assert(Ann.nearDupPairs(dupVecs, "vec_id", "embedding", maxBucketSize = 1000)
+      .count() == 199L * 200L / 2L)
+    // plane count scales with corpus size (fixed 8 planes only fits ~10^5)
+    assert(Ann.planesForCount(1000000000L, 1000L) >= 20)
+    assert(Ann.planesForCount(100000L, 1000L) <= 8)
+  }
+
   test("cluster labeling: components get min-id labels") {
     val s = spark
     import s.implicits._
