@@ -55,6 +55,23 @@ object GraftQueries {
 
   private val FlagshipSpec = "4/8/5:+3/+1/+1"
 
+  /** Render the covering-metatile enumeration (span n) as literal DuckDB
+    * SQL — the same aligned-origin arithmetic as
+    * TileFunctions.enumerateMetatiles, computed driver-side. */
+  private def metaEnumSql(bp: BoundingPyramid, n: Int): String =
+    bp.bounds.toSeq
+      .map { case (z, (xb, yb)) =>
+        val mx0 = n * (xb.start / n)
+        val my0 = n * (yb.start / n)
+        val xCount = (xb.stop - mx0 + n - 1) / n
+        val yCount = (yb.stop - my0 + n - 1) / n
+        s"""SELECT CAST($z AS INT) AS z, $mx0 + gx.i * $n AS x,
+           |       $my0 + gy.j * $n AS y, CAST($n AS INT) AS n
+           |FROM generate_series(0, ${xCount - 1}) gx(i)
+           |CROSS JOIN generate_series(0, ${yCount - 1}) gy(j)""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+
   // ---- generated SQL fragments for the dedup/ANN oracles ---- //
 
   /** Word + shingle CTEs (n=2 word shingles over documents). */
@@ -576,6 +593,14 @@ object GraftQueries {
         |       ELSE 'und' END AS lang_guess
         |FROM m""".stripMargin)),
 
+    // Covering meta-tile enumeration (span 2, aligned origins) — the
+    // generator relation behind meta-tile seeding
+    // (reference __init__.py:253-267 BoundingPyramid.metatilecoords).
+    ("q23_metatile_enum",
+      (s: SparkSession, dir: String) =>
+        enumerateMetatiles(s, BoundingPyramid.fromString(FlagshipSpec), 2),
+      Some(metaEnumSql(BoundingPyramid.fromString(FlagshipSpec), 2))),
+
     // n-gram Jaccard near-dup pairs (2-word shingles, tau = 0.5).
     ("q24_jaccard_pairs",
       (s: SparkSession, dir: String) =>
@@ -863,15 +888,120 @@ object GraftQueries {
         |  FROM pts)
         |SELECT z, tx, ty, count(*) AS cnt FROM a GROUP BY 1, 2, 3""".stripMargin)),
 
-    // Data-dependent quadtree subdivision over the generated corpus
-    // (no SQL oracle; invariants covered by PipelineSpec).
+    // Data-dependent quadtree subdivision (reference
+    // store/renderingtheworld.py:8-46) over an md5-derived phash corpus
+    // from lineitem keys, so the BFS rollup + leaf rule has a full
+    // DuckDB oracle (static per-level CTE ladder, maxZ = 6).
     ("q31_rendering_world",
       (s: SparkSession, dir: String) =>
         graft.engine.Pipeline.renderingTheWorld(
-          graft.engine.Corpus.generate(s, 2000).toDF(),
+          table(s, dir, "lineitem").select(
+            conv(
+              substring(
+                md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"))
+                  .cast("binary")),
+                1, 15),
+              16, 10).cast("long").as("phash")),
           maxPerTile = 50,
           maxZ = 6),
-      None)
+      Some {
+        val e = 20037508.34
+        val rollups = (5 to 0 by -1).map { z =>
+          s"c$z AS (SELECT CAST($z AS INT) AS z, x // 2 AS x, y // 2 AS y, CAST(sum(cnt) AS BIGINT) AS cnt FROM c${z + 1} GROUP BY 1, 2, 3)"
+        }.mkString(",\n")
+        val leafLevels = (6 to 1 by -1).map { z =>
+          val cond = if (z == 6) "" else s" WHERE c.cnt <= 50"
+          s"""SELECT c.z, c.x, c.y, c.cnt FROM c$z c
+             |JOIN c${z - 1} p ON p.x = c.x // 2 AND p.y = c.y // 2 AND p.cnt > 50$cond""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH pts AS (
+        |  SELECT CAST(('0x' || substr(md5(l_orderkey || '-' || l_linenumber), 1, 15)) AS BIGINT) AS phash
+        |  FROM lineitem),
+        |xy AS (
+        |  SELECT (-$e + ($e - (-$e)) * ((phash & 1073741823) / 1073741824.0)) AS px,
+        |         (-$e + ($e - (-$e)) * (((phash >> 30) & 1073741823) / 1073741824.0)) AS py
+        |  FROM pts),
+        |c6 AS (
+        |  SELECT CAST(6 AS INT) AS z, tx AS x, (1::BIGINT << 6) - ty0 - 1 AS y, count(*) AS cnt
+        |  FROM (SELECT
+        |    CAST(trunc(((px - (-$e)) * (1::BIGINT << 6)) / ($e - (-$e))) AS BIGINT) AS tx,
+        |    CAST(trunc(((py - (-$e)) * (1::BIGINT << 6)) / ($e - (-$e))) AS BIGINT) AS ty0
+        |    FROM xy)
+        |  GROUP BY 1, 2, 3),
+        |$rollups
+        |$leafLevels
+        |UNION ALL
+        |SELECT z, x, y, cnt FROM c0 WHERE cnt <= 50""".stripMargin
+      }),
+
+    // Mask bitmap round-trip (reference store/mask.py:17-73): presence
+    // set at one zoom -> per-row bitset -> back to coords; the oracle
+    // pins exact set equality within the window.
+    ("q40_mask_roundtrip",
+      (s: SparkSession, dir: String) => {
+        val tiles = coords(s, dir).select("z", "x", "y").distinct()
+        graft.engine.Stores.fromMask(
+          graft.engine.Stores.toMask(tiles, 7, 0L, 128), 7, 0L)
+      },
+      Some(s"""WITH $CoordsCte
+        |SELECT DISTINCT CAST(7 AS INT) AS z, x, y
+        |FROM coords WHERE z = 7 AND x >= 0 AND x < 128""".stripMargin)),
+
+    // SimHash banded near-dup pairs (15-bit bands, hamming <= 3,
+    // hot buckets capped at 1000 — the cap is part of the contract).
+    ("q41_simhash_pairs",
+      (s: SparkSession, dir: String) =>
+        graft.dedup.Dedup.simhashPairs(
+          graft.dedup.Dedup.simhash(table(s, dir, "documents"), "doc_id", "text"),
+          maxHamming = 3,
+          maxBucketSize = 1000L),
+      Some(s"""WITH wx AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |  FROM documents),
+        |hx AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM wx),
+        |sig AS (SELECT doc_id AS id,
+        |        $simhashTermsSql AS simhash
+        |        FROM hx GROUP BY doc_id),
+        |bands0 AS (
+        |  SELECT id, simhash, b.band, (simhash >> (b.band * 15)) & 32767 AS key
+        |  FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) b(band)),
+        |kept AS (SELECT band, key FROM bands0 GROUP BY band, key HAVING count(*) <= 1000),
+        |bands AS (SELECT bands0.* FROM bands0 JOIN kept USING (band, key)),
+        |p AS (
+        |  SELECT DISTINCT a.id AS da, b.id AS db,
+        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS dist
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+        |SELECT da, db, dist FROM p WHERE dist <= 3""".stripMargin)),
+
+    // REAL audio metadata over synthesized WAVs (javax.sound.sampled
+    // header parse — no external codec): the oracle pins the exact
+    // duration/rate/channels each deterministic WAV was written with.
+    ("q43_audio_meta",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val media = s.range(200)
+          .map(i => (f"aud$i%06d", graft.multimodal.Multimodal.synthWav(100L + (i % 10) * 50L)))
+          .toDF("media_id", "bytes")
+        graft.multimodal.Multimodal.audioMeta(media)
+          .select("media_id", "duration_ms", "sample_rate", "channels")
+      },
+      Some("""SELECT printf('aud%06d', g.i) AS media_id,
+        |  CAST(100 + (g.i % 10) * 50 AS BIGINT) AS duration_ms,
+        |  CAST(16000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels
+        |FROM generate_series(0, 199) g(i)""".stripMargin)),
+
+    // Drop-exact-duplicates as a row filter (keep min doc_id per
+    // content hash) — the keep-side complement of q20.
+    ("q42_drop_exact_dups",
+      (s: SparkSession, dir: String) =>
+        graft.dedup.Dedup.dropExactDuplicates(
+          table(s, dir, "documents"), "doc_id", "text")
+          .select("doc_id", "n_chars"),
+      Some("""SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

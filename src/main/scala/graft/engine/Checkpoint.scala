@@ -37,7 +37,13 @@ object Checkpoint {
   /** Instrument a tile DataFrame: counts rows/errors per task partition
     * into an accumulator; `flush` writes one metrics row per partition
     * after the action. Data flows through unchanged (reference
-    * filter/benchmark.py:13-79 Statistics, made partition-granular). */
+    * filter/benchmark.py:13-79 Statistics, made partition-granular).
+    *
+    * CONTRACT: a partition's metric row is emitted when its iterator is
+    * drained. An operator that abandons the iterator early (`limit`,
+    * take) therefore reports no metric for the truncated partitions —
+    * instrument the full relation ahead of any limit, or treat missing
+    * partitions as "not fully processed" (which they are). */
   def instrument(
       df: DataFrame,
       jobId: String,
@@ -87,6 +93,30 @@ object Checkpoint {
 
   def readMetrics(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(metricsSchema).parquet(path)
+
+  /** Per-stage statistics rollup over a metrics table — the reference's
+    * `Benchmark`/`Statistics` report (filter/benchmark.py:13-79,
+    * scripts/tc_copy.py:109-121) as one aggregation: partition count,
+    * row/error sums, mean/stddev/min/max task seconds, and two
+    * throughput readings — `tiles_per_cpu_sec` (rows / summed task
+    * seconds, the per-core rate) and `tiles_per_sec_wall` (rows / max
+    * task seconds, the ideal-parallel wall-clock estimate). */
+  def report(metrics: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    metrics
+      .groupBy("job_id", "stage")
+      .agg(
+        count(lit(1)).as("partitions"),
+        sum("rows").as("rows"),
+        sum("errors").as("errors"),
+        (sum("nanos") / 1e9).as("total_secs"),
+        (avg("nanos") / 1e9).as("mean_secs"),
+        (coalesce(stddev_samp(col("nanos")), lit(0.0)) / 1e9).as("stddev_secs"),
+        (min("nanos") / 1e9).as("min_secs"),
+        (max("nanos") / 1e9).as("max_secs"))
+      .withColumn("tiles_per_cpu_sec", col("rows") / col("total_secs"))
+      .withColumn("tiles_per_sec_wall", col("rows") / col("max_secs"))
+  }
 
   /** Cross-run resume: drop coords already present in the sink
     * (reference tc_copy.py:70-71, examples/download.py:26). */

@@ -167,18 +167,70 @@ object Stores {
 
   /** SearchUpTileStore (reference store/searchup.py:4-33): walk the
     * parent chain until a store hit; returns the requested coord with
-    * the nearest ancestor's payload. */
-  def searchUp(coords: DataFrame, store: DataFrame, maxZ: Int): DataFrame = {
-    val withAncestors = coords
-      .withColumn("d", explode(sequence(lit(0), least(col("z"), lit(maxZ)))))
-      .withColumn("az", (col("z") - col("d")).cast("int"))
-      .withColumn("ax", TileFunctions.shiftR(col("x"), col("d")))
-      .withColumn("ay", TileFunctions.shiftR(col("y"), col("d")))
-    val hits = withAncestors.join(
-      store.select(
-        col("z").as("az"), col("x").as("ax"), col("y").as("ay"),
-        col("data").as("anc_data")),
-      Seq("az", "ax", "ay"))
+    * the nearest ancestor's payload. Quad-grid form: the ancestor at
+    * distance d is a shiftR, no grid table needed. */
+  def searchUp(coords: DataFrame, store: DataFrame, maxZ: Int): DataFrame =
+    nearestAncestorHit(
+      coords.withColumn(
+        "__anc",
+        explode(transform(
+          sequence(lit(0), least(col("z"), lit(maxZ))),
+          d => struct(
+            d.as("d"),
+            (col("z") - d).cast("int").as("az"),
+            TileFunctions.shiftR(col("x"), d).as("ax"),
+            TileFunctions.shiftR(col("y"), d).as("ay"))))),
+      store)
+
+  /** SearchUp over an arbitrary grid (reference store/searchup.py walks
+    * `grid.parent` — any z hierarchy, not just quad): the per-z ancestor
+    * chain (which shallower z, and the cumulative integer coordinate
+    * divisor) is computed driver-side from the grid's parent relation
+    * and broadcast; coordinates never enumerate the chain per row. */
+  def searchUp(
+      coords: DataFrame,
+      store: DataFrame,
+      grid: graft.core.FreeTileGrid): DataFrame = {
+    val spark = coords.sparkSession
+    import spark.implicits._
+    val chains = grid.resolutions.indices.flatMap { z =>
+      // walk parent zs, accumulating the coordinate divisor (integer by
+      // the grid's divisibility contract: res(parent) % res(child) == 0)
+      val steps = Iterator.iterate(Option((z, 1L))) {
+        case Some((cz, f)) =>
+          grid.parentZs(cz).map(pz =>
+            (pz, f * math.round(grid.resolutions(pz) / grid.resolutions(cz))))
+        case None => None
+      }.takeWhile(_.isDefined).flatten.toSeq
+      steps.zipWithIndex.map { case ((az, f), d) => (z, d, az, f) }
+    }
+    val anc = broadcast(chains.toDF("z", "d", "az", "factor"))
+    nearestAncestorHit(
+      coords
+        .join(anc, "z")
+        .withColumn(
+          "__anc",
+          struct(
+            col("d"), col("az"),
+            TileFunctions.intDiv(col("x"), col("factor")).as("ax"),
+            TileFunctions.intDiv(col("y"), col("factor")).as("ay")))
+        .drop("d", "az", "factor"),
+      store)
+  }
+
+  /** Shared tail of the searchUp variants: join exploded ancestor
+    * candidates against the store, keep the nearest (min d) hit. */
+  private def nearestAncestorHit(withAncestors: DataFrame, store: DataFrame): DataFrame = {
+    val hits = withAncestors
+      .select(
+        col("z"), col("x"), col("y"),
+        col("__anc.d").as("d"), col("__anc.az").as("az"),
+        col("__anc.ax").as("ax"), col("__anc.ay").as("ay"))
+      .join(
+        store.select(
+          col("z").cast("int").as("az"), col("x").as("ax"), col("y").as("ay"),
+          col("data").as("anc_data")),
+        Seq("az", "ax", "ay"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("z", "x", "y").orderBy("d")
     hits

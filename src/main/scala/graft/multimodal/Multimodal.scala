@@ -78,25 +78,63 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
-  /** STUB audio feature extraction — no audio codec in this container.
-    * Deterministic fake: interprets bytes[0..7] as big-endian sample
-    * count at 16 kHz. The batch/partition plumbing is the real
-    * contract. */
-  def audioDurationStub(media: DataFrame): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("media_id", StringType),
-      StructField("duration_ms", LongType)))
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("media_id", StringType),
+    StructField("duration_ms", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("encoding", StringType),
+    StructField("error", StringType)))
+
+  /** REAL audio metadata extraction: WAV/AIFF/AU header parsing via
+    * `javax.sound.sampled.AudioSystem` (pure JDK, no external codec) —
+    * duration from frame count / frame rate, plus rate/channels/
+    * encoding. Same partition-batch + error-column shape as
+    * [[imageMeta]]; unparseable bytes land in `error`, never throw. */
+  def audioMeta(media: DataFrame): DataFrame = {
     val idIdx = media.schema.fieldIndex("media_id")
     val bIdx = media.schema.fieldIndex("bytes")
     media.mapPartitions { it =>
       it.map { r =>
+        val id = r.getString(idIdx)
         val bytes = r.getAs[Array[Byte]](bIdx)
-        val samples =
-          if (bytes == null || bytes.length < 8) 0L
-          else java.nio.ByteBuffer.wrap(bytes, 0, 8).getLong.abs
-        Row(r.getString(idIdx), samples % 3600000L * 1000L / 16000L)
+        try {
+          val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = aff.getFormat
+          val frames = aff.getFrameLength.toLong
+          val durMs =
+            if (frames >= 0 && fmt.getFrameRate > 0)
+              (frames * 1000.0 / fmt.getFrameRate).toLong
+            else -1L
+          Row(id, durMs, fmt.getSampleRate.toInt, fmt.getChannels,
+            fmt.getEncoding.toString, null)
+        } catch {
+          case e: Exception => Row(id, null, null, null, null, e.toString)
+        }
       }
-    }(Encoders.row(schema))
+    }(Encoders.row(audioMetaSchema))
+  }
+
+  /** Deterministic mono 16-bit PCM WAV of `durationMs` at `sampleRate`
+    * (a pure-JDK synthesizer for tests/benchmarks — sine of `freqHz`). */
+  def synthWav(durationMs: Long, sampleRate: Int = 16000, freqHz: Double = 440.0): Array[Byte] = {
+    val frames = (sampleRate.toLong * durationMs / 1000L).toInt
+    val pcm = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val v = (math.sin(2 * math.Pi * freqHz * i / sampleRate) * 12000).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
   }
 
   /** STUB video frame sampling — emits every k-th "frame" as a

@@ -53,6 +53,11 @@ object TileFunctions {
     colOf(CellIdExpr(
       exprOf(z.cast("int")), exprOf(x.cast("long")), exprOf(y.cast("long"))))
 
+  /** De-interleaved x / y of a Z-order cell id (inverse of [[cellId]];
+    * the parent cell is simply `shiftright(cell, 2)`). */
+  def cellX(cell: Column): Column = colOf(CellXExpr(exprOf(cell.cast("long"))))
+  def cellY(cell: Column): Column = colOf(CellYExpr(exprOf(cell.cast("long"))))
+
   /** Meta-tile snap: `(z, n*(x/n), n*(y/n))`
     * (reference __init__.py:470-471). Returns (mx, my) columns. */
   def metatileX(x: Column, n: Int): Column = x - pmod(x, lit(n.toLong))
@@ -229,18 +234,28 @@ object TileFunctions {
     floor(ty)
   }
 
-  /** WMS GetMap URL as pure column concat (reference layout/wms.py:7-53;
-    * the no-metadata form — matches core.WMSTileLayout.filename exactly,
-    * cross-checked by TileFunctionsSpec): the static query params are
-    * URL-encoded driver-side once, only the BBOX varies per row, built
-    * with `format_string("%f")` — the same java.util.Formatter the core
-    * layout uses. One-way, like the reference. */
+  /** WMS GetMap URL as pure column concat (reference layout/wms.py:7-53
+    * — matches core.WMSTileLayout.filename exactly, cross-checked by
+    * TileFunctionsSpec): the static query params are URL-encoded
+    * driver-side once; only the BBOX (and any per-row dimension values)
+    * vary per row. BBOX is built with `format_string("%f")` — the same
+    * java.util.Formatter the core layout uses. One-way, like the
+    * reference.
+    *
+    * `dimensionNames` + `metadata` mirror the core's `dimension_*`
+    * metadata handling: each named dimension reads its per-row value
+    * from `metadata['dimension_<name>']` and is URL-encoded in place.
+    * Names that collide with base params are rejected (the core would
+    * override in place; a column plan fixes parameter order at build
+    * time, so overriding is not expressible — and never used). */
   def wmsUrl(
       layout: graft.core.WMSTileLayout,
       z: Column,
       x: Column,
       y: Column,
-      n: Int = 1): Column = {
+      n: Int = 1,
+      dimensionNames: Seq[String] = Nil,
+      metadata: Column = lit(null)): Column = {
     val grid = layout.grid match {
       case g: QuadTileGrid => g
       case g =>
@@ -248,18 +263,76 @@ object TileFunctions {
           s"wmsUrl column form supports quad grids, got $g")
     }
     val enc = (s: String) => java.net.URLEncoder.encode(s, "UTF-8")
+    val baseKeys = layout.baseParams.map(_._1).toSet
+    require(
+      dimensionNames.forall(d => !baseKeys.contains(d)),
+      s"dimension names colliding with base params: " +
+        dimensionNames.filter(baseKeys.contains).mkString(","))
     val prefix = layout.url + "?" +
-      layout.baseParams.map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&") +
-      "&BBOX="
+      layout.baseParams.map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
+    // per-row dimension params, in name order after the base params —
+    // the same position the core's LinkedHashMap append produces
+    val dimCols: Seq[Column] = dimensionNames.flatMap { d =>
+      Seq(
+        lit(s"&${enc(d)}="),
+        url_encode(element_at(metadata, s"dimension_$d")))
+    }
     val size = (n * grid.tileSize + 2 * layout.border).toInt
     val suffix = s"&WIDTH=$size&HEIGHT=$size"
     val Seq(minx, miny, maxx, maxy) =
       tileExtent(z, x, y, lit(n.toLong), layout.border.toDouble, grid)
     concat(
-      lit(prefix),
-      // the comma is URL-encoded to %2C, as URLEncoder does in the core
-      format_string("%f%%2C%f%%2C%f%%2C%f", minx, miny, maxx, maxy),
-      lit(suffix))
+      (lit(prefix) +: dimCols) ++ Seq(
+        lit("&BBOX="),
+        // the comma is URL-encoded to %2C, as URLEncoder does in the core
+        format_string("%f%%2C%f%%2C%f%%2C%f", minx, miny, maxx, maxy),
+        lit(suffix)): _*)
+  }
+
+  /** WMTS GetTile URL for a full core layout — KVP or REST encoding,
+    * with `dimension_*` metadata parameters read per row from a map
+    * column (reference layout/wmts.py:30-63; bit-exact vs
+    * core.WMTSTileLayout.filename, cross-checked by TileFunctionsSpec).
+    * The core's values are NOT URL-encoded (matching the reference);
+    * `tileMatrix` must be the default z.toString form — a custom
+    * matrix-name function is driver-side logic, not a column. */
+  def wmtsUrl(
+      layout: graft.core.WMTSTileLayout,
+      z: Column,
+      x: Column,
+      y: Column,
+      metadata: Column = lit(null)): Column = {
+    val dims = layout.dimensionsName
+    if (layout.requestEncoding == "KVP") {
+      val base = if (layout.url.isEmpty || layout.url.last == '?') layout.url
+        else layout.url + "?"
+      val head = lit(
+        s"${base}Service=WMTS&Request=GetTile&Format=${layout.format}" +
+          s"&Version=1.0.0&Layer=${layout.layer}&Style=${layout.style}")
+      val dimCols = dims.flatMap { d =>
+        Seq(lit(s"&$d="), element_at(metadata, s"dimension_$d"))
+      }
+      concat(
+        (head +: dimCols) ++ Seq(
+          lit(s"&TileMatrixSet=${layout.tileMatrixSet}&TileMatrix="),
+          z.cast("string"),
+          lit("&TileRow="), y.cast("string"),
+          lit("&TileCol="), x.cast("string")): _*)
+    } else {
+      val base =
+        if (layout.url.nonEmpty && layout.url.last != '/') layout.url + "/"
+        else layout.url
+      val head = lit(s"${base}1.0.0/${layout.layer}/${layout.style}/")
+      val dimCols = dims.flatMap { d =>
+        Seq(element_at(metadata, s"dimension_$d"), lit("/"))
+      }
+      concat(
+        (head +: dimCols) ++ Seq(
+          lit(s"${layout.tileMatrixSet}/"),
+          z.cast("string"), lit("/"),
+          y.cast("string"), lit("/"),
+          x.cast("string"), lit(layout.format)): _*)
+    }
   }
 
   /** WMTS GetTile KVP URL as pure column concat (reference

@@ -47,17 +47,35 @@ object TileCodecs {
   }
 
   /** Inverse of [[cellId]]: (z, x, y). */
-  def cellIdToCoord(cell: Long): (Int, Long, Long) = {
-    val z = (63 - java.lang.Long.numberOfLeadingZeros(cell)) / 2
+  def cellIdToCoord(cell: Long): (Int, Long, Long) =
+    (cellZ(cell), cellX(cell), cellY(cell))
+
+  def cellZ(cell: Long): Int =
+    (63 - java.lang.Long.numberOfLeadingZeros(cell)) / 2
+
+  /** De-interleaved x of a cell id (even Morton bits below the
+    * sentinel). */
+  def cellX(cell: Long): Long = {
+    val z = cellZ(cell)
     var x = 0L
-    var y = 0L
     var i = 0
     while (i < z) {
       x |= ((cell >> (2 * i)) & 1L) << i
+      i += 1
+    }
+    x
+  }
+
+  /** De-interleaved y of a cell id (odd Morton bits). */
+  def cellY(cell: Long): Long = {
+    val z = cellZ(cell)
+    var y = 0L
+    var i = 0
+    while (i < z) {
       y |= ((cell >> (2 * i + 1)) & 1L) << i
       i += 1
     }
-    (z, x, y)
+    y
   }
 }
 
@@ -104,6 +122,30 @@ case class CellIdExpr(first: Expression, second: Expression, third: Expression)
       f: Expression,
       s: Expression,
       t: Expression): Expression = copy(f, s, t)
+}
+
+/** `tc_cellx(cell)` — de-interleaved x of a Z-order cell id. */
+case class CellXExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(cell: Any): Any =
+    TileCodecs.cellX(cell.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sql.TileCodecs.cellX($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `tc_celly(cell)` — de-interleaved y of a Z-order cell id. */
+case class CellYExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(cell: Any): Any =
+    TileCodecs.cellY(cell.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sql.TileCodecs.cellY($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** MinHash signature kernel: md5-derived 32-bit base hash per shingle,

@@ -191,8 +191,24 @@ class DedupSpec extends SparkTestBase {
     val resized = Multimodal.resizeImages(media, 32).collect()
     assert(resized.length == 20)
     resized.foreach(r => assert(r.getAs[Int]("w") == 32 && r.getAs[Int]("h") == 32))
-    val audio = Multimodal.audioDurationStub(media).collect()
-    assert(audio.length == 20 && audio.forall(_.getAs[Long]("duration_ms") >= 0))
+    // REAL audio path: synthesized WAVs parse to exact durations;
+    // garbage bytes land in the error column instead of throwing
+    val s2 = spark
+    import s2.implicits._
+    val wavs = Seq(
+      ("w250", Multimodal.synthWav(250), "wav"),
+      ("w1000", Multimodal.synthWav(1000, sampleRate = 8000), "wav"),
+      ("junk", Array[Byte](1, 2, 3, 4), "??"))
+      .toDF("media_id", "bytes", "fmt")
+    val am = Multimodal.audioMeta(wavs).collect()
+      .map(r => r.getAs[String]("media_id") -> r).toMap
+    assert(am("w250").getAs[Long]("duration_ms") == 250L)
+    assert(am("w250").getAs[Int]("sample_rate") == 16000)
+    assert(am("w250").getAs[Int]("channels") == 1)
+    assert(am("w250").getAs[String]("encoding") == "PCM_SIGNED")
+    assert(am("w1000").getAs[Long]("duration_ms") == 1000L)
+    assert(am("w1000").getAs[Int]("sample_rate") == 8000)
+    assert(am("junk").getAs[String]("error") != null)
     val frames = Multimodal.frameSampleStub(media, everyK = 5).collect()
     assert(frames.nonEmpty)
     assert(frames.forall(r => r.getAs[Long]("offset") == r.getAs[Int]("frame_idx").toLong * 64))

@@ -172,4 +172,32 @@ class OpsSpec extends SparkTestBase {
     val md = TileTable.readMetadata(spark, path)
     assert(md("minzoom") == "2" && md("maxzoom") == "5" && md("name") == "t")
   }
+
+  test("checkpoint report aggregates a known metrics fixture per stage") {
+    val s = spark
+    import s.implicits._
+    // two stages: 'sink' has 3 partitions (2s, 4s, 6s; 100+200+300 rows,
+    // 1+0+2 errors), 'conv' has one partition (zero-variance stddev)
+    val metrics = Seq(
+      ("j1", "sink", 0, 100L, 1L, 2000000000L, "done"),
+      ("j1", "sink", 1, 200L, 0L, 4000000000L, "done"),
+      ("j1", "sink", 2, 300L, 2L, 6000000000L, "done"),
+      ("j1", "conv", 0, 50L, 0L, 5000000000L, "done"))
+      .toDF("job_id", "stage", "partition_id", "rows", "errors", "nanos", "status")
+    val rep = Checkpoint.report(metrics).collect()
+      .map(r => r.getAs[String]("stage") -> r).toMap
+    val sink = rep("sink")
+    assert(sink.getAs[Long]("partitions") == 3L)
+    assert(sink.getAs[Long]("rows") == 600L)
+    assert(sink.getAs[Long]("errors") == 3L)
+    assert(math.abs(sink.getAs[Double]("total_secs") - 12.0) < 1e-9)
+    assert(math.abs(sink.getAs[Double]("mean_secs") - 4.0) < 1e-9)
+    assert(math.abs(sink.getAs[Double]("stddev_secs") - 2.0) < 1e-9)
+    assert(math.abs(sink.getAs[Double]("min_secs") - 2.0) < 1e-9)
+    assert(math.abs(sink.getAs[Double]("max_secs") - 6.0) < 1e-9)
+    assert(math.abs(sink.getAs[Double]("tiles_per_cpu_sec") - 50.0) < 1e-9)
+    assert(math.abs(sink.getAs[Double]("tiles_per_sec_wall") - 100.0) < 1e-9)
+    val conv = rep("conv")
+    assert(conv.getAs[Double]("stddev_secs") == 0.0, "single partition -> 0, not NaN/null")
+  }
 }

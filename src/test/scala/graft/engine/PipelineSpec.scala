@@ -120,9 +120,25 @@ class PipelineSpec extends SparkTestBase {
   }
 
   test("renderingTheWorld: leaves partition the point set, monotone subdivision") {
+    spark.sharedState.cacheManager.clearCache()
     val corpus = Corpus.generate(spark, 500).toDF()
-    val leaves = Pipeline.renderingTheWorld(corpus, maxPerTile = 50, maxZ = 6)
-      .collect()
+    val leavesDf = Pipeline.renderingTheWorld(corpus, maxPerTile = 50, maxZ = 6)
+    // superseded BFS levels are unpersisted in the loop: only the final
+    // leaf accumulator + the root count level may remain cached (a lazy
+    // formulation pins O(maxZ) level caches — the round-1 leak)
+    val cm = spark.sharedState.cacheManager
+    val f = cm.getClass.getDeclaredFields.find(_.getName.contains("cachedData")).get
+    f.setAccessible(true)
+    def cachedCount: Int = f.get(cm) match {
+      case c: java.util.Collection[_] => c.size
+      case i: Iterable[_]             => i.size
+      case r: java.util.concurrent.atomic.AtomicReference[_] =>
+        r.get() match { case s: Seq[_] => s.size; case _ => -1 }
+      case _ => -1
+    }
+    assert(cachedCount >= 0, "cacheManager introspection works")
+    assert(cachedCount <= 2, s"superseded BFS levels must be unpersisted, $cachedCount cached")
+    val leaves = leavesDf.collect()
     val total = leaves.map(_.getAs[Long]("cnt")).sum
     assert(total == 500, s"leaves cover all points, got $total")
     // no interior leaf exceeds the threshold

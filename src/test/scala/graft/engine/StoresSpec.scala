@@ -180,6 +180,37 @@ class StoresSpec extends SparkTestBase {
     assert(!byCoord.contains((7L, 7L)))
   }
 
+  test("searchUp over a FreeTileGrid walks the grid's own parent chain") {
+    val s = spark
+    import s.implicits._
+    // swiss-style resolution ladder: z1's parent is z0 (factor 50),
+    // z2's parent is z1 (factor 2), z3's parent is z2 (factor 2)
+    val grid = graft.core.FreeTileGrid(
+      resolutions = IndexedSeq(100.0, 2.0, 1.0, 0.5),
+      maxExtent = graft.core.Extent(420000.0, 30000.0, 900000.0, 350000.0),
+      tileSize = 256.0)
+    // cross-check the driver-side chain against grid.parent itself
+    val tc = graft.core.TileCoord(3, 37L, 21L)
+    val p1 = grid.parent(tc).get
+    val p2 = grid.parent(p1).get
+    assert((p1.z, p1.x, p1.y) == (2, 18L, 10L))
+    assert((p2.z, p2.x, p2.y) == (1, 9L, 5L))
+    val store = Seq(
+      (1, 9L, 5L, "z1hit".getBytes),
+      (0, 0L, 0L, "root".getBytes)).toDF("z", "x", "y", "data")
+    val coords = Seq((3, 37L, 21L), (3, 500L, 500L), (2, 18L, 10L)).toDF("z", "x", "y")
+    val out = Stores.searchUp(coords, store, grid).collect()
+      .map(r => ((r.getAs[Int]("z"), r.getAs[Long]("x"), r.getAs[Long]("y")),
+        (new String(r.getAs[Array[Byte]]("data")), r.getAs[Int]("d")))).toMap
+    // (3,37,21): z2 miss -> z1 (9,5) HIT at d=2
+    assert(out((3, 37L, 21L)) == ("z1hit", 2))
+    // (2,18,10): z1 (9,5) HIT at d=1
+    assert(out((2, 18L, 10L)) == ("z1hit", 1))
+    // (3,500,500): z1 (125,125) miss -> z0 (2,2) miss; root (0,0) only
+    // matches coords dividing down to zero — not this one
+    assert(!out.contains((3, 500L, 500L)))
+  }
+
   test("streaming queue consumer: decode, process, resume-idempotent sink") {
     val s = spark
     import s.implicits._

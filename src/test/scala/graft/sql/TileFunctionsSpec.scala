@@ -153,6 +153,58 @@ class TileFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("wmtsUrl layout column (KVP + REST, dimensions) matches core filename") {
+    for (encoding <- Seq("KVP", "REST")) {
+      val layout = graft.core.WMTSTileLayout(
+        url = "http://wmts.example.org/", layer = "lyr", style = "default",
+        format = if (encoding == "KVP") "image/png" else ".png",
+        tileMatrixSet = "webmercator",
+        dimensionsName = Seq("DATE", "ELEVATION"),
+        requestEncoding = encoding)
+      val meta = org.apache.spark.sql.functions.map(
+        lit("dimension_DATE"), concat(lit("2026-"), col("z").cast("string")),
+        lit("dimension_ELEVATION"), lit("100"))
+      val got = df
+        .select(
+          col("z"), col("x"), col("y"),
+          TileFunctions.wmtsUrl(layout, col("z"), col("x"), col("y"), meta).as("url"))
+        .collect()
+      assert(got.nonEmpty)
+      got.foreach { r =>
+        assert(
+          r.getString(3) == layout.filename(
+            TileCoord(r.getInt(0), r.getLong(1), r.getLong(2)),
+            Map(
+              "dimension_DATE" -> s"2026-${r.getInt(0)}",
+              "dimension_ELEVATION" -> "100")),
+          s"$encoding ${r.getInt(0)}/${r.getLong(1)}/${r.getLong(2)}")
+      }
+    }
+  }
+
+  test("wmsUrl with dimension metadata matches core filename") {
+    val layout = graft.core.WMSTileLayout(
+      url = "http://wms.example.org/wms", layers = "roads",
+      srs = "EPSG:3857", format = "image/png", grid = TileGrids.Google)
+    val meta = org.apache.spark.sql.functions.map(
+      lit("dimension_DATE"), concat(lit("2026 01/"), col("z").cast("string")))
+    val got = df
+      .where(col("z") <= 12)
+      .select(
+        col("z"), col("x"), col("y"),
+        TileFunctions.wmsUrl(
+          layout, col("z"), col("x"), col("y"),
+          dimensionNames = Seq("DATE"), metadata = meta).as("url"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(
+        r.getString(3) == layout.filename(
+          TileCoord(r.getInt(0), r.getLong(1), r.getLong(2)),
+          Map("dimension_DATE" -> s"2026 01/${r.getInt(0)}")))
+    }
+  }
+
   test("tc_sorted_intersect_count / tc_minhash_sig registered in SQL") {
     val c = spark.sql(
       "SELECT tc_sorted_intersect_count(array(1L,3L,5L,9L), array(3L,4L,9L)) AS c")
