@@ -53,7 +53,8 @@ object Bench {
       spark: SparkSession,
       rows: Long,
       buckets: Int = 32,
-      table: String = "graft_corpus"): org.apache.spark.sql.DataFrame = {
+      table: String = "graft_corpus",
+      imgSize: Int = 64): org.apache.spark.sql.DataFrame = {
     // a fresh JVM has a fresh in-memory catalog: drop any stale
     // registration AND the on-disk location a previous JVM left behind
     // (saveAsTable refuses to overwrite an unregistered location).
@@ -75,7 +76,7 @@ object Bench {
           entries.filterNot(sparkArtifact).take(3).mkString(", "))
       fs.delete(loc, true)
     }
-    Corpus.generate(spark, rows).toDF()
+    Corpus.generate(spark, rows, size = imgSize).toDF()
       .write
       .mode("overwrite")
       .bucketBy(buckets, "phash")

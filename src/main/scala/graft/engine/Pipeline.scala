@@ -81,12 +81,82 @@ object Pipeline {
     attachBytes(corpus, tileWinners(corpus, zooms, grid, region))
 
   /** Phase 1 of the render: the byteless winner-coordinate relation —
-    * one 32-byte row per output tile `(z, x, y, win_phash, img_count)`.
-    * ALL spatial filtering and joining (region semi-joins, resume
-    * anti-joins) should happen against THIS relation, not against the
-    * byte-carrying output: joining coordinates first and attaching
-    * payloads last is what keeps image bytes off every shuffle. */
+    * one ~24-byte row per output tile `(z, x, y, win_phash,
+    * img_count)`. ALL spatial filtering and joining (region semi-joins,
+    * resume anti-joins) should happen against THIS relation, not
+    * against the byte-carrying output: joining coordinates first and
+    * attaching payloads last is what keeps image bytes off every
+    * shuffle.
+    *
+    * Computed as a TWO-PHASE HIERARCHICAL ROLLUP, not a per-zoom
+    * re-aggregation of the point set: (1) points aggregate ONCE at the
+    * deepest requested zoom, keyed by the single-long Z-order cell id
+    * (8-byte key vs the former 3-column (int,long,long) key); (2) each
+    * deep WINNER row explodes into its ancestor cells at the requested
+    * zooms (`cell >> 2(zmax-z)` — the sentinel bit keeps levels
+    * distinct) and one further aggregation rolls min/sum up. A tile's
+    * min-phash/img_count are exactly the rollup of its children's, and
+    * the double->tile truncation commutes with halving
+    * (floor(floor(f*2^z)/2) == floor(f*2^(z-1)); the XYZ y-flip
+    * commutes likewise) — verified bit-for-bit against the direct
+    * per-zoom aggregation in PipelineSpec.
+    *
+    * Scale shape: the second exchange carries TILE rows, not point
+    * rows — at corpus scale (10^12 points, <=4^z tiles per level) that
+    * is orders of magnitude less shuffle than exploding every point
+    * |zooms| times. The explode is also a deliberate optimizer barrier:
+    * a chained groupBy-per-level formulation gets merged by Catalyst
+    * back into |zooms| full re-aggregations of the point set (and a
+    * per-level union turns the region semi-join's z key into a literal,
+    * degrading it to a nested-loop join) — this shape keeps ONE linear
+    * plan with z as a real join column.
+    *
+    * The region filter applies AFTER the rollup (on decoded winner
+    * coords): filtering the deep level first would also drop points
+    * that coarser in-region ancestors still need. */
   def tileWinners(
+      corpus: DataFrame,
+      zooms: Seq[Int],
+      grid: QuadTileGrid = TileGrids.Google,
+      region: Option[BoundingPyramid] = None): DataFrame = {
+    val zs = zooms.distinct.sorted
+    require(zs.nonEmpty && zs.last <= 30 && zs.head >= 0, s"zooms out of range: $zooms")
+    val zMax = zs.last
+    val pts = withPoints(corpus.select("phash"), grid)
+    val deep = pts
+      .select(
+        TileFunctions.cellId(
+          lit(zMax),
+          tileOfPointX(col("px"), lit(zMax), grid),
+          tileOfPointY(col("py"), lit(zMax), grid)).as("cell"),
+        col("phash"))
+      .groupBy("cell")
+      .agg(min("phash").as("win_phash"), count(lit(1)).as("img_count"))
+    val rolled =
+      if (zs.size == 1) deep
+      else
+        deep
+          .select(
+            explode(array(zs.map(z =>
+              shiftR(col("cell"), lit(2 * (zMax - z)))): _*)).as("cell"),
+            col("win_phash"), col("img_count"))
+          .groupBy("cell")
+          .agg(min("win_phash").as("win_phash"), sum("img_count").as("img_count"))
+    val out = rolled.select(
+      TileFunctions.cellZ(col("cell")).as("z"),
+      TileFunctions.cellX(col("cell")).as("x"),
+      TileFunctions.cellY(col("cell")).as("y"),
+      col("win_phash"), col("img_count"))
+    region
+      .map(bp => out.where(inPyramid(bp, col("z"), col("x"), col("y"))))
+      .getOrElse(out)
+  }
+
+  /** The direct (per-zoom explode + re-aggregate) form of
+    * [[tileWinners]] — the semantic reference the rollup is
+    * cross-checked against; |zooms|-fold more exchange volume, kept for
+    * testing and for grids whose levels are not nested (none today). */
+  def tileWinnersDirect(
       corpus: DataFrame,
       zooms: Seq[Int],
       grid: QuadTileGrid = TileGrids.Google,

@@ -53,10 +53,11 @@ object TileFunctions {
     colOf(CellIdExpr(
       exprOf(z.cast("int")), exprOf(x.cast("long")), exprOf(y.cast("long"))))
 
-  /** De-interleaved x / y of a Z-order cell id (inverse of [[cellId]];
-    * the parent cell is simply `shiftright(cell, 2)`). */
+  /** De-interleaved x / y / z of a Z-order cell id (inverse of
+    * [[cellId]]; the parent cell is simply `shiftright(cell, 2)`). */
   def cellX(cell: Column): Column = colOf(CellXExpr(exprOf(cell.cast("long"))))
   def cellY(cell: Column): Column = colOf(CellYExpr(exprOf(cell.cast("long"))))
+  def cellZ(cell: Column): Column = colOf(CellZExpr(exprOf(cell.cast("long"))))
 
   /** Meta-tile snap: `(z, n*(x/n), n*(y/n))`
     * (reference __init__.py:470-471). Returns (mx, my) columns. */

@@ -124,6 +124,19 @@ case class CellIdExpr(first: Expression, second: Expression, third: Expression)
       t: Expression): Expression = copy(f, s, t)
 }
 
+/** `tc_cellz(cell)` — zoom level of a Z-order cell id (sentinel-bit
+  * position / 2). */
+case class CellZExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override protected def nullSafeEval(cell: Any): Any =
+    TileCodecs.cellZ(cell.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sql.TileCodecs.cellZ($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** `tc_cellx(cell)` — de-interleaved x of a Z-order cell id. */
 case class CellXExpr(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {

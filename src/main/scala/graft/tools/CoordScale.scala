@@ -1,0 +1,26 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Dev: coordinate-pipeline-only scaling probe. Args: cpus rows [noaqe].
+  * Run under `taskset -c 0-(cpus-1)` with SPARK_GRAFT_APC=cpus for a
+  * faithful N-core-node emulation. Prints best-of-5 seconds. */
+object CoordScale {
+  def main(args: Array[String]): Unit = {
+    val cpus = args(0).toInt
+    val rows = args(1).toLong
+    val spark = graft.Bench.mkSession(cpus)
+    if (args.contains("noaqe")) spark.conf.set("spark.sql.adaptive.enabled", "false")
+    def input = spark.range(rows).select(xxhash64(col("id")).as("phash"))
+    def job() = graft.ScalingBench.coordinateDF(input).count()
+    job() // warm
+    var best = Double.MaxValue
+    for (_ <- 0 until 5) {
+      val t0 = System.nanoTime()
+      job()
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+    }
+    println(f"[coordscale] cpus=$cpus rows=$rows aqe=${!args.contains("noaqe")} best=$best%.2fs")
+    spark.stop()
+  }
+}

@@ -1,0 +1,54 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.core.BoundingPyramid
+import graft.engine.Pipeline
+import graft.sql.TileFunctions
+
+/** Dev: rollup vs direct winners timing + plan, at a given parallelism. */
+object RollupProf {
+  def main(args: Array[String]): Unit = {
+    val cpus = if (args.nonEmpty) args(0).toInt else 8
+    val rows = if (args.length > 1) args(1).toLong else 8000000L
+    val spark = graft.Bench.mkSession(cpus)
+    val zooms = (4 to 12).toSeq
+    def input = spark.range(rows).select(xxhash64(col("id")).as("phash"))
+    val bp = BoundingPyramid.full(zooms.min, zooms.max)
+
+    def time(name: String)(f: => Any): Unit = {
+      f // warm
+      var best = Double.MaxValue
+      for (_ <- 0 until 3) {
+        val t0 = System.nanoTime()
+        f
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      println(f"[rollupprof] cpus=$cpus rows=$rows $name: $best%.2fs")
+    }
+
+    if (args.contains("explain"))
+      TileFunctions.regionSemiJoin(Pipeline.tileWinners(input, zooms), bp)
+        .groupBy().count().explain("formatted")
+
+    time("rollup winners count")(
+      Pipeline.tileWinners(input, zooms).count())
+    time("direct winners count")(
+      Pipeline.tileWinnersDirect(input, zooms).count())
+    time("rollup + region semi-join count")(
+      TileFunctions.regionSemiJoin(Pipeline.tileWinners(input, zooms), bp).count())
+
+    if (args.contains("corpus")) {
+      val corpus = graft.engine.Corpus.generate(spark, rows).toDF()
+        .repartition(col("phash")).cache()
+      corpus.count()
+      time("rollup winners over cached corpus")(
+        Pipeline.tileWinners(corpus, zooms).count())
+      time("direct winners over cached corpus")(
+        Pipeline.tileWinnersDirect(corpus, zooms).count())
+      if (args.contains("explain"))
+        Pipeline.tileWinners(corpus, zooms).groupBy().count().explain("formatted")
+    }
+    spark.stop()
+  }
+}

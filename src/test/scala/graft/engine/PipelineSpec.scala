@@ -119,6 +119,28 @@ class PipelineSpec extends SparkTestBase {
     assert(back == coords.toSet)
   }
 
+  test("tileWinners rollup is bit-identical to direct per-zoom aggregation") {
+    val s = spark
+    import org.apache.spark.sql.functions.xxhash64
+    val phashes = s.range(5000).select(xxhash64(col("id")).as("phash"))
+    val region = graft.core.BoundingPyramid.fromString("4/8/5:+3/+1/+1")
+    val cases = Seq(
+      (Seq(4, 5, 6, 7, 8, 9, 10, 11, 12), None),
+      (Seq(0), None),
+      (Seq(3, 7), None), // non-contiguous zoom list
+      (Seq(12), None),
+      (Seq(4, 5, 6, 7), Some(region)))
+    for ((zooms, reg) <- cases) {
+      def toSet(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getAs[Int]("z"), r.getAs[Long]("x"), r.getAs[Long]("y"),
+          r.getAs[Long]("win_phash"), r.getAs[Long]("img_count"))).toSet
+      val rollup = toSet(Pipeline.tileWinners(phashes, zooms, region = reg))
+      val direct = toSet(Pipeline.tileWinnersDirect(phashes, zooms, region = reg))
+      assert(rollup == direct, s"zooms=$zooms region=${reg.isDefined}")
+      assert(rollup.nonEmpty == (reg.isEmpty || rollup.nonEmpty))
+    }
+  }
+
   test("renderingTheWorld: leaves partition the point set, monotone subdivision") {
     spark.sharedState.cacheManager.clearCache()
     val corpus = Corpus.generate(spark, 500).toDF()

@@ -1,0 +1,140 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Sqlite._
+
+/** The pure-JVM SQLite codec, validated three ways: unit round-trips,
+  * a Spark-level MBTiles round-trip (overflow blobs + interior pages),
+  * and — the decisive check — byte-level cross-validation against the
+  * GENUINE SQLite library (CPython stdlib sqlite3) via
+  * tools/mbtiles_oracle.py: our files must pass `PRAGMA
+  * integrity_check` and dump identically; real files must parse
+  * identically here. */
+class SqliteSpec extends SparkTestBase {
+
+  private def tmp(): String = {
+    val d = Files.createTempDirectory("graft-sqlite").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def python3: Option[String] =
+    Seq("/usr/bin/python3", "/usr/local/bin/python3")
+      .find(p => Files.isExecutable(Paths.get(p)))
+
+  private def run(cmd: Seq[String]): (Int, String) = {
+    val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    (p.waitFor(), out)
+  }
+
+  /** Same deterministic payload family as the oracle tool. */
+  private def tileBytes(i: Int): Array[Byte] = {
+    val n = if (i % 7 == 3) 9000 else 40 + (i % 50)
+    Array.tabulate(n)(j => ((i * 31 + j) % 256).toByte)
+  }
+
+  test("varint + record codecs round-trip the full value range") {
+    val vals = Seq(0L, 1L, 127L, 128L, 16383L, 16384L, 1L << 35,
+      (1L << 56) - 1, 1L << 56, Long.MaxValue, -1L, Long.MinValue)
+    vals.foreach { v =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      writeVarint(buf, v)
+      val (got, n) = readVarint(buf.toArray, 0)
+      assert(got == v && n == buf.length, s"varint $v")
+    }
+    val rec = Seq(
+      IntValue(0), IntValue(1), IntValue(-5), IntValue(300), IntValue(1L << 40),
+      FloatValue(3.5), TextValue("héllo"), BlobValue(Array[Byte](1, 2, 3)),
+      NullValue)
+    val decoded = decodeRecord(encodeRecord(rec))
+    assert(decoded.length == rec.length)
+    rec.zip(decoded).foreach {
+      case (BlobValue(a), BlobValue(b)) => assert(a.sameElements(b))
+      case (a, b)                       => assert(a == b)
+    }
+  }
+
+  test("mbtiles write -> read round-trip (overflow blobs, interior pages)") {
+    val s = spark
+    import s.implicits._
+    val n = 3000 // enough rows for multiple leaves + an interior level
+    val tiles = (0 until n).map { i =>
+      (6, (i % 64).toLong, (i / 64).toLong, tileBytes(i))
+    }.toDF("z", "x", "y", "data")
+    val path = tmp() + "/out.mbtiles"
+    MBTiles.write(tiles, path, Map("name" -> "rt", "format" -> "png"))
+
+    val back = MBTiles.read(spark, path).collect()
+    assert(back.length == n)
+    val byCoord = back.map(r =>
+      ((r.getAs[Long]("x"), r.getAs[Long]("y")), r.getAs[Array[Byte]]("data"))).toMap
+    (0 until n).foreach { i =>
+      val key = ((i % 64).toLong, (i / 64).toLong)
+      assert(byCoord(key).sameElements(tileBytes(i)), s"tile $i")
+    }
+    val meta = MBTiles.readMetadata(Files.readAllBytes(Paths.get(path)))
+    assert(meta("name") == "rt" && meta("format") == "png")
+    assert(meta("minzoom") == "6" && meta("maxzoom") == "6")
+  }
+
+  test("files we write pass real SQLite's integrity_check and dump identically") {
+    python3 match {
+      case None => cancel("python3 not available for cross-validation")
+      case Some(py) =>
+        val s = spark
+        import s.implicits._
+        val n = 500
+        // mirror the oracle's `make` contents exactly, via OUR writer;
+        // note: oracle tile_row IS the stored row — write topleft so the
+        // stored rows match without a flip
+        val tiles = (0 until n).map { i =>
+          (6, (i % 64).toLong, (i / 64).toLong, tileBytes(i))
+        }.toDF("z", "x", "y", "data")
+        val path = tmp() + "/ours.mbtiles"
+        MBTiles.write(
+          tiles, path, Map("name" -> "oracle", "format" -> "png"),
+          tilecoordInTopleft = true)
+        val (code, out) = run(Seq(py, "tools/mbtiles_oracle.py", "check", path))
+        assert(code == 0, out.take(500))
+        assert(out.linesIterator.next() == "integrity:ok", out.take(500))
+        val tilesDumped = out.linesIterator.count(_.startsWith("tile:"))
+        assert(tilesDumped == n)
+        // canonical digests match the real-sqlite-written twin below
+        val twin = tmp() + "/real.mbtiles"
+        val (mc, mo) = run(Seq(py, "tools/mbtiles_oracle.py", "make", twin, n.toString))
+        assert(mc == 0, mo)
+        val (_, twinDump) = run(Seq(py, "tools/mbtiles_oracle.py", "check", twin))
+        def canon(dump: String) = dump.linesIterator
+          .filter(l => l.startsWith("tile:") || l.startsWith("meta:"))
+          // minzoom/maxzoom are our writer's derived additions
+          .filterNot(l => l.startsWith("meta:minzoom") || l.startsWith("meta:maxzoom"))
+          .toSeq.sorted
+        assert(canon(out) == canon(twinDump))
+    }
+  }
+
+  test("files real SQLite writes (PK + autoindex) parse identically here") {
+    python3 match {
+      case None => cancel("python3 not available for cross-validation")
+      case Some(py) =>
+        val path = tmp() + "/real.mbtiles"
+        val (code, out) = run(Seq(py, "tools/mbtiles_oracle.py", "make", path, "800"))
+        assert(code == 0, out)
+        val rows = MBTiles.read(spark, path, tilecoordInTopleft = true).collect()
+        assert(rows.length == 800)
+        rows.foreach { r =>
+          val i = (r.getAs[Long]("y") * 64 + r.getAs[Long]("x")).toInt
+          assert(r.getAs[Int]("z") == 6)
+          assert(r.getAs[Array[Byte]]("data").sameElements(tileBytes(i)), s"tile $i")
+        }
+        val meta = MBTiles.readMetadata(Files.readAllBytes(Paths.get(path)))
+        assert(meta == Map("name" -> "oracle", "format" -> "png"))
+    }
+  }
+}

@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Cross-validation oracle for graft.sources.Sqlite against GENUINE
+SQLite (CPython's stdlib sqlite3 — the real C library).
+
+  make <path> <n>   write a real .mbtiles with n deterministic tiles
+                    (PRIMARY KEY + autoindex, like the reference store)
+  check <path>      integrity_check + canonical dump of a db (ours or
+                    real): metadata lines then tile lines with md5(data)
+
+The dump format is compared verbatim by SqliteSpec, so reader and
+writer are validated row-for-row against the real implementation.
+"""
+import hashlib
+import sqlite3
+import sys
+
+
+def tile_bytes(i: int) -> bytes:
+    # deterministic payload; every 7th tile overflows a 4K page
+    n = 9000 if i % 7 == 3 else 40 + (i % 50)
+    return bytes((i * 31 + j) % 256 for j in range(n))
+
+
+def make(path: str, n: int) -> None:
+    con = sqlite3.connect(path)
+    con.execute(
+        "CREATE TABLE metadata (name text, value text, PRIMARY KEY (name))")
+    con.execute(
+        "CREATE TABLE tiles (zoom_level integer, tile_column integer, "
+        "tile_row integer, tile_data blob, "
+        "PRIMARY KEY (zoom_level, tile_column, tile_row))")
+    con.execute("INSERT INTO metadata VALUES ('name', 'oracle')")
+    con.execute("INSERT INTO metadata VALUES ('format', 'png')")
+    for i in range(n):
+        z = 6
+        con.execute(
+            "INSERT INTO tiles VALUES (?, ?, ?, ?)",
+            (z, i % 64, i // 64, sqlite3.Binary(tile_bytes(i))))
+    con.commit()
+    con.close()
+    print(f"made {path} with {n} tiles")
+
+
+def check(path: str) -> None:
+    con = sqlite3.connect(path)
+    (ok,) = con.execute("PRAGMA integrity_check").fetchone()
+    print(f"integrity:{ok}")
+    for name, value in con.execute(
+            "SELECT name, value FROM metadata ORDER BY name"):
+        print(f"meta:{name}={value}")
+    for z, x, row, data in con.execute(
+            "SELECT zoom_level, tile_column, tile_row, tile_data "
+            "FROM tiles ORDER BY zoom_level, tile_column, tile_row"):
+        digest = hashlib.md5(data).hexdigest() if data is not None else "null"
+        print(f"tile:{z}/{x}/{row}:{digest}")
+    con.close()
+
+
+if __name__ == "__main__":
+    if sys.argv[1] == "make":
+        make(sys.argv[2], int(sys.argv[3]))
+    else:
+        check(sys.argv[2])

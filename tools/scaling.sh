@@ -15,8 +15,31 @@ N4=$((4 * N))
 ROWS="${SPARK_GRAFT_SCALE_ROWS:-800000}"
 PER_CORE="${SPARK_GRAFT_MEM_PER_CORE:-2}"
 
+# This sandbox is SHARED: ambient load from other tenants comes and
+# goes and can double a leg's wall time. Refuse to start a leg until
+# the 1-minute loadavg drops below the threshold (we contribute ~0
+# when idle), so both legs measure the code, not the neighbors.
+wait_quiet() {
+  local limit="${SPARK_GRAFT_QUIET_LOAD:-1.5}"
+  for _ in $(seq 1 60); do
+    local la
+    la=$(cut -d' ' -f1 /proc/loadavg)
+    awk -v l="$la" -v t="$limit" 'BEGIN{exit !(l < t)}' && return 0
+    echo "[scaling] loadavg $la >= $limit - waiting for a quiet window"
+    sleep 20
+  done
+  echo "[scaling] WARNING: no quiet window after 20min, measuring anyway"
+}
+
+# Each leg is PINNED to exactly as many physical cores as the cluster
+# size it emulates (taskset): without pinning, the scheduler spreads the
+# N-leg's threads across all 32 cores' L3 — crediting the small
+# "cluster" with the big machine's cache and flattering its throughput,
+# which biases the efficiency ratio downward.
+wait_quiet
 SPARK_DRIVER_MEM="$((N * PER_CORE))g" SPARK_GRAFT_APC=$N \
-  sbt -batch "runMain graft.ScalingBench solo $N $ROWS"
+  taskset -c "0-$((N - 1))" sbt -batch "runMain graft.ScalingBench solo $N $ROWS"
+wait_quiet
 SPARK_DRIVER_MEM="$((N4 * PER_CORE))g" SPARK_GRAFT_APC=$N4 \
-  sbt -batch "runMain graft.ScalingBench solo $N4 $ROWS"
+  taskset -c "0-$((N4 - 1))" sbt -batch "runMain graft.ScalingBench solo $N4 $ROWS"
 sbt -batch "runMain graft.ScalingBench combine" | grep '"metric"'
