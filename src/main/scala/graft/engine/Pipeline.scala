@@ -287,55 +287,44 @@ object Pipeline {
       maxPerTile: Long,
       maxZ: Int,
       grid: QuadTileGrid = TileGrids.Google): DataFrame = {
-    // The BFS is EAGER per level: each rollup and the accumulated leaf
-    // set are materialized (cache + count), and every superseded cached
-    // level is unpersisted before the next iteration — a lazy
-    // formulation would pin O(maxZ) cached count relations until the
-    // caller's action completes (the round-1 leak). Only the final
-    // (small) leaf relation and the 1-row root level stay cached; they
-    // back the returned DataFrame.
-    var counts = assign(corpus, Seq(maxZ), grid)
-      .groupBy("z", "x", "y")
+    // ONE linear plan, no caching, no driver loop (the round-1 lazy
+    // BFS pinned O(maxZ) cached levels until job end; an eager
+    // materialize-per-level variant fixed the leak but cost ~20
+    // sequential jobs): counts at EVERY level come from a single
+    // deep-zoom aggregation + ancestor-cell explode + re-aggregation
+    // (the tileWinners rollup shape), and the leaf rule needs only the
+    // PARENT relation because counts are monotone up the tree —
+    // parent.cnt > maxPerTile implies every higher ancestor also
+    // subdivides, so "parent subdivides AND (self does not, or
+    // z == maxZ)" is the complete BFS-reachability test.
+    require(maxZ >= 0 && maxZ <= 30, s"maxZ out of range: $maxZ")
+    val deep = assign(corpus, Seq(maxZ), grid)
+      .groupBy("cell")
       .agg(count(lit(1)).as("cnt"))
-      .cache()
-    counts.count()
-    var leaves: DataFrame = null
-    var z = maxZ
-    while (z > 0) {
-      val up = counts
-        .select(
-          (col("z") - 1).as("z"),
-          intDiv(col("x"), lit(2L)).as("x"),
-          intDiv(col("y"), lit(2L)).as("y"),
-          col("cnt"))
-        .groupBy("z", "x", "y")
-        .agg(sum("cnt").as("cnt"))
-        .cache()
-      up.count()
-      // a tile at level z is a leaf if its parent (at z-1) subdivides
-      // (parent cnt > maxPerTile) but it does not (cnt <= maxPerTile or
-      // z == maxZ)
-      val parentSubdivides = up
-        .where(col("cnt") > maxPerTile)
-        .select(col("z").as("pz"), col("x").as("px"), col("y").as("py"))
-      val lvlLeaves = counts
-        .where(if (z == maxZ) lit(true) else col("cnt") <= maxPerTile)
-        .join(
-          parentSubdivides,
-          col("z") - 1 === col("pz") &&
-            intDiv(col("x"), lit(2L)) === col("px") &&
-            intDiv(col("y"), lit(2L)) === col("py"),
-          "left_semi")
-      val acc =
-        (if (leaves == null) lvlLeaves else leaves.unionAll(lvlLeaves)).cache()
-      acc.count()
-      if (leaves != null) leaves.unpersist()
-      counts.unpersist() // superseded by `up`; leaf rows now live in `acc`
-      leaves = acc
-      counts = up
-      z -= 1
-    }
-    val root = counts.where(col("cnt") <= maxPerTile) // root not subdivided
-    (if (leaves == null) root else leaves.unionAll(root))
+    val counts =
+      if (maxZ == 0) deep
+      else
+        deep
+          .select(
+            explode(array((0 to maxZ).map(z =>
+              shiftR(col("cell"), lit(2 * (maxZ - z)))): _*)).as("cell"),
+            col("cnt"))
+          .groupBy("cell")
+          .agg(sum("cnt").as("cnt"))
+    val decoded = counts.select(
+      TileFunctions.cellZ(col("cell")).as("z"),
+      TileFunctions.cellX(col("cell")).as("x"),
+      TileFunctions.cellY(col("cell")).as("y"),
+      col("cell"), col("cnt"))
+    val parents = decoded
+      .where(col("cnt") > maxPerTile)
+      .select(col("cell").as("pcell"))
+    val inner = decoded
+      .where(col("z") > 0 &&
+        (if (maxZ == 0) lit(false)
+         else col("z") === maxZ || col("cnt") <= maxPerTile))
+      .join(parents, shiftR(col("cell"), lit(2)) === col("pcell"), "left_semi")
+    val root = decoded.where(col("z") === 0 && col("cnt") <= maxPerTile)
+    inner.unionAll(root).select("z", "x", "y", "cnt")
   }
 }

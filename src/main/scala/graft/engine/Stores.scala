@@ -18,6 +18,7 @@ object Stores {
     *   file://<dir>       filesystem tile tree (binaryFile + layout)
     *   log://<path>       coord log lines
     *   zip://<dir>        zip archives of layout-named tiles
+    *   mbtiles://<dir>    real .mbtiles (SQLite) archives
     *   pyramid://<spec>   generator relation from a pyramid spec string
     *   null://            empty tile relation
     * (s3a:// and abfss:// paths flow through the same file-based
@@ -31,6 +32,7 @@ object Stores {
       case "file"    => readFilesystem(spark, rest)
       case "log"     => readLog(spark, rest)
       case "zip"     => readZip(spark, rest)
+      case "mbtiles" => graft.sources.MBTiles.read(spark, rest)
       case "pyramid" =>
         graft.sql.TileFunctions.enumeratePyramid(
           spark, graft.core.BoundingPyramid.fromString(rest))

@@ -335,6 +335,18 @@ object TileExpressions {
           Cast(exprs(2), LongType)),
       "built-in")
     reg.createOrReplaceTempFunction(
+      "tc_cellx",
+      exprs => CellXExpr(Cast(exprs(0), LongType)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "tc_celly",
+      exprs => CellYExpr(Cast(exprs(0), LongType)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "tc_cellz",
+      exprs => CellZExpr(Cast(exprs(0), LongType)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "tc_sorted_intersect_count",
       exprs => SortedIntersectCountExpr(exprs(0), exprs(1)),
       "built-in")

@@ -1,0 +1,23 @@
+package graft.tools
+
+/** Dev: time a single SparkEntry query by name. Args: name [sfDir] [iters]. */
+object QTime {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val iters = if (args.length > 2) args(2).toInt else 3
+    val spark = graft.Bench.mkSession(32)
+    val fn = graft.SparkEntry.queries(name)
+    var best = Double.MaxValue
+    for (_ <- 0 until iters) {
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[qtime] $name: $secs%.2fs rows=$n")
+      best = math.min(best, secs)
+    }
+    println(f"[qtime] $name best=$best%.2fs")
+    spark.stop()
+  }
+}

@@ -45,6 +45,10 @@ class StoresSpec extends SparkTestBase {
     val root = tmp()
     Stores.writeFilesystem(Stores.dict(spark, someTiles(3)), root)
     assert(Stores.open(spark, s"file://$root").count() == 3)
+    val mb = tmp()
+    graft.sources.MBTiles.write(
+      Stores.dict(spark, someTiles(5)), mb + "/a.mbtiles")
+    assert(Stores.open(spark, s"mbtiles://$mb").count() == 5)
     intercept[IllegalArgumentException](Stores.open(spark, "redis://nope"))
   }
 

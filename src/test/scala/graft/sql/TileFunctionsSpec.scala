@@ -205,6 +205,22 @@ class TileFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("tc_cellid <-> tc_cellz/cellx/celly round-trip in SQL") {
+    val rows = spark.sql(
+      """SELECT z, x, y,
+        |  tc_cellz(tc_cellid(z, x, y)) AS rz,
+        |  tc_cellx(tc_cellid(z, x, y)) AS rx,
+        |  tc_celly(tc_cellid(z, x, y)) AS ry
+        |FROM VALUES (0, 0L, 0L), (3, 5L, 2L), (12, 4000L, 95L),
+        |            (30, 1073741823L, 1L) AS t(z, x, y)""".stripMargin)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(3) == r.getInt(0))
+      assert(r.getLong(4) == r.getLong(1))
+      assert(r.getLong(5) == r.getLong(2))
+    }
+  }
+
   test("tc_sorted_intersect_count / tc_minhash_sig registered in SQL") {
     val c = spark.sql(
       "SELECT tc_sorted_intersect_count(array(1L,3L,5L,9L), array(3L,4L,9L)) AS c")
