@@ -103,8 +103,8 @@ object Bench {
           bp.bounds.filter { case (z, _) => zooms.contains(z) }.toSeq: _*))
       // spatial semi-join on byteless winner coords (broadcast range
       // join on per-zoom bounds), bytes attached last
-      val winners =
-        TileFunctions.regionSemiJoin(Pipeline.tileWinners(corpus, zooms), region)
+      val winners = TileFunctions.regionSemiJoin(
+        Pipeline.tileWinners(corpus, zooms, expectedRows = Some(corpusRows)), region)
       Pipeline.attachBytes(corpus, winners, shuffleHashWinners = true)
     }
     def timedRun(): (Long, Double) = {

@@ -991,6 +991,47 @@ object GraftQueries {
         |  CAST(16000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels
         |FROM generate_series(0, 199) g(i)""".stripMargin)),
 
+    // SearchUp over a FreeTileGrid (reference store/searchup.py walks
+    // grid.parent for ANY grid): the ancestor chain is the resolution
+    // ladder's divisor chain, mirrored literally in the oracle.
+    ("q44_searchup_free",
+      (s: SparkSession, dir: String) => {
+        val grid = graft.core.FreeTileGrid(
+          resolutions = IndexedSeq(100.0, 2.0, 1.0, 0.5),
+          maxExtent = graft.core.Extent(0.0, 0.0, 1000000.0, 1000000.0),
+          tileSize = 256.0)
+        val c = table(s, dir, "lineitem").select(
+          (col("l_linenumber") % 4).cast("int").as("z"),
+          pmod(col("l_orderkey"), lit(500L)).as("x"),
+          pmod(col("l_partkey"), lit(500L)).as("y"),
+          col("l_returnflag").as("flag"))
+        val store = c.where(col("flag") === "R")
+          .groupBy("z", "x", "y").agg(count(lit(1)).as("data"))
+        val targets = c.where(col("flag") === "A").select("z", "x", "y").distinct()
+        graft.engine.Stores.searchUp(targets, store, grid)
+      },
+      Some("""WITH c AS (
+        |  SELECT CAST(l_linenumber % 4 AS INT) AS z,
+        |         l_orderkey % 500 AS x, l_partkey % 500 AS y,
+        |         l_returnflag AS flag
+        |  FROM lineitem),
+        |store AS (SELECT z, x, y, count(*) AS data FROM c WHERE flag = 'R' GROUP BY 1, 2, 3),
+        |targets AS (SELECT DISTINCT z, x, y FROM c WHERE flag = 'A'),
+        |chains(z, d, az, factor) AS (
+        |  VALUES (3, 0, 3, 1), (3, 1, 2, 2), (3, 2, 1, 4), (3, 3, 0, 200),
+        |         (2, 0, 2, 1), (2, 1, 1, 2), (2, 2, 0, 100),
+        |         (1, 0, 1, 1), (1, 1, 0, 50),
+        |         (0, 0, 0, 1)),
+        |hits AS (
+        |  SELECT t.z, t.x, t.y, ch.d, s.data
+        |  FROM targets t
+        |  JOIN chains ch ON ch.z = t.z
+        |  JOIN store s ON s.z = ch.az AND s.x = t.x // ch.factor AND s.y = t.y // ch.factor),
+        |best AS (
+        |  SELECT z, x, y, min(d) AS d FROM hits GROUP BY 1, 2, 3)
+        |SELECT b.z, b.x, b.y, h.data, CAST(b.d AS INT) AS d
+        |FROM best b JOIN hits h ON h.z = b.z AND h.x = b.x AND h.y = b.y AND h.d = b.d""".stripMargin)),
+
     // Drop-exact-duplicates as a row filter (keep min doc_id per
     // content hash) — the keep-side complement of q20.
     ("q42_drop_exact_dups",

@@ -23,8 +23,12 @@ object ScalingBench {
     * already-materialized corpus: coordinate pipeline first, bytes
     * attached last via the winners-built shuffled-hash join (the
     * corpus side is phash-bucketed — no exchange, no sort of bytes). */
-  def flagshipDF(spark: SparkSession, corpus: DataFrame): DataFrame =
-    Pipeline.attachBytes(corpus, coordinateDF(corpus), shuffleHashWinners = true)
+  def flagshipDF(
+      spark: SparkSession,
+      corpus: DataFrame,
+      expectedRows: Option[Long] = None): DataFrame =
+    Pipeline.attachBytes(
+      corpus, coordinateDF(corpus, expectedRows), shuffleHashWinners = true)
 
   /** Order-independent parity hash over the full output: bit_xor of
     * xxhash64(z, x, y, data, caption). Every payload byte flows through
@@ -56,12 +60,13 @@ object ScalingBench {
     * of the engine lives; the payload stage it excludes is a
     * zero-shuffle scan->probe->hash stream whose single-host
     * throughput is DRAM-bandwidth-bound (see BASELINE.md). */
-  def coordinateDF(corpus: DataFrame): DataFrame = {
+  def coordinateDF(corpus: DataFrame, expectedRows: Option[Long] = None): DataFrame = {
     val bpAll = BoundingPyramid.full(Zooms.min, Zooms.max)
     val bp = BoundingPyramid(
       scala.collection.immutable.SortedMap(
         bpAll.bounds.filter { case (z, _) => Zooms.contains(z) }.toSeq: _*))
-    TileFunctions.regionSemiJoin(Pipeline.tileWinners(corpus, Zooms), bp)
+    TileFunctions.regionSemiJoin(
+      Pipeline.tileWinners(corpus, Zooms, expectedRows = expectedRows), bp)
   }
 
   def runAt(
@@ -108,18 +113,18 @@ object ScalingBench {
       // The timed action is the parity aggregate: xxhash64(data) per
       // output tile forces the full render path (a bare count() would
       // let Catalyst prune the byte-carrying join out of the plan).
-      parityHash(flagshipDF(spark, corpus)) // warm-up, untimed
+      parityHash(flagshipDF(spark, corpus, Some(corpusRows))) // warm-up, untimed
       var best = Double.MaxValue
       var parity = 0L
       for (i <- 0 until iters) {
         val t0 = System.nanoTime()
-        parity = parityHash(flagshipDF(spark, corpus))
+        parity = parityHash(flagshipDF(spark, corpus, Some(corpusRows)))
         val secs = (System.nanoTime() - t0) / 1e9
         if (sys.env.contains("GRAFT_SCALE_DEBUG"))
           println(f"[scale] iter $i: $secs%.2fs")
         best = math.min(best, secs)
       }
-      val tiles = flagshipDF(spark, corpus).count()
+      val tiles = flagshipDF(spark, corpus, Some(corpusRows)).count()
       RunResult(cpus, best, tiles, parity, corpusRows * Zooms.size / best, coordBest)
     } finally {
       spark.stop()

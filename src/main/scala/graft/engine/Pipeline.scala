@@ -118,10 +118,31 @@ object Pipeline {
       corpus: DataFrame,
       zooms: Seq[Int],
       grid: QuadTileGrid = TileGrids.Google,
-      region: Option[BoundingPyramid] = None): DataFrame = {
+      region: Option[BoundingPyramid] = None,
+      expectedRows: Option[Long] = None): DataFrame = {
     val zs = zooms.distinct.sorted
     require(zs.nonEmpty && zs.last <= 30 && zs.head >= 0, s"zooms out of range: $zooms")
     val zMax = zs.last
+    // Strategy auto-selection: the rollup's second exchange carries the
+    // DEEP WINNER set — a win exactly when the deep aggregation dedups
+    // (points-per-deep-tile >> 0, i.e. points >= ~4^zMax/4: at 10^12
+    // points vs 16.7M z12 tiles that is a 1000x shuffle cut). Below
+    // that density the deep level barely dedups, so the rollup just
+    // adds a sequential exchange — the single-pass direct form is
+    // faster. Both forms are bit-identical (PipelineSpec), so this is
+    // purely a physical choice. Callers that know their corpus size
+    // pass `expectedRows`; otherwise the optimizer's estimate of the
+    // phash projection decides (rowCount when CBO has it, else a
+    // sizeInBytes heuristic — crude, but only performance hangs on it).
+    val estRows: Long = expectedRows.getOrElse {
+      val plan = corpus.select("phash").queryExecution.optimizedPlan
+      plan.stats.rowCount
+        .map(_.min(BigInt(Long.MaxValue)).toLong)
+        .getOrElse((plan.stats.sizeInBytes / 12).min(BigInt(Long.MaxValue)).toLong)
+    }
+    val denseDeep = estRows >= (1L << (2 * math.min(zMax, 30))) / 4
+    if (zs.size == 1 || !denseDeep)
+      return tileWinnersDirect(corpus, zooms, grid, region)
     val pts = withPoints(corpus.select("phash"), grid)
     val deep = pts
       .select(
@@ -132,16 +153,13 @@ object Pipeline {
         col("phash"))
       .groupBy("cell")
       .agg(min("phash").as("win_phash"), count(lit(1)).as("img_count"))
-    val rolled =
-      if (zs.size == 1) deep
-      else
-        deep
-          .select(
-            explode(array(zs.map(z =>
-              shiftR(col("cell"), lit(2 * (zMax - z)))): _*)).as("cell"),
-            col("win_phash"), col("img_count"))
-          .groupBy("cell")
-          .agg(min("win_phash").as("win_phash"), sum("img_count").as("img_count"))
+    val rolled = deep
+      .select(
+        explode(array(zs.map(z =>
+          shiftR(col("cell"), lit(2 * (zMax - z)))): _*)).as("cell"),
+        col("win_phash"), col("img_count"))
+      .groupBy("cell")
+      .agg(min("win_phash").as("win_phash"), sum("img_count").as("img_count"))
     val out = rolled.select(
       TileFunctions.cellZ(col("cell")).as("z"),
       TileFunctions.cellX(col("cell")).as("x"),

@@ -200,6 +200,49 @@ object TileFunctions {
     levels.reduceLeft(_ unionAll _)
   }
 
+  /** printf-template layout as codegen column concat (reference
+    * layout/template.py:9-37): the driver splits the template on its
+    * `%(x)d/%(y)d/%(z)d` placeholders once; per row only the coord
+    * casts run. Bit-exact vs core.TemplateTileLayout.filename. */
+  def templateUrl(
+      layout: graft.core.TemplateTileLayout,
+      z: Column,
+      x: Column,
+      y: Column): Column = {
+    val Placeholder = """%\(([xyz])\)d""".r
+    val parts = Seq.newBuilder[Column]
+    var idx = 0
+    for (m <- Placeholder.findAllMatchIn(layout.template)) {
+      if (m.start > idx) parts += lit(layout.template.substring(idx, m.start))
+      parts += (m.group(1) match {
+        case "z" => z.cast("string")
+        case "x" => x.cast("string")
+        case "y" => y.cast("string")
+      })
+      idx = m.end
+    }
+    if (idx < layout.template.length)
+      parts += lit(layout.template.substring(idx))
+    concat(parts.result(): _*)
+  }
+
+  /** Mirror-layout URL chooser (reference store/url.py:34 picks one of
+    * several equivalent tile-server layouts per coord): deterministic
+    * selection by the engine's consistent tile hash — same spreading
+    * contract, engine-stable hash (the reference uses Python's
+    * process-seeded object hash, which is not reproducible across
+    * runs; a deterministic hash is strictly better for lineage). */
+  def mirrorUrl(
+      layouts: Seq[graft.core.TemplateTileLayout],
+      z: Column,
+      x: Column,
+      y: Column): Column = {
+    require(layouts.nonEmpty, "mirrorUrl needs at least one layout")
+    element_at(
+      array(layouts.map(l => templateUrl(l, z, x, y)): _*),
+      (pmod(tcHash(z, x, y), lit(layouts.size.toLong)) + 1).cast("int"))
+  }
+
   /** OSM path `z/x/y` (reference layout/osm.py). */
   def osmPath(z: Column, x: Column, y: Column): Column =
     concat_ws("/", z, x, y)

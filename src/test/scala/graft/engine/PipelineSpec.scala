@@ -125,10 +125,14 @@ class PipelineSpec extends SparkTestBase {
     val phashes = s.range(5000).select(xxhash64(col("id")).as("phash"))
     val region = graft.core.BoundingPyramid.fromString("4/8/5:+3/+1/+1")
     val cases = Seq(
+      // deep zooms: 5000 rows is sparse at z12 -> auto-selects direct
       (Seq(4, 5, 6, 7, 8, 9, 10, 11, 12), None),
       (Seq(0), None),
       (Seq(3, 7), None), // non-contiguous zoom list
       (Seq(12), None),
+      // shallow zooms: 5000 rows >= 4^6/4 -> auto-selects the ROLLUP
+      (Seq(2, 3, 4, 5, 6), None),
+      (Seq(1, 4), None),
       (Seq(4, 5, 6, 7), Some(region)))
     for ((zooms, reg) <- cases) {
       def toSet(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>

@@ -205,6 +205,28 @@ class TileFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("templateUrl/mirrorUrl match core TemplateTileLayout and spread by tile hash") {
+    val a = graft.core.TemplateTileLayout("https://a.tiles.example/%(z)d/%(x)d/%(y)d.png")
+    val b = graft.core.TemplateTileLayout("https://b.tiles.example/%(z)d/%(x)d/%(y)d.png")
+    val got = df
+      .select(
+        col("z"), col("x"), col("y"),
+        TileFunctions.templateUrl(a, col("z"), col("x"), col("y")).as("u"),
+        TileFunctions.mirrorUrl(Seq(a, b), col("z"), col("x"), col("y")).as("m"))
+      .collect()
+    got.foreach { r =>
+      val tc = TileCoord(r.getInt(0), r.getLong(1), r.getLong(2))
+      assert(r.getString(3) == a.filename(tc, Map.empty))
+      // selection follows the consistent tile hash (url.py:34 contract)
+      val expected =
+        if (Math.floorMod((tc.x << tc.z) ^ tc.y, 2L) == 0L) a.filename(tc, Map.empty)
+        else b.filename(tc, Map.empty)
+      assert(r.getString(4) == expected)
+    }
+    // both mirrors actually used
+    assert(got.map(_.getString(4).charAt(8)).toSet == Set('a', 'b'))
+  }
+
   test("tc_cellid <-> tc_cellz/cellx/celly round-trip in SQL") {
     val rows = spark.sql(
       """SELECT z, x, y,
