@@ -1032,6 +1032,26 @@ object GraftQueries {
         |SELECT b.z, b.x, b.y, h.data, CAST(b.d AS INT) AS d
         |FROM best b JOIN hits h ON h.z = b.z AND h.x = b.x AND h.y = b.y AND h.d = b.d""".stripMargin)),
 
+    // REAL video (MP4) container metadata over synthesized clips: the
+    // oracle pins each deterministic clip's duration (mvhd timescale
+    // math) and frame count (stsz) — container parse is real, only
+    // pixel decode has no in-JVM codec.
+    ("q45_video_meta",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val media = s.range(100)
+          .map(i => (f"vid$i%06d",
+            graft.multimodal.Multimodal.synthMp4((10 + (i % 7) * 3).toInt)))
+          .toDF("media_id", "bytes")
+        graft.multimodal.Multimodal.videoMeta(media)
+          .select("media_id", "duration_ms", "timescale", "frame_count")
+      },
+      Some("""SELECT printf('vid%06d', g.i) AS media_id,
+        |  ((10 + (g.i % 7) * 3) * 20 * 1000) // 600 AS duration_ms,
+        |  CAST(600 AS BIGINT) AS timescale,
+        |  CAST(10 + (g.i % 7) * 3 AS INT) AS frame_count
+        |FROM generate_series(0, 99) g(i)""".stripMargin)),
+
     // Drop-exact-duplicates as a row filter (keep min doc_id per
     // content hash) — the keep-side complement of q20.
     ("q42_drop_exact_dups",

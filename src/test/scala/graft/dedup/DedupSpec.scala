@@ -212,6 +212,28 @@ class DedupSpec extends SparkTestBase {
     val frames = Multimodal.frameSampleStub(media, everyK = 5).collect()
     assert(frames.nonEmpty)
     assert(frames.forall(r => r.getAs[Long]("offset") == r.getAs[Int]("frame_idx").toLong * 64))
+
+    // REAL MP4 container parse: duration/timescale from mvhd, true
+    // frame byte ranges from stsz/stco; junk -> error column
+    val vids = Seq(
+      ("v90", Multimodal.synthMp4(90, frameSize = 100)),
+      ("junk", Array[Byte](0, 0, 0, 1))).toDF("media_id", "bytes")
+    val vm = Multimodal.videoMeta(vids).collect()
+      .map(r => r.getAs[String]("media_id") -> r).toMap
+    assert(vm("v90").getAs[Long]("duration_ms") == 3000L) // 90 * 20 / 600 s
+    assert(vm("v90").getAs[Long]("timescale") == 600L)
+    assert(vm("v90").getAs[Int]("frame_count") == 90)
+    assert(vm("junk").getAs[String]("error") != null)
+    val fs = Multimodal.mp4FrameSample(vids.where(col("media_id") === "v90"), everyK = 30)
+      .collect().sortBy(_.getAs[Int]("frame_idx"))
+    assert(fs.map(_.getAs[Int]("frame_idx")).toSeq == Seq(0, 30, 60))
+    // mdat payload starts at 24 (ftyp 16 + mdat header 8); frames are 100 B
+    assert(fs.map(_.getAs[Long]("offset")).toSeq == Seq(24L, 3024L, 6024L))
+    assert(fs.forall(_.getAs[Int]("length") == 100))
+    // slice the raw bytes at the reported range: matches the synth pattern
+    val raw = Multimodal.synthMp4(90, frameSize = 100)
+    val f30 = raw.slice(3024, 3124)
+    assert(f30.sameElements(Array.tabulate(100)(j => ((3000 + j) % 251).toByte)))
   }
 }
 
