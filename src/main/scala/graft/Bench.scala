@@ -81,6 +81,10 @@ object Bench {
       .mode("overwrite")
       .bucketBy(buckets, "phash")
       .sortBy("phash")
+      // image payloads are PNG/JPEG — already entropy-coded; a storage
+      // codec on top buys no space and taxes every scan. At 100 TB the
+      // same reasoning says: store media columns uncompressed
+      .option("compression", "uncompressed")
       .format("parquet")
       .saveAsTable(table)
     spark.table(table)

@@ -255,7 +255,7 @@ object ScalingBench {
          || tiles assigned+joined /s @ N | ${f"${rN.throughput}%.1f"} | local[$n], shuffle.partitions=$n, ActiveProcessorCount=$n, ${n}*MEM_PER_CORE heap, taskset 0-${n - 1} |
          || tiles assigned+joined /s @ 4N | ${f"${r4N.throughput}%.1f"} | local[$n4], shuffle.partitions=$n4, ActiveProcessorCount=$n4, ${n4}*MEM_PER_CORE heap, taskset 0-${n4 - 1} |
          || scaling efficiency, full job (incl. DRAM-bound payload stream) | ${f"$efficiency%.3f"} | same input, ${rowsUsed * Zooms.size} assigned rows |
-         || payload stage ISOLATED (bare scan + xxhash64, ZERO engine ops) | 0.71 (8.62 s @ 4 -> 3.03 s @ 16) | tools/PayloadScale — the non-scaling component contains no engine code |
+         || payload stage ISOLATED (bare scan + xxhash64, ZERO engine ops) | 0.68 (6.89 s @ 4 -> 2.53 s @ 16, uncompressed table) | tools/PayloadScale — the non-scaling component contains no engine code |
          || output parity (order-independent hash) | ${if (parityOk) "IDENTICAL" else "MISMATCH"} (${rN.parity}) | bit_xor(xxhash64(z,x,y,data,caption)) |
          || full-job wall seconds @ N / @ 4N | ${f"${rN.secs}%.2f"} / ${f"${r4N.secs}%.2f"} | |
          |

@@ -16,6 +16,37 @@ object Filters {
   def dropErrors(df: DataFrame): DataFrame =
     df.where(col("error").isNull)
 
+  /** RateLimit (reference filter/rate.py:6-23): cap rows/second by
+    * sleeping, exactly the reference's schedule (first row free, row k
+    * released no earlier than start + k/rate) made PARTITION-LOCAL —
+    * the only meaningful scope for wall-clock state in a distributed
+    * job. With P concurrently-running partitions the aggregate ceiling
+    * is P * perPartitionHz; size accordingly (or cap source ingestion
+    * with maxFilesPerTrigger, the usual batch/streaming knob — this
+    * operator exists for sink-protection parity with the reference). */
+  def rateLimit(df: DataFrame, perPartitionHz: Double): DataFrame = {
+    require(perPartitionHz > 0, s"rate must be positive: $perPartitionHz")
+    val schema = df.schema
+    df.mapPartitions { it =>
+      new Iterator[org.apache.spark.sql.Row] {
+        private var start = -1L
+        private var count = 0L
+        def hasNext: Boolean = it.hasNext
+        def next(): org.apache.spark.sql.Row = {
+          if (start < 0) start = System.nanoTime()
+          else {
+            count += 1
+            val releaseAt = start + (count * 1e9 / perPartitionHz).toLong
+            val waitNanos = releaseAt - System.nanoTime()
+            if (waitNanos > 0)
+              Thread.sleep(waitNanos / 1000000L, (waitNanos % 1000000L).toInt)
+          }
+          it.next()
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** Side-collect errored tiles (reference filter/error.py:7-16): the
     * stream splits instead of mutating driver state. */
   def collectErrors(df: DataFrame): (DataFrame, DataFrame) =

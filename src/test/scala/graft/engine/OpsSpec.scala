@@ -173,6 +173,21 @@ class OpsSpec extends SparkTestBase {
     assert(md("minzoom") == "2" && md("maxzoom") == "5" && md("name") == "t")
   }
 
+  test("rateLimit enforces the reference release schedule per partition") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 10).map(i => (i, s"t$i")).toDF("id", "v").coalesce(1)
+    // row k releases at start + k/rate: 9 paid rows at 50 Hz >= 180 ms
+    val t0 = System.nanoTime()
+    assert(Filters.rateLimit(df, 50.0).count() == 10)
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(elapsedMs >= 150.0, s"rate limit not enforced: $elapsedMs ms")
+    // rows and content flow through unchanged
+    val out = Filters.rateLimit(df, 100000.0).collect().map(_.getInt(0)).sorted
+    assert(out.toSeq == (1 to 10))
+    intercept[IllegalArgumentException](Filters.rateLimit(df, 0.0))
+  }
+
   test("checkpoint report aggregates a known metrics fixture per stage") {
     val s = spark
     import s.implicits._
