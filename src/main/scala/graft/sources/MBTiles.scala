@@ -62,6 +62,63 @@ object MBTiles {
       case Seq(TextValue(k), TextValue(v)) => k -> v
     }.toMap
 
+  /** DISTRIBUTED mbtiles export: one `.mbtiles` archive per partition
+    * under `dir` (`part-NNNNN.mbtiles`), each written executor-side by
+    * the pure-JVM codec — the scale-out form the reference's single
+    * sqlite connection cannot express (its writer IS a serialization
+    * point). Rows are sorted within partitions so each archive's
+    * b-tree packs in rowid order; per-archive metadata carries the
+    * partition's own zoom range plus the shared entries. Read the
+    * shards back with [[read]] (or `Stores.open("mbtiles://dir")`). */
+  def writeSharded(
+      tiles: DataFrame,
+      dir: String,
+      metadata: Map[String, String] = Map.empty,
+      tilecoordInTopleft: Boolean = false): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val row =
+      if (tilecoordInTopleft) col("y")
+      else graft.sql.TileFunctions.pow2(col("z")) - col("y") - 1L
+    tiles
+      .select(
+        col("z").cast("long").as("z"),
+        col("x").cast("long").as("x"),
+        row.cast("long").as("row"),
+        col("data"))
+      .sortWithinPartitions("z", "x", "row")
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          var rowid = 0L
+          var minZ = Long.MaxValue
+          var maxZ = Long.MinValue
+          val tileRows = it.map { r =>
+            rowid += 1
+            minZ = math.min(minZ, r.getLong(0))
+            maxZ = math.max(maxZ, r.getLong(0))
+            TableRow(rowid, encodeRecord(Seq(
+              IntValue(r.getLong(0)), IntValue(r.getLong(1)), IntValue(r.getLong(2)),
+              Option(r.getAs[Array[Byte]]("data")).map(BlobValue).getOrElse(NullValue))))
+          }.toArray // metadata needs the partition's zoom range first
+          val metaRows = (metadata ++ Map(
+            "minzoom" -> minZ.toString, "maxzoom" -> maxZ.toString))
+            .toSeq.sortBy(_._1).zipWithIndex
+            .map { case ((k, v), i) =>
+              TableRow(i + 1L, encodeRecord(Seq(TextValue(k), TextValue(v))))
+            }
+          writeDatabase(
+            new java.io.File(dir, f"part-$pid%05d.mbtiles").getPath,
+            Seq(
+              Table("metadata", "CREATE TABLE metadata (name text, value text)",
+                metaRows.iterator),
+              Table("tiles",
+                "CREATE TABLE tiles (zoom_level integer, tile_column integer, " +
+                  "tile_row integer, tile_data blob)",
+                tileRows.iterator)))
+        }
+      }
+  }
+
   /** Write one `.mbtiles` archive from a tile relation. Rows stream
     * through the driver in (z, x, tms_row) order (sequential rowids =
     * packed b-tree leaves); payload blobs never accumulate in driver

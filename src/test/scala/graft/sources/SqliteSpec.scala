@@ -83,6 +83,31 @@ class SqliteSpec extends SparkTestBase {
     assert(meta("minzoom") == "6" && meta("maxzoom") == "6")
   }
 
+  test("sharded write: one archive per partition, distributed read recovers all") {
+    val s = spark
+    import s.implicits._
+    val n = 600
+    val tiles = (0 until n).map { i =>
+      (4 + i % 3, (i % 40).toLong, (i / 40).toLong, tileBytes(i))
+    }.toDF("z", "x", "y", "data")
+    val dir = tmp() + "/shards"
+    MBTiles.writeSharded(tiles.repartition(3), dir, Map("name" -> "sh"))
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".mbtiles"))
+    assert(files.length == 3, s"expected 3 shards, got ${files.length}")
+    val back = MBTiles.read(spark, dir)
+    assert(back.count() == n)
+    val got = back.collect()
+      .map(r => (r.getAs[Int]("z"), r.getAs[Long]("x"), r.getAs[Long]("y"))).toSet
+    val want = (0 until n).map(i => (4 + i % 3, (i % 40).toLong, (i / 40).toLong)).toSet
+    assert(got == want)
+    // each shard is a genuine SQLite db with its own zoom-range metadata
+    python3.foreach { py =>
+      val (c, out) = run(Seq(py, "tools/mbtiles_oracle.py", "check", files.head.getPath))
+      assert(c == 0 && out.startsWith("integrity:ok"), out.take(300))
+      assert(out.linesIterator.exists(_.startsWith("meta:minzoom=")))
+    }
+  }
+
   test("files we write pass real SQLite's integrity_check and dump identically") {
     python3 match {
       case None => cancel("python3 not available for cross-validation")
