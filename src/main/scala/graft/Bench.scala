@@ -120,11 +120,12 @@ object Bench {
       (row.getLong(0), (System.nanoTime() - t0) / 1e9)
     }
     timedRun() // warm-up (JIT + AQE stats) — this box has noisy neighbors
-    val (tiles1, s1) = timedRun()
-    val (_, s2) = timedRun()
-    val (_, s3) = timedRun()
+    // best-of-5: ambient bursts from other tenants double individual
+    // iterations minutes apart (observed 1.9s vs 7.5s for the identical
+    // job); the min over a wider window is the declared discipline
+    val runs = (0 until 5).map(_ => timedRun())
     val assignedRows = corpusRows * zooms.size
-    (assignedRows, tiles1, Seq(s1, s2, s3).min)
+    (assignedRows, runs.head._1, runs.map(_._2).min)
   }
 
   def main(args: Array[String]): Unit = {

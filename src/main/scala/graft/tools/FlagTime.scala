@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.core.BoundingPyramid
+import graft.engine.Pipeline
+import graft.sql.TileFunctions
+
+/** Dev: time the Bench flagship action over the EXISTING corpus table
+  * (no rewrite), many iterations. Args: [iters] [direct|rollup|auto]. */
+object FlagTime {
+  def main(args: Array[String]): Unit = {
+    val iters = if (args.nonEmpty) args(0).toInt else 6
+    val rows = if (args.length > 1) args(1).toLong else 100000L
+    val spark = graft.Bench.mkSession(32)
+    val corpus = graft.Bench.bucketedCorpus(spark, rows) // catalog table: bucketed scan
+    val zooms = (4 to 12).toSeq
+    val bp = BoundingPyramid.full(4, 12)
+    def joined(mode: String) = {
+      val winners = mode match {
+        case "direct" => Pipeline.tileWinnersDirect(corpus, zooms)
+        case _        => Pipeline.tileWinners(corpus, zooms, expectedRows = Some(1L << 40))
+      }
+      Pipeline.attachBytes(
+        corpus, TileFunctions.regionSemiJoin(winners, bp), shuffleHashWinners = true)
+    }
+    def run(mode: String): Double = {
+      val t0 = System.nanoTime()
+      joined(mode)
+        .select(xxhash64(col("z"), col("x"), col("y"), col("data")).as("h"))
+        .agg(count(lit(1)).as("tiles"), expr("bit_xor(h)").as("parity"))
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run("direct"); run("rollup") // warm both
+    // interleave modes so ambient drift hits both equally
+    val ts = (0 until iters).map(_ => (run("direct"), run("rollup")))
+    println(f"[flagtime] rows=$rows direct_best=${ts.map(_._1).min}%.2fs rollup_best=${ts.map(_._2).min}%.2fs " +
+      s"direct=${ts.map(t => f"${t._1}%.2f").mkString(",")} rollup=${ts.map(t => f"${t._2}%.2f").mkString(",")}")
+    spark.stop()
+  }
+}
