@@ -131,35 +131,57 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = mkSession(cpus)
 
-    val (assignedRows, outTiles, flagSecs) = flagship(spark, corpusRowsFor(sfDir))
+    // the flagship gets its OWN SparkSession, stopped before any query
+    // timing starts: round-2 showed that a long-lived session (flagship
+    // corpus table + 45 queries' plans, codegen cache, GC pressure)
+    // inflates later per-query times 2-12x over a fresh JVM on
+    // IDENTICAL code — session-state drift, not engine regressions
+    // (q24 13.2 s in the r2 bench vs 2.9 s fresh).
+    val (assignedRows, outTiles, flagSecs) = {
+      val spark = mkSession(cpus)
+      try flagship(spark, corpusRowsFor(sfDir))
+      finally spark.stop()
+    }
     val throughput = assignedRows / flagSecs
 
-    // best-of-3 with a cache clear before each run: every query is
-    // timed standalone (no reuse of another query's cached relations),
-    // and the min damps this box's noisy-neighbor variance
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        spark.sharedState.cacheManager.clearCache()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+    // best-of-3 with a cache clear before each run, sessions recycled
+    // every `groupSize` queries: standalone timing (no reuse of another
+    // query's cached relations), the min damps noisy-neighbor variance,
+    // and the periodic session restart keeps accumulated driver state
+    // from confounding round-over-round comparisons
+    val groupSize = 8
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .grouped(groupSize)
+      .flatMap { group =>
+        val spark = mkSession(cpus)
+        try
+          group.map { case (name, fn) =>
+            def once(): Double = {
+              spark.sharedState.cacheManager.clearCache()
+              val t0 = System.nanoTime()
+              try { fn(spark, sfDir).count() }
+              catch { case _: Throwable => () }
+              (System.nanoTime() - t0) / 1e9
+            }
+            name -> Seq(once(), once(), once()).min
+          }
+        finally {
+          spark.stop()
+          System.gc()
+        }
       }
-      name -> Seq(once(), once(), once()).min
-    }
+      .toSeq
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"tiles assigned + spatially joined per second","value":${f"$throughput%.1f"},"unit":"tiles/sec","flagship_secs":${f"$flagSecs%.3f"},"assigned_rows":$assignedRows,"out_tiles":$outTiles,"cpus":$cpus,"query_timing":"best_of_3_cold_cache","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"tiles assigned + spatially joined per second","value":${f"$throughput%.1f"},"unit":"tiles/sec","flagship_secs":${f"$flagSecs%.3f"},"assigned_rows":$assignedRows,"out_tiles":$outTiles,"cpus":$cpus,"query_timing":"best_of_3_cold_cache_fresh_session_per_8","flagship_timing":"best_of_5_cold_cache","queries":$qs,"sf":"$sfDir"}"""
     // belt and braces for the driver's parser: the JSON line goes to
     // stdout untagged (build.sbt StdOutOutput) AND to a dedicated file
     println(json)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH/bench_latest.json"), json + "\n")
-    spark.stop()
   }
 }

@@ -686,11 +686,14 @@ object GraftQueries {
         |ORDER BY sim_e6 DESC, id LIMIT 20""".stripMargin)),
 
     // LSH-bucketed embedding near-dup pairs (8 random hyperplanes,
-    // cosine >= 0.4 verification) — the ANN scale path.
+    // cosine >= 0.4 verification) — the ANN scale path. nPlanes is
+    // pinned to 8 because the oracle mirrors that bucket layout; the
+    // library default (nPlanes = 0) auto-sizes planes from the
+    // optimizer's row estimate (Ann.planesForCount).
     ("q29_embed_neardup",
       (s: SparkSession, dir: String) =>
         graft.ann.Ann.nearDupPairs(
-          table(s, dir, "embeddings"), "vec_id", "embedding"),
+          table(s, dir, "embeddings"), "vec_id", "embedding", nPlanes = 8),
       Some(s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
         |b0 AS (SELECT id, e,
         |       $lshBucketSql AS bucket
@@ -761,8 +764,12 @@ object GraftQueries {
         |FROM reach GROUP BY a""".stripMargin
       }),
 
-    // Multimodal plumbing over the generated corpus (no SQL oracle —
-    // driver records the rows-only check; pixel tests cover decode).
+    // Multimodal plumbing over the generated corpus. The corpus is
+    // fully deterministic (64x64 gradients, jpeg on i%10==7 — Corpus
+    // .row), so decoded dimensions and the sniffed content type are
+    // pinnable constants, exactly like q43/q45: the oracle re-derives
+    // them from the generator's arithmetic; the pixel path itself is
+    // covered by ImageSpec.
     ("q30_multimodal_meta",
       (s: SparkSession, dir: String) => {
         val media = graft.engine.Corpus.generate(s, 500).toDF()
@@ -771,11 +778,18 @@ object GraftQueries {
             col("bytes"), map(lit("fmt"), col("fmt")).as("meta"))
         graft.multimodal.Multimodal.imageMeta(media)
       },
-      None),
+      Some("""SELECT printf('img%012d', g.i) AS media_id,
+        |  CAST(64 AS INT) AS w, CAST(64 AS INT) AS h,
+        |  CASE WHEN g.i % 10 = 7 THEN 'image/jpeg' ELSE 'image/png' END
+        |    AS content_type,
+        |  CAST(NULL AS VARCHAR) AS error
+        |FROM generate_series(0, 499) g(i)""".stripMargin)),
 
-    // Convolution image filter over the generated corpus (no SQL
-    // oracle — pixel semantics covered by ImageSpec; driver records the
-    // rows-only check).
+    // Convolution image filter over the generated corpus: every
+    // deterministic synthetic image decodes and convolves cleanly, so
+    // `filtered_ok = TRUE, error = NULL` is a pinned constant per row
+    // (like q37's gzip roundtrip); pixel semantics stay covered by
+    // ImageSpec's PSNR checks.
     ("q33_image_filter",
       (s: SparkSession, dir: String) => {
         val tiles = graft.engine.Corpus.generate(s, 500).toDF()
@@ -790,7 +804,9 @@ object GraftQueries {
             col("data").isNotNull.as("filtered_ok"),
             col("error"))
       },
-      None),
+      Some("""SELECT printf('img%012d', g.i) AS image_id,
+        |  TRUE AS filtered_ok, CAST(NULL AS VARCHAR) AS error
+        |FROM generate_series(0, 499) g(i)""".stripMargin)),
 
     // WMTS GetTile KVP URL building as codegen column concat
     // (reference layout/wmts.py:6-63).

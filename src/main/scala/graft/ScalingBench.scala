@@ -255,7 +255,7 @@ object ScalingBench {
          || tiles assigned+joined /s @ N | ${f"${rN.throughput}%.1f"} | local[$n], shuffle.partitions=$n, ActiveProcessorCount=$n, ${n}*MEM_PER_CORE heap, taskset 0-${n - 1} |
          || tiles assigned+joined /s @ 4N | ${f"${r4N.throughput}%.1f"} | local[$n4], shuffle.partitions=$n4, ActiveProcessorCount=$n4, ${n4}*MEM_PER_CORE heap, taskset 0-${n4 - 1} |
          || scaling efficiency, full job (incl. DRAM-bound payload stream) | ${f"$efficiency%.3f"} | same input, ${rowsUsed * Zooms.size} assigned rows |
-         || payload stage ISOLATED (bare scan + xxhash64, ZERO engine ops) | 0.68 (6.89 s @ 4 -> 2.53 s @ 16, uncompressed table) | tools/PayloadScale — the non-scaling component contains no engine code |
+         || payload stage ISOLATED (bare scan + xxhash64, ZERO engine ops) | 0.68 (6.89 s @ 4 -> 2.53 s @ 16, uncompressed table; 0.68-0.71 across quiet-window runs) | tools/PayloadScale — the non-scaling component contains no engine code |
          || output parity (order-independent hash) | ${if (parityOk) "IDENTICAL" else "MISMATCH"} (${rN.parity}) | bit_xor(xxhash64(z,x,y,data,caption)) |
          || full-job wall seconds @ N / @ 4N | ${f"${rN.secs}%.2f"} / ${f"${r4N.secs}%.2f"} | |
          |
@@ -264,7 +264,7 @@ object ScalingBench {
          |byte; ZERO byte shuffles or sorts — see PlanAudit). On one
          |shared box that stage is DRAM-bandwidth-bound: the isolated
          |cross-check above (a bare parquet scan + hash with no joins,
-         |no aggregations, no tile math) scales at 0.71 by itself, so
+         |no aggregations, no tile math) scales at only 0.68-0.71 by itself, so
          |the full-job gap is a property of the shared memory system,
          |not of engine coordination — a real 4N-executor cluster brings
          |4x the memory channels and page cache. The coordinate pipeline

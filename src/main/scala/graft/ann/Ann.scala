@@ -74,31 +74,54 @@ object Ann {
     * SQL oracle): (1) `maxBucketSize` drops buckets whose membership
     * exceeds the cap before the self-join — with fixed planes a hot
     * bucket is quadratic in its size, the same failure mode as an
-    * uncapped LSH band; (2) the plane count should GROW with corpus
-    * size (buckets ~ n / 2^planes; pick nPlanes ~ log2(n) - log2(target
-    * bucket size)), which `planesForCount` computes. */
+    * uncapped LSH band; the cap is a `count(*) OVER (PARTITION BY
+    * bucket)` window riding the same exchange the self-join needs, so
+    * the 8-64 dot products per row run once and the join's second side
+    * reuses the shuffle. (2) the plane count GROWS with corpus size
+    * (buckets ~ n / 2^planes): the default `nPlanes <= 0` sizes planes
+    * from the optimizer's row estimate via [[planesForCount]] — a
+    * 10^9-vector corpus gets ~20 planes / 10^6 buckets where a fixed 8
+    * would leave 4M vectors per bucket, all capped away (correct but
+    * useless output). Pass an explicit positive `nPlanes` to pin the
+    * bucket layout (the oracle-checked form uses 8). */
   def nearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      nPlanes: Int = 8,
+      nPlanes: Int = 0,
       minCosineE6: Long = 400000L,
       dim: Int = 64,
       maxBucketSize: Long = 1000L): DataFrame = {
-    val pls = planes(dim, nPlanes)
+    val np =
+      if (nPlanes > 0) nPlanes
+      else {
+        // same stats-estimate-driven strategy pick as Pipeline.tileWinners:
+        // CBO row count when available, else a bytes/row heuristic over
+        // the projected columns (id 8B + dim floats); only performance
+        // hangs on the estimate, never correctness
+        val plan = df.select(idCol, vecCol).queryExecution.optimizedPlan
+        val est = plan.stats.rowCount
+          .map(_.min(BigInt(Long.MaxValue)).toLong)
+          .getOrElse(
+            (plan.stats.sizeInBytes / (8L + 4L * math.max(dim, 1)))
+              .max(BigInt(1)).min(BigInt(Long.MaxValue)).toLong)
+        math.min(62, planesForCount(est, math.max(maxBucketSize, 1L)))
+      }
+    val pls = planes(dim, np)
     val bucketed = df.select(
       col(idCol).as("id"),
       col(vecCol).as("v"),
       lshBucket(col(vecCol), pls).as("bucket"))
     val capped =
       if (maxBucketSize <= 0) bucketed
-      else {
-        val kept = bucketed.groupBy("bucket")
-          .agg(count(lit(1)).as("bucket_size"))
-          .where(col("bucket_size") <= maxBucketSize)
-          .select("bucket")
-        bucketed.join(kept, Seq("bucket"))
-      }
+      else
+        bucketed
+          .withColumn(
+            "__bucket_size",
+            count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
+          .where(col("__bucket_size") <= maxBucketSize)
+          .drop("__bucket_size")
     capped.as("a")
       .join(
         capped.as("b"),

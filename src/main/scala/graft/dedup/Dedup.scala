@@ -85,13 +85,23 @@ object Dedup {
     * quadratic at corpus scale; capping them keeps candidate counts
     * linear while exact/cheaper paths (exact dedup) still catch the
     * identical-content case. The cap is part of the operator contract,
-    * mirrored in the SQL oracles. */
+    * mirrored in the SQL oracles.
+    *
+    * Implemented as `count(*) OVER (PARTITION BY band, key)` — the
+    * bucket size rides the SAME (band, key) exchange the candidate
+    * self-join needs, so the expensive signature pipeline upstream
+    * executes exactly once: the join's two sides reuse that one
+    * shuffle (ReusedExchange), where the former size-aggregate +
+    * semi-join form re-traversed the whole pipeline per reference
+    * (measured 6-12x on the sf0.1 bench). */
   private def capBuckets(exploded: DataFrame, maxBucketSize: Long): DataFrame = {
     if (maxBucketSize <= 0) return exploded
-    val kept = bandBucketSizes(exploded)
-      .where(col("bucket_size") <= maxBucketSize)
-      .select("band", "key")
-    exploded.join(kept, Seq("band", "key"))
+    exploded
+      .withColumn(
+        "__bucket_size",
+        count(lit(1)).over(Window.partitionBy("band", "key")))
+      .where(col("__bucket_size") <= maxBucketSize)
+      .drop("__bucket_size")
   }
 
   /** Distinct (id, shingle) pairs. */
@@ -264,14 +274,16 @@ object Dedup {
         concat_ws("-", (0 until rows).map(r => col(s"s${b * rows + r}")): _*)
           .as("key"))
     }
-    // cache: the self-join below reads the banded set twice; without it
-    // the whole shingle->minhash pipeline re-executes per join side
+    // no cache needed: capBuckets' window puts a (band, key) exchange
+    // directly under both self-join sides; Spark's exchange reuse runs
+    // the shingle->minhash pipeline once and replays the shuffle files
+    // for the second side (cheaper than a cache at corpus scale — no
+    // storage-memory pin, no unpersist contract)
     val exploded = capBuckets(
       sigs
         .select(col("id"), explode(array(bandCols: _*)).as("bk"))
         .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key")),
       maxBucketSize)
-      .cache()
     exploded.as("a")
       .join(
         exploded.as("b"),
@@ -397,7 +409,17 @@ object Dedup {
     edges.unpersist()
     undirected.unpersist()
     if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"[cc] rounds=$rounds")
-    labels.select(col("id"), col("label").as("cluster_id"))
+    // materialize the converged labels OFF the loop cache before
+    // returning, then release it — otherwise the final round's cached
+    // relation stays pinned in the session's cache manager until
+    // session end (one leaked pin per call). localCheckpoint truncates
+    // the lineage to the materialized blocks, so the returned frame no
+    // longer references the unpersisted cache.
+    val out = labels
+      .select(col("id"), col("label").as("cluster_id"))
+      .localCheckpoint()
+    cachedHandle.unpersist()
+    out
   }
 
   /** 60-bit SimHash: md5-derived word hashes vote per bit position;

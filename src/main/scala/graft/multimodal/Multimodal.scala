@@ -9,10 +9,14 @@ import graft.image.ImageCodec
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-sized batches
   * (the Scala analogue of `mapInPandas` batch UDFs). The image path is
-  * REAL (javax.imageio lives in the JVM); audio/video decoding has no
-  * codec in this container, so those extractors are clearly-marked
-  * deterministic STUBS over a fake header layout — the Spark-side
-  * plumbing (schema, batch shape, partitioning) is real and tested.
+  * REAL (javax.imageio decode/resize), audio metadata is REAL
+  * (javax.sound WAV/AIFF/AU header parsing), and video metadata +
+  * frame byte ranges are REAL (a from-scratch parse of the public ISO
+  * BMFF / MP4 box structure — mvhd v0/v1, stsz, stco/co64, stsc).
+  * Only pixel/sample DECODE of audio-compressed and video streams
+  * stays out of scope (no such codec exists in this container);
+  * [[frameSampleStub]] remains as the documented fallback shape for
+  * containers with no in-JVM parser.
   */
 object Multimodal {
 
@@ -139,15 +143,18 @@ object Multimodal {
 
   // ------------------------------------------------------------------ //
   // REAL MP4 container parsing (pure bytes, public ISO BMFF box
-  // structure — no codec): duration/timescale from mvhd, true per-frame
-  // byte offsets and sizes from the stbl tables (stsz/stco/stsc with
-  // single-chunk layouts). Only pixel DECODE stays out of scope (no
-  // video codec in this container).
+  // structure — no codec): duration/timescale from mvhd (v0 and v1),
+  // true per-frame byte offsets and sizes from the stbl tables (stsz +
+  // stco/co64 + stsc multi-chunk layouts). Only pixel DECODE stays out
+  // of scope (no video codec in this container).
   // ------------------------------------------------------------------ //
 
   private def be32(b: Array[Byte], p: Int): Long =
     ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
       ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+
+  private def be64(b: Array[Byte], p: Int): Long =
+    (be32(b, p) << 32) | be32(b, p + 4)
 
   /** Walk top-level or nested boxes, returning (type -> (payloadOffset,
     * payloadLen)) for the FIRST occurrence of each type in the range. */
@@ -186,19 +193,51 @@ object Multimodal {
       timescale: Long,
       durationMs: Long,
       frameSizes: Array[Long],
-      chunkOffsets: Array[Long])
+      chunkOffsets: Array[Long],
+      samplesPerChunk: Array[Int]) {
+
+    /** Absolute byte offset of every sample: each chunk's samples pack
+      * sequentially from the chunk base (stsc run-lengths decide how
+      * many samples each chunk holds; a surplus in the final mapping —
+      * legal per spec — leaves the tail samples in the last chunk). */
+    def sampleOffsets: Array[Long] = {
+      val out = new Array[Long](frameSizes.length)
+      var chunk = 0
+      var inChunk = 0
+      var off = if (chunkOffsets.nonEmpty) chunkOffsets(0) else 0L
+      var i = 0
+      while (i < frameSizes.length) {
+        if (chunk < chunkOffsets.length - 1 &&
+            inChunk >= samplesPerChunk(chunk)) {
+          chunk += 1
+          inChunk = 0
+          off = chunkOffsets(chunk)
+        }
+        out(i) = off
+        off += frameSizes(i)
+        inChunk += 1
+        i += 1
+      }
+      out
+    }
+  }
 
   /** Parse the tables a frame sampler needs. Fails (throws) on files
     * without a parseable moov/stbl — callers surface that in the error
-    * column. Version-0 boxes only (32-bit times/offsets), which covers
-    * the overwhelming majority of short clips; co64/v1 raise. */
+    * column. Handles mvhd versions 0 (32-bit times) and 1 (64-bit),
+    * 32-bit (stco) and 64-bit (co64) chunk offset tables, and
+    * multi-chunk sample layouts via stsc run-length mapping (a missing
+    * stsc means the single-chunk layout: every sample in chunk 0). */
   def parseMp4(b: Array[Byte]): Mp4Info = {
     val (mvOff, _) = findBox(b, Seq("moov", "mvhd"))
       .getOrElse(throw new IllegalArgumentException("no moov/mvhd box"))
     val version = b(mvOff.toInt) & 0xff
-    require(version == 0, s"mvhd version $version unsupported (v0 only)")
-    val timescale = be32(b, mvOff.toInt + 12)
-    val duration = be32(b, mvOff.toInt + 16)
+    require(version == 0 || version == 1, s"mvhd version $version unsupported")
+    // v0: flags(4) creation(4) modification(4) timescale(4) duration(4)
+    // v1: flags(4) creation(8) modification(8) timescale(4) duration(8)
+    val (timescale, duration) =
+      if (version == 0) (be32(b, mvOff.toInt + 12), be32(b, mvOff.toInt + 16))
+      else (be32(b, mvOff.toInt + 20), be64(b, mvOff.toInt + 24))
     val stblPath = Seq("moov", "trak", "mdia", "minf", "stbl")
     val (szOff, _) = findBox(b, stblPath :+ "stsz")
       .getOrElse(throw new IllegalArgumentException("no stsz box"))
@@ -207,12 +246,41 @@ object Multimodal {
     val sizes =
       if (uniform != 0) Array.fill(count)(uniform)
       else Array.tabulate(count)(i => be32(b, szOff.toInt + 12 + 4 * i))
-    val (coOff, _) = findBox(b, stblPath :+ "stco")
-      .getOrElse(throw new IllegalArgumentException("no stco box (co64 unsupported)"))
-    val nChunks = be32(b, coOff.toInt + 4).toInt
-    val chunks = Array.tabulate(nChunks)(i => be32(b, coOff.toInt + 8 + 4 * i))
+    val chunks = findBox(b, stblPath :+ "stco") match {
+      case Some((coOff, _)) =>
+        val n = be32(b, coOff.toInt + 4).toInt
+        Array.tabulate(n)(i => be32(b, coOff.toInt + 8 + 4 * i))
+      case None =>
+        val (coOff, _) = findBox(b, stblPath :+ "co64")
+          .getOrElse(throw new IllegalArgumentException("no stco/co64 box"))
+        val n = be32(b, coOff.toInt + 4).toInt
+        Array.tabulate(n)(i => be64(b, coOff.toInt + 8 + 8 * i))
+    }
+    // stsc: (first_chunk 1-based, samples_per_chunk, desc_idx) runs;
+    // expand to one entry per chunk. Absent table (or no chunks) =
+    // everything in the first chunk.
+    val spc: Array[Int] = findBox(b, stblPath :+ "stsc") match {
+      case Some((scOff, _)) if chunks.nonEmpty =>
+        val n = be32(b, scOff.toInt + 4).toInt
+        val runs = Array.tabulate(n) { i =>
+          val p = scOff.toInt + 8 + 12 * i
+          (be32(b, p).toInt, be32(b, p + 4).toInt)
+        }
+        val out = new Array[Int](chunks.length)
+        var r = 0
+        var c = 1
+        while (c <= chunks.length) {
+          if (r + 1 < runs.length && c >= runs(r + 1)._1) r += 1
+          out(c - 1) = if (runs.nonEmpty) runs(r)._2 else sizes.length
+          c += 1
+        }
+        out
+      case _ =>
+        if (chunks.isEmpty) Array.empty[Int]
+        else Array.tabulate(chunks.length)(i => if (i == 0) sizes.length else 0)
+    }
     val durMs = if (timescale > 0) duration * 1000L / timescale else -1L
-    Mp4Info(timescale, durMs, sizes, chunks)
+    Mp4Info(timescale, durMs, sizes, chunks, spc)
   }
 
   val videoMetaSchema: StructType = StructType(Seq(
@@ -241,10 +309,11 @@ object Multimodal {
   }
 
   /** REAL MP4 frame sampling: every k-th frame's TRUE byte range from
-    * stsz/stco (single-chunk layout: offsets are the chunk base plus
-    * the cumulative sizes of preceding samples). The returned (offset,
-    * length) slices address the raw sample bytes — the decode step
-    * (absent codec) is the only remaining stub in the pipeline. */
+    * stsz + stco/co64 + stsc (samples pack sequentially within each
+    * chunk; the stsc run-length table maps samples to chunks). The
+    * returned (offset, length) slices address the raw sample bytes —
+    * the decode step (absent codec) is the only remaining stub in the
+    * pipeline. */
   def mp4FrameSample(media: DataFrame, everyK: Int = 30): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", StringType),
@@ -259,10 +328,7 @@ object Multimodal {
         val id = r.getString(idIdx)
         try {
           val info = parseMp4(r.getAs[Array[Byte]](bIdx))
-          require(
-            info.chunkOffsets.length == 1,
-            s"multi-chunk sampling not implemented (${info.chunkOffsets.length} chunks)")
-          val offsets = info.frameSizes.scanLeft(info.chunkOffsets(0))(_ + _)
+          val offsets = info.sampleOffsets
           (0 until info.frameSizes.length by everyK).map { f =>
             Row(id, f, offsets(f), info.frameSizes(f).toInt, null)
           }
@@ -275,8 +341,22 @@ object Multimodal {
 
   /** Deterministic minimal valid MP4 (ftyp + mdat + moov with
     * mvhd/trak/mdia/minf/stbl tables) for tests — frame payloads are
-    * seeded byte runs; single chunk, per-sample sizes. */
-  def synthMp4(frames: Int, frameSize: Int = 64, timescale: Long = 600L, frameDur: Long = 20L): Array[Byte] = {
+    * seeded byte runs. Variants cover the real-world container
+    * dialects the parser must handle: `mvhdVersion = 1` emits 64-bit
+    * times, `co64 = true` emits 64-bit chunk offsets, and `nChunks > 1`
+    * splits the samples across chunks with an stsc run-length map
+    * (runs are compressed exactly as the spec requires). */
+  def synthMp4(
+      frames: Int,
+      frameSize: Int = 64,
+      timescale: Long = 600L,
+      frameDur: Long = 20L,
+      mvhdVersion: Int = 0,
+      co64: Boolean = false,
+      nChunks: Int = 1,
+      chunkGap: Int = 0): Array[Byte] = {
+    require(mvhdVersion == 0 || mvhdVersion == 1, s"mvhd v$mvhdVersion")
+    require(nChunks >= 1 && nChunks <= math.max(frames, 1), s"nChunks $nChunks")
     def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
       val out = new Array[Byte](8 + payload.length)
       val size = out.length.toLong
@@ -298,17 +378,49 @@ object Multimodal {
       }
       out
     }
+    def u64s(vs: Long*): Array[Byte] =
+      vs.flatMap(v => u32s((v >>> 32) & 0xffffffffL, v & 0xffffffffL)).toArray
     val ftyp = box("ftyp", "isomiso2".getBytes("ISO-8859-1"))
-    val frameBytes = Array.tabulate(frames * frameSize)(i => (i % 251).toByte)
-    val mdat = box("mdat", frameBytes)
+    // frame f's payload is the deterministic global run sliced at
+    // [f*frameSize, (f+1)*frameSize); chunks pack those slices
+    // back-to-back with `chunkGap` filler bytes BETWEEN chunks (a
+    // non-zero gap makes chunk bases disagree with naive cumulative
+    // sizes — exactly what exercises the stsc/stco mapping)
+    val allFrames = Array.tabulate(frames * frameSize)(i => (i % 251).toByte)
+    val spc = Array.tabulate(nChunks)(i =>
+      frames / nChunks + (if (i < frames % nChunks) 1 else 0))
     val mdatPayloadOffset = ftyp.length + 8L
+    val payload = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    val chunkOffsets = new Array[Long](nChunks)
+    var frame = 0
+    spc.zipWithIndex.foreach { case (s, ci) =>
+      if (ci > 0 && chunkGap > 0)
+        payload ++= Array.fill(chunkGap)(0xee.toByte)
+      chunkOffsets(ci) = mdatPayloadOffset + payload.length
+      payload ++= allFrames.slice(frame * frameSize, (frame + s) * frameSize)
+      frame += s
+    }
+    val mdat = box("mdat", payload.toArray)
     val duration = frames * frameDur
-    val mvhd = box("mvhd", u32s(0L, 0L, 0L, timescale, duration))
+    val mvhd =
+      if (mvhdVersion == 0) box("mvhd", u32s(0L, 0L, 0L, timescale, duration))
+      else
+        box("mvhd",
+          u32s(1L << 24) ++ u64s(0L, 0L) ++ u32s(timescale) ++ u64s(duration))
     val stsz = box("stsz", u32s((0L +: 0L +: frames.toLong +:
       Array.fill(frames)(frameSize.toLong).toSeq): _*))
-    val stco = box("stco", u32s(0L, 1L, mdatPayloadOffset))
+    val chunkBox =
+      if (co64) box("co64", u32s(0L, nChunks.toLong) ++ u64s(chunkOffsets.toSeq: _*))
+      else box("stco", u32s((0L +: nChunks.toLong +: chunkOffsets.toSeq): _*))
+    val stscRuns = spc.zipWithIndex
+      .foldLeft(Vector.empty[(Long, Long)]) { case (acc, (s, i)) =>
+        if (acc.nonEmpty && acc.last._2 == s.toLong) acc
+        else acc :+ ((i + 1L, s.toLong))
+      }
+    val stsc = box("stsc", u32s((0L +: stscRuns.length.toLong +:
+      stscRuns.flatMap { case (first, s) => Seq(first, s, 1L) }): _*))
     val stts = box("stts", u32s(0L, 1L, frames.toLong, frameDur))
-    val stbl = box("stbl", stsz ++ stco ++ stts)
+    val stbl = box("stbl", stsz ++ chunkBox ++ stsc ++ stts)
     val minf = box("minf", stbl)
     val mdia = box("mdia", minf)
     val trak = box("trak", mdia)

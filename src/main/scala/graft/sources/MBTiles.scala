@@ -40,7 +40,7 @@ object MBTiles {
       .as[(String, Array[Byte])]
       .flatMap { case (archive, bytes) =>
         val db = new Database(bytes)
-        db.rows("tiles").flatMap {
+        db.rows("tiles").map {
           case Seq(IntValue(z), IntValue(x), IntValue(row), blob) =>
             val y = if (tilecoordInTopleft) row else (1L << z) - row - 1
             val data = blob match {
@@ -49,8 +49,14 @@ object MBTiles {
               case other =>
                 throw new IllegalArgumentException(s"tile_data: $other")
             }
-            Some((z.toInt, x, y, data, archive))
-          case _ => None
+            (z.toInt, x, y, data, archive)
+          // fail LOUDLY on foreign-typed archives (writers that store
+          // coordinates as TEXT/REAL): silently dropping rows would
+          // yield a partial relation with no error signal
+          case other =>
+            throw new IllegalArgumentException(
+              s"$archive: tiles row with non-(int,int,int,blob) types: " +
+                other.map(_.getClass.getSimpleName).mkString(", "))
         }
       }
       .toDF("z", "x", "y", "data", "archive")
@@ -69,13 +75,29 @@ object MBTiles {
     * point). Rows are sorted within partitions so each archive's
     * b-tree packs in rowid order; per-archive metadata carries the
     * partition's own zoom range plus the shared entries. Read the
-    * shards back with [[read]] (or `Stores.open("mbtiles://dir")`). */
+    * shards back with [[read]] (or `Stores.open("mbtiles://dir")`).
+    *
+    * The destination resolves through the Hadoop FileSystem API inside
+    * each task (driver conf shipped as plain entries — no dependence
+    * on Spark-internal classes), so shards land in the SHARED
+    * destination on a real multi-node cluster and `hdfs://` / `s3a://`
+    * / `abfss://` URIs work exactly like every other store — a plain
+    * `java.io.File` write here would scatter shards across executor
+    * local disks. */
   def writeSharded(
       tiles: DataFrame,
       dir: String,
       metadata: Map[String, String] = Map.empty,
       tilecoordInTopleft: Boolean = false): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val hadoopConf = tiles.sparkSession.sparkContext.hadoopConfiguration
+    val confEntries: Array[(String, String)] = {
+      val it = hadoopConf.iterator()
+      val buf = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += (e.getKey -> e.getValue) }
+      buf.result()
+    }
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(hadoopConf).mkdirs(dirPath)
     val row =
       if (tilecoordInTopleft) col("y")
       else graft.sql.TileFunctions.pow2(col("z")) - col("y") - 1L
@@ -106,24 +128,32 @@ object MBTiles {
             .map { case ((k, v), i) =>
               TableRow(i + 1L, encodeRecord(Seq(TextValue(k), TextValue(v))))
             }
-          writeDatabase(
-            new java.io.File(dir, f"part-$pid%05d.mbtiles").getPath,
-            Seq(
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          confEntries.foreach { case (k, v) => conf.set(k, v) }
+          val shard = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.mbtiles")
+          val out = shard.getFileSystem(conf).create(shard, true)
+          try
+            writeDatabase(out, Seq(
               Table("metadata", "CREATE TABLE metadata (name text, value text)",
                 metaRows.iterator),
               Table("tiles",
                 "CREATE TABLE tiles (zoom_level integer, tile_column integer, " +
                   "tile_row integer, tile_data blob)",
                 tileRows.iterator)))
+          finally out.close()
         }
       }
   }
 
   /** Write one `.mbtiles` archive from a tile relation. Rows stream
     * through the driver in (z, x, tms_row) order (sequential rowids =
-    * packed b-tree leaves); payload blobs never accumulate in driver
-    * memory beyond the page buffer. Metadata rows are written first,
-    * with `minzoom`/`maxzoom` derived when absent
+    * packed b-tree leaves) — but the ARCHIVE ITSELF is fully buffered
+    * as 4K pages before the single sequential write (the format's
+    * interior pages and header reference later page numbers; see
+    * [[Sqlite.writeDatabase]]), so a single-archive export is bounded
+    * by driver heap. This is the small-interchange path; use
+    * [[writeSharded]] for corpus-scale output. Metadata rows are
+    * written first, with `minzoom`/`maxzoom` derived when absent
     * (reference set_metadata_zooms, mbtiles.py:135-137). */
   def write(
       tiles: DataFrame,

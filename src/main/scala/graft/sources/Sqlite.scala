@@ -349,6 +349,21 @@ object Sqlite {
 
   /** Write a fresh SQLite database file containing `tables`. */
   def writeDatabase(path: String, tables: Seq[Table]): Unit = {
+    val out = java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path))
+    try writeDatabase(out, tables)
+    finally out.close()
+  }
+
+  /** Write a fresh SQLite database to an already-open stream (caller
+    * closes) — the form executor tasks use to target a Hadoop
+    * FileSystem (HDFS/S3A/ABFSS) destination. The page image is built
+    * fully in memory before the single sequential write: the b-tree
+    * interior pages and the page-1 header both reference page numbers
+    * allocated after them, so the format itself forces either
+    * buffering or a seekable re-patch — an archive is therefore
+    * bounded by the writer's heap (use [[graft.sources.MBTiles
+    * .writeSharded]]'s many-archives form for corpus-scale exports). */
+  def writeDatabase(out: java.io.OutputStream, tables: Seq[Table]): Unit = {
     val pages = new Pages
     val rootPlaceholder = pages.alloc() // page 1: header + sqlite_master
     require(rootPlaceholder == 1)
@@ -392,13 +407,14 @@ object Sqlite {
     putU32(p1, 24, 1L) // change counter
     putU32(p1, 28, pages.pages.length.toLong) // db size in pages
     putU32(p1, 40, 1L) // schema cookie
-    putU32(p1, 44, 1L) // schema format number 1
+    // schema format 4: serial types 8/9 (integer 0/1 constants, which
+    // encodeRecord emits) are only legal under format 4+ per
+    // sqlite.org/fileformat2.html §Record Format
+    putU32(p1, 44, 4L)
     putU32(p1, 56, 1L) // text encoding: UTF-8
     putU32(p1, 92, 1L) // version-valid-for == change counter
     putU32(p1, 96, 3045001L) // sqlite version number stamp
-    val out = java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path))
-    try pages.pages.foreach(out.write)
-    finally out.close()
+    pages.pages.foreach(out.write)
   }
 
   // ---------------------------------------------------------------- //

@@ -1,0 +1,19 @@
+package graft.tools
+
+/** Dev: print the FINAL (post-AQE) executed plan of a SparkEntry query
+  * — run the query, then dump `executedPlan` so adaptive stage reuse
+  * (ReusedExchange / table cache hits) is visible. Args: name [sfDir]. */
+object QPlan {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = graft.Bench.mkSession(32)
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    // collect() executes THIS df's plan (count() would wrap it in a new
+    // one), so executedPlan below is the final adaptive plan
+    val n = df.collect().length
+    println(s"=== $name: final adaptive plan (rows=$n) ===")
+    println(df.queryExecution.executedPlan.toString)
+    spark.stop()
+  }
+}

@@ -100,6 +100,33 @@ class DedupSpec extends SparkTestBase {
     assert(Ann.planesForCount(100000L, 1000L) <= 8)
   }
 
+  test("ann: default nearDupPairs auto-sizes planes; candidate volume stays ~linear at 100x") {
+    val s = spark
+    import s.implicits._
+    // deterministic spread-out corpus (no planted dups), SAME generator
+    // at n and 100n; all-pairs acceptance (minCosineE6 = -2e6) so the
+    // output counts exactly the same-bucket candidate volume
+    def candidates(n: Int): Long = {
+      val df = (0 until n).map { i =>
+        (i.toLong, Array.tabulate(16)(d =>
+          math.sin(graft.engine.Corpus.splitmix64(i.toLong * 16 + d).toDouble).toFloat))
+      }.toDF("vec_id", "embedding")
+      Ann.nearDupPairs(
+        df, "vec_id", "embedding", nPlanes = 0, minCosineE6 = -2000000L,
+        dim = 16, maxBucketSize = 200L).count()
+    }
+    // the auto-sizing rule: 100x rows -> more planes -> more buckets
+    assert(Ann.planesForCount(50000L, 200L) > Ann.planesForCount(500L, 200L),
+      "plane count must grow with n")
+    // candidate volume ~linear: pairs-per-row at 100x within a small
+    // factor of pairs-per-row at 1x (a fixed-plane layout would grow
+    // pairs-per-row ~100x; the cap would then discard whole buckets)
+    val perRowSmall = candidates(500).toDouble / 500
+    val perRowBig = candidates(50000).toDouble / 50000
+    assert(perRowBig <= math.max(perRowSmall, 1.0) * 8,
+      s"candidate volume must stay ~linear (per-row $perRowSmall -> $perRowBig)")
+  }
+
   test("cluster labeling: components get min-id labels") {
     val s = spark
     import s.implicits._
@@ -108,10 +135,17 @@ class DedupSpec extends SparkTestBase {
     val out = Dedup.clusters(pairs).collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
-    // force the distributed label-propagation path (the scale branch)
+    // force the distributed label-propagation path (the scale branch);
+    // unpersist contract: the branch must leave NO pinned relations
+    // behind (round-2 leaked the final loop cache per call). Clear the
+    // shared test session's cache first so the assertion scopes to
+    // THIS call.
+    spark.sharedState.cacheManager.clearCache()
     val outDist = Dedup.clusters(pairs, localEdgeLimit = 0L).collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
     assert(outDist == out)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "clusters' distributed branch left cached relations pinned")
     // non-integral ids keep their type (no silent cast-to-null)
     val spairs = Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("da", "db")
     val sout = Dedup.clusters(spairs).collect()
@@ -234,6 +268,39 @@ class DedupSpec extends SparkTestBase {
     val raw = Multimodal.synthMp4(90, frameSize = 100)
     val f30 = raw.slice(3024, 3124)
     assert(f30.sameElements(Array.tabulate(100)(j => ((3000 + j) % 251).toByte)))
+  }
+
+  test("mp4 dialects: mvhd v1, co64, multi-chunk stsc (gapped chunks) parse identically") {
+    import graft.multimodal.Multimodal._
+    // frame f's payload is always the global-run slice [f*fs, (f+1)*fs);
+    // every dialect must report byte ranges that recover exactly it
+    def checkAllFrames(b: Array[Byte], frames: Int, fs: Int): Unit = {
+      val info = parseMp4(b)
+      assert(info.timescale == 600L)
+      assert(info.durationMs == frames * 20L * 1000L / 600L)
+      assert(info.frameSizes.length == frames)
+      val offs = info.sampleOffsets
+      (0 until frames).foreach { f =>
+        val got = b.slice(offs(f).toInt, offs(f).toInt + fs)
+        val want = Array.tabulate(fs)(j => ((f * fs + j) % 251).toByte)
+        assert(got.sameElements(want), s"frame $f at offset ${offs(f)}")
+      }
+    }
+    checkAllFrames(synthMp4(45, frameSize = 80, mvhdVersion = 1), 45, 80)
+    checkAllFrames(synthMp4(45, frameSize = 80, co64 = true), 45, 80)
+    // multi-chunk with NON-CONTIGUOUS chunks: a parser that ignores the
+    // stsc mapping (cumulative sizes from chunk 0) lands in gap bytes
+    checkAllFrames(
+      synthMp4(45, frameSize = 80, nChunks = 4, chunkGap = 33), 45, 80)
+    checkAllFrames(
+      synthMp4(45, frameSize = 80, mvhdVersion = 1, co64 = true,
+        nChunks = 7, chunkGap = 5), 45, 80)
+    // uneven split (45 % 7 != 0) produces a multi-run stsc — confirm the
+    // run-length expansion maps the tail chunks correctly too
+    val info7 = parseMp4(synthMp4(45, frameSize = 80, nChunks = 7, chunkGap = 1))
+    assert(info7.chunkOffsets.length == 7)
+    assert(info7.samplesPerChunk.sum == 45)
+    assert(info7.samplesPerChunk.toSeq == Seq(7, 7, 7, 6, 6, 6, 6))
   }
 }
 
