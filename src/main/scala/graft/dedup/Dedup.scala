@@ -185,7 +185,12 @@ object Dedup {
       minJaccardE6: Long = 500000L,
       maxDocFreq: Long = 1000L): DataFrame = {
     val t = minJaccardE6.toDouble / 1e6
-    val sets = shingleSets(df, idCol, textCol, n, maxDocFreq).cache()
+    // localCheckpoint, not cache: the sets relation (two groupBy
+    // aggregations over the exploded shingle universe) feeds the prefix
+    // self-join AND both scoring joins — materialize it once, with no
+    // cacheManager pin left behind for the caller to leak (same
+    // contract as clusters' distributed branch; blocks free on GC)
+    val sets = shingleSets(df, idCol, textCol, n, maxDocFreq).localCheckpoint()
     val prefixLen = (col("sz") - ceil(lit(t) * col("sz")) + 1).cast("int")
     val prefix = sets.select(
       col("id"), col("sz"),

@@ -1,0 +1,33 @@
+#!/bin/bash
+# Copy-pipeline scaling ladder + kill/resume evidence. Same leg
+# protocol as tools/scaling.sh: each parallelism level in its OWN JVM,
+# taskset-pinned to exactly the emulated core count, APC + heap scaled
+# per leg, legs gated on quiet loadavg windows. Produces
+# BENCH/copy_leg_n{N,4N}.json and BENCH/COPYJOB.md.
+set -e
+cd "$(dirname "$0")/.."
+N="${SPARK_GRAFT_N:-4}"
+N4=$((4 * N))
+ROWS="${SPARK_GRAFT_COPY_ROWS:-800000}"
+PER_CORE="${SPARK_GRAFT_MEM_PER_CORE:-2}"
+
+wait_quiet() {
+  local limit="${SPARK_GRAFT_QUIET_LOAD:-1.5}"
+  for _ in $(seq 1 60); do
+    local la
+    la=$(cut -d' ' -f1 /proc/loadavg)
+    awk -v l="$la" -v t="$limit" 'BEGIN{exit !(l < t)}' && return 0
+    echo "[copy_ladder] loadavg $la >= $limit - waiting for a quiet window"
+    sleep 20
+  done
+  echo "[copy_ladder] WARNING: no quiet window after 20min, measuring anyway"
+}
+
+wait_quiet
+SPARK_DRIVER_MEM="$((N * PER_CORE))g" SPARK_GRAFT_APC=$N \
+  taskset -c "0-$((N - 1))" sbt -batch "runMain graft.tools.CopyLadder leg $N $ROWS n$N"
+wait_quiet
+SPARK_DRIVER_MEM="$((N4 * PER_CORE))g" SPARK_GRAFT_APC=$N4 \
+  taskset -c "0-$((N4 - 1))" sbt -batch "runMain graft.tools.CopyLadder leg $N4 $ROWS n$N4"
+# resume protocol needs no pinning (it asserts correctness, not timing)
+sbt -batch "runMain graft.tools.CopyLadder resume 16 $ROWS"
