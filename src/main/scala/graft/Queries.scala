@@ -1078,7 +1078,76 @@ object GraftQueries {
       Some("""SELECT doc_id, n_chars FROM (
         |  SELECT doc_id, n_chars,
         |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-        |  FROM documents) WHERE rn = 1""".stripMargin))
+        |  FROM documents) WHERE rn = 1""".stripMargin)),
+
+    // IVF SEARCH (the probe half of the ANN index; q35 is the build
+    // half): top-20 cosine among vectors in the query's 2 nearest
+    // coarse lists. Probe-list selection is column math inside the
+    // broadcast query row — no driver collect.
+    ("q46_ivf_search",
+      (s: SparkSession, dir: String) =>
+        graft.ann.Ann.ivfSearch(
+          table(s, dir, "embeddings"), "vec_id", "embedding",
+          ivfCentroids, queryId = 0L, k = 20, nprobe = 2),
+      Some {
+        val dists = ivfCentroids.zipWithIndex.map { case (c, i) =>
+          s"(-2.0 * list_dot_product(e, ${planeLiteral(c)}) + ${c.map(x => x * x).sum}) AS d$i"
+        }.mkString(",\n       ")
+        val m = ivfCentroids.indices.map(i => s"d$i").mkString("least(", ", ", ")")
+        val pick = ivfCentroids.indices
+          .map(i => s"WHEN d$i = m THEN $i").mkString("CASE ", " ", " END")
+        val qdist = ivfCentroids.zipWithIndex.map { case (c, i) =>
+          s"SELECT $i AS list_id, (-2.0 * list_dot_product(qv, ${planeLiteral(c)}) + ${c.map(x => x * x).sum}) AS d2 FROM q"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |d AS (SELECT vec_id,
+        |       $dists
+        |      FROM v),
+        |a AS (SELECT vec_id, $pick AS list_id FROM (SELECT *, $m AS m FROM d)),
+        |q AS (SELECT e AS qv FROM v WHERE vec_id = 0),
+        |qdist AS (
+        |  $qdist),
+        |probe AS (SELECT list_id FROM qdist ORDER BY d2, list_id LIMIT 2)
+        |SELECT a.vec_id AS id, a.list_id, ${cosE6("v.e", "q.qv")} AS sim_e6
+        |FROM a JOIN v USING (vec_id) CROSS JOIN q
+        |WHERE a.list_id IN (SELECT list_id FROM probe) AND a.vec_id <> 0
+        |ORDER BY sim_e6 DESC, id LIMIT 20""".stripMargin
+      }),
+
+    // REAL MP4 frame sampling across container dialects: every 30th
+    // frame's TRUE byte range from stsz + stco/co64 + stsc. Variant 2
+    // uses three NON-CONTIGUOUS chunks (7 filler bytes between), so the
+    // pinned offsets prove the stsc run-length mapping — a parser that
+    // naively accumulates sizes from chunk 0 lands in the gap.
+    ("q47_mp4_frames",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val media = s.range(60)
+          .map { i =>
+            val bytes = (i % 3) match {
+              case 0 => graft.multimodal.Multimodal.synthMp4(90, frameSize = 100)
+              case 1 => graft.multimodal.Multimodal.synthMp4(
+                90, frameSize = 100, mvhdVersion = 1, co64 = true)
+              case _ => graft.multimodal.Multimodal.synthMp4(
+                90, frameSize = 100, nChunks = 3, chunkGap = 7)
+            }
+            (f"vid$i%06d", bytes)
+          }
+          .toDF("media_id", "bytes")
+        graft.multimodal.Multimodal.mp4FrameSample(media, everyK = 30)
+          .select("media_id", "frame_idx", "offset", "length")
+      },
+      // single chunk (variants 0, 1): frames pack from mdat payload
+      // offset 24, so frame f starts at 24 + 100f. Three gapped chunks
+      // (variant 2, 30 frames each): frame 0/30/60 is each chunk's
+      // first sample, chunk c starts at 24 + c * (30*100 + 7).
+      Some("""SELECT printf('vid%06d', v.i) AS media_id,
+        |  CAST(f.j AS INT) AS frame_idx,
+        |  CAST(CASE WHEN v.i % 3 = 2 THEN 24 + (f.j // 30) * 3007
+        |            ELSE 24 + f.j * 100 END AS BIGINT) AS offset,
+        |  CAST(100 AS INT) AS length
+        |FROM generate_series(0, 59) v(i)
+        |CROSS JOIN (VALUES (0), (30), (60)) f(j)""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -140,6 +140,51 @@ object Ann {
     math.max(1, math.ceil(
       math.log(math.max(n.toDouble / targetBucket, 2.0)) / math.log(2.0)).toInt)
 
+  /** IVF search: exact top-k cosine among vectors whose coarse list is
+    * one of the query's `nprobe` nearest lists — the probe half of the
+    * IVF index ([[ivfAssign]] is the build half). Everything is column
+    * math: the query row broadcasts, its nprobe probe lists come from
+    * sorting the (distance, list_id) struct array INSIDE the broadcast
+    * row (no driver collect), and candidates are filtered by
+    * `array_contains` before any cosine is computed.
+    *
+    * Scale shape: at 10^9 vectors with L lists, the probe touches
+    * ~nprobe/L of the corpus. In a real deployment `list_id` is the
+    * table's partition column, so the filter prunes partitions at the
+    * scan; here the assignment is computed on the fly, which still
+    * skips the cosine (the expensive part) for every non-probed row. */
+  def ivfSearch(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Array[Double]],
+      queryId: Long,
+      k: Int = 20,
+      nprobe: Int = 2): DataFrame = {
+    val assigned = ivfAssign(df, idCol, vecCol, centroids)
+    val qDists = centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        (lit(-2.0) * dot(col("qv"), lit(c)) + lit(c.map(x => x * x).sum)).as("d2"),
+        lit(i).as("list_id"))
+    }
+    val q = df.where(col(idCol) === queryId)
+      .select(col(vecCol).as("qv"))
+      .select(
+        col("qv"),
+        transform(
+          slice(sort_array(array(qDists: _*)), 1, nprobe),
+          e => e.getField("list_id")).as("probe"))
+    assigned
+      .join(broadcast(q), array_contains(col("probe"), col("list_id")))
+      .where(col("id") =!= queryId)
+      .select(
+        col("id"),
+        col("list_id"),
+        cosineE6(col("v"), col("qv")).as("sim_e6"))
+      .orderBy(col("sim_e6").desc, col("id"))
+      .limit(k)
+  }
+
   /** IVF-style coarse quantization: assign each vector to its nearest
     * of `centroids`; search probes only matching lists. Centroids are
     * a driver-side broadcastable array. */

@@ -18,15 +18,43 @@ object TileTable {
 
   /** Write (append or overwrite). Sorting by the interleaved cell id
     * keeps spatially-close tiles in the same row groups — the layout
-    * discipline that makes pyramid-region scans prune at 100 TB. */
-  def write(df: DataFrame, path: String, mode: String = "append"): Unit =
-    df.withColumn("cell", TileFunctions.cellId(col("z"), col("x"), col("y")))
-      .sortWithinPartitions(col("cell"))
-      .drop("cell")
-      .write
-      .mode(mode)
-      .partitionBy("z")
-      .parquet(path)
+    * discipline that makes pyramid-region scans prune at 100 TB.
+    *
+    * Write-path economics (WriteProfile, 897k tiles / 9.9 GB payload,
+    * 16 cores):
+    *  - `data` is PNG/JPEG — already entropy-coded, so the session's
+    *    default parquet codec burned ~2/3 of the write wall time
+    *    (57 s -> 22 s) to shave 0.2% of bytes. Media tables default to
+    *    `uncompressed`, the same call the corpus table makes; pass a
+    *    codec for compressible payloads (vector/JSON tiles).
+    *  - the sort leads with `z` so the dynamic-partition writer can see
+    *    its required ordering is already satisfied (z IS cell's high
+    *    bits, so (z, cell) order == cell order); the concurrent-writers
+    *    setting covers the planner paths that can't prove it through
+    *    the projection — either way the payload is sorted ONCE, not
+    *    once by us and again by the writer. */
+  def write(
+      df: DataFrame,
+      path: String,
+      mode: String = "append",
+      codec: String = "uncompressed"): Unit = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.maxConcurrentOutputFileWriters"
+    val prior = conf.getOption(key)
+    // z <= 30 by cell-id construction, so 32 writers always suffice —
+    // and with z-sorted input only one file per task is ever growing
+    conf.set(key, "32")
+    try
+      df.withColumn("cell", TileFunctions.cellId(col("z"), col("x"), col("y")))
+        .sortWithinPartitions(col("z"), col("cell"))
+        .drop("cell")
+        .write
+        .mode(mode)
+        .option("compression", codec)
+        .partitionBy("z")
+        .parquet(path)
+    finally prior.fold(conf.unset(key))(conf.set(key, _))
+  }
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
@@ -45,12 +73,14 @@ object TileTable {
       df: DataFrame,
       table: String,
       buckets: Int = 64,
-      mode: String = "overwrite"): Unit =
+      mode: String = "overwrite",
+      codec: String = "uncompressed"): Unit =
     df.write
       .mode(mode)
       .partitionBy("z")
       .bucketBy(buckets, "x", "y")
       .sortBy("x", "y")
+      .option("compression", codec)
       .format("parquet")
       .saveAsTable(table)
 

@@ -1,0 +1,95 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.BoundingPyramid
+import graft.engine.{Checkpoint, Filters, Pipeline, TileTable}
+
+/** Phase decomposition of `Pipeline.copyJob` for the scaling ladder:
+  * times each stage with a consuming action so the non-scaling
+  * component can be attributed (coordinate math vs byte attach vs
+  * image re-encode vs parquet sink). Run at N and 4N cores like the
+  * copy legs; each phase's action subsumes the previous phases'
+  * work (Spark has no free materialization boundary), so the
+  * per-stage cost is the DELTA between consecutive rows.
+  */
+object CopyProfile {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = if (args.nonEmpty) args(0).toInt else 16
+    val rows = if (args.length > 1) args(1).toLong else 800000L
+    val zMin = 4
+    val zMax = 10
+
+    val base = s"/tmp/graft_copyprofile_$cpus"
+    val d = Paths.get(base)
+    if (Files.exists(d))
+      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    Files.createDirectories(d)
+
+    val spark = graft.Bench.mkSession(cpus)
+    val corpus = graft.Bench.bucketedCorpus(spark, rows)
+    corpus.count()
+
+    val bp = BoundingPyramid.full(zMin, zMax)
+    val zooms = bp.zs.toSeq
+    val region0 = graft.sql.TileFunctions.enumeratePyramid(spark, bp)
+    val region = if (bp.size <= 1000000L) broadcast(region0) else region0
+    val todo = Checkpoint.resume(region, s"$base/sink")
+
+    def winners = Pipeline.tileWinners(corpus, zooms, region = Some(bp))
+      .join(todo, Seq("z", "x", "y"), "left_semi")
+    def joined = Pipeline.attachBytes(corpus, winners)
+    def converted = Filters.formatConverter("image/png")(joined)
+
+    def t(tag: String)(act: => Any): Unit = {
+      val t0 = System.nanoTime()
+      val r = act
+      println(f"[profile:$cpus] $tag%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($r)")
+    }
+
+    t("coords(winners+semi)") { winners.count() }
+    t("attach(no convert)") {
+      joined.agg(sum(length(col("data")))).head().getLong(0)
+    }
+    t("convert(no write)") {
+      converted.agg(sum(length(col("data")))).head().getLong(0)
+    }
+    t("full(write sink)") {
+      TileTable.write(converted, s"$base/sink")
+      TileTable.read(spark, s"$base/sink").count()
+    }
+    // variants: isolate the writer-added z-sort and parquet codec cost
+    t("w2: no app sort") {
+      converted.write.mode("overwrite").partitionBy("z")
+        .parquet(s"$base/sink_w2")
+      spark.read.parquet(s"$base/sink_w2").count()
+    }
+    t("w3: sort(z,cell) kept") {
+      converted
+        .withColumn("cell",
+          graft.sql.TileFunctions.cellId(col("z"), col("x"), col("y")))
+        .sortWithinPartitions(col("z"), col("cell"))
+        .drop("cell")
+        .write.mode("overwrite").partitionBy("z")
+        .parquet(s"$base/sink_w3")
+      spark.read.parquet(s"$base/sink_w3").count()
+    }
+    t("w4: w3+uncompressed") {
+      converted
+        .withColumn("cell",
+          graft.sql.TileFunctions.cellId(col("z"), col("x"), col("y")))
+        .sortWithinPartitions(col("z"), col("cell"))
+        .drop("cell")
+        .write.mode("overwrite").partitionBy("z")
+        .option("compression", "uncompressed")
+        .parquet(s"$base/sink_w4")
+      spark.read.parquet(s"$base/sink_w4").count()
+    }
+    spark.stop()
+  }
+}

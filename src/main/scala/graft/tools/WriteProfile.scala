@@ -1,0 +1,96 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.core.BoundingPyramid
+import graft.engine.{Checkpoint, Filters, Pipeline, TileTable}
+
+/** Sink-write isolation for the copy ladder: materializes the
+  * converted tile relation ONCE (localCheckpoint, off the query plan),
+  * then times write strategies against it — the upstream compute noise
+  * that plagues whole-job deltas is out of the picture.
+  *
+  *   w1  current TileTable.write (sort cell -> drop -> partitionBy z;
+  *       the dropped sort key makes the dynamic-partition writer add
+  *       its OWN z-sort: two full payload sorts)
+  *   w2  no app sort (writer z-sort only)
+  *   w5  sort cell + maxConcurrentOutputFileWriters=32 (writer skips
+  *       its sort; cell's high bits ARE z, so rows still arrive
+  *       z-grouped and only one file per z is ever open)
+  *   w6  w5 + uncompressed parquet (media blobs are already
+  *       entropy-coded — same call as the corpus table)
+  */
+object WriteProfile {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = if (args.nonEmpty) args(0).toInt else 16
+    val rows = if (args.length > 1) args(1).toLong else 800000L
+    val base = s"/tmp/graft_writeprofile_$cpus"
+    val d = Paths.get(base)
+    if (Files.exists(d))
+      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    Files.createDirectories(d)
+
+    val spark = graft.Bench.mkSession(cpus)
+    val corpus = graft.Bench.bucketedCorpus(spark, rows)
+    val bp = BoundingPyramid.full(4, 10)
+    val winners = Pipeline.tileWinners(corpus, bp.zs.toSeq, region = Some(bp))
+    val converted = Filters.formatConverter("image/png")(
+      Pipeline.attachBytes(corpus, winners))
+      .localCheckpoint(true)
+    println(s"[writeprofile] materialized ${converted.count()} rows, " +
+      s"${converted.rdd.getNumPartitions} partitions")
+
+    def t(tag: String, dir: String)(act: => Any): Unit = {
+      val t0 = System.nanoTime()
+      val r = act
+      val secs = (System.nanoTime() - t0) / 1e9
+      val p = Paths.get(dir)
+      val sz = Files.walk(p)
+        .filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
+      // size then delete: four 9+ GB variants would fill the disk
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      println(f"[writeprofile:$cpus] $tag%-26s $secs%8.2f s  ${sz / 1e9}%.2f GB  ($r)")
+    }
+
+    t("w1: current write", s"$base/w1") {
+      TileTable.write(converted, s"$base/w1", mode = "overwrite")
+      spark.read.parquet(s"$base/w1").count()
+    }
+    t("w2: no app sort", s"$base/w2") {
+      converted.write.mode("overwrite").partitionBy("z").parquet(s"$base/w2")
+      spark.read.parquet(s"$base/w2").count()
+    }
+    t("w5: cell sort, conc writers", s"$base/w5") {
+      spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", "32")
+      try {
+        converted
+          .withColumn("cell",
+            graft.sql.TileFunctions.cellId(col("z"), col("x"), col("y")))
+          .sortWithinPartitions(col("cell"))
+          .drop("cell")
+          .write.mode("overwrite").partitionBy("z").parquet(s"$base/w5")
+      } finally spark.conf.unset("spark.sql.maxConcurrentOutputFileWriters")
+      spark.read.parquet(s"$base/w5").count()
+    }
+    t("w6: w5 + uncompressed", s"$base/w6") {
+      spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", "32")
+      try {
+        converted
+          .withColumn("cell",
+            graft.sql.TileFunctions.cellId(col("z"), col("x"), col("y")))
+          .sortWithinPartitions(col("cell"))
+          .drop("cell")
+          .write.mode("overwrite").partitionBy("z")
+          .option("compression", "uncompressed")
+          .parquet(s"$base/w6")
+      } finally spark.conf.unset("spark.sql.maxConcurrentOutputFileWriters")
+      spark.read.parquet(s"$base/w6").count()
+    }
+    spark.stop()
+  }
+}
