@@ -117,6 +117,46 @@ class OpsSpec extends SparkTestBase {
     assert(after.where(col("z") === 2).count() == beforeZ2 - beforeZ2Deleted)
   }
 
+  test("tile sink write plan carries exactly ONE sort (writer elides its own)") {
+    // TileTable.write sorts (z, cell) app-side; [z] survives the
+    // cell-dropping projection as the output-ordering prefix, so the
+    // dynamic-partition writer must NOT add a second payload sort — and
+    // no concurrent-writer config may sneak back in (tasks x z-levels
+    // open parquet writers OOM'd an 8 GB heap at 16 tasks)
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        if (qe.executedPlan.toString.contains("WriteFiles"))
+          plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val sink = Files.createTempDirectory("graft-wplan").toString + "/tiles"
+      val corpus = Corpus.generate(spark, 200).toDF()
+      Pipeline.copyJob(spark, corpus, BoundingPyramid.full(2, 3), sink,
+        Files.createTempDirectory("graft-wplan-m").toString, "job-wplan")
+      // the execution listener fires async; poll briefly for delivery
+      val deadline = System.nanoTime() + 10000000000L
+      while (plans.synchronized(plans.isEmpty) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val writePlans = plans.synchronized(plans.toList)
+      assert(writePlans.nonEmpty, "no write plan captured")
+      val tileSink = writePlans.filter(_.contains("cell#"))
+      assert(tileSink.nonEmpty, "tile-sink write plan not captured")
+      tileSink.foreach { p =>
+        // the AQE string repeats the tree under "== Initial Plan =="
+        val finalPlan = p.split("== Initial Plan ==")(0)
+        val sorts = finalPlan.linesIterator.count(_.matches(".*\\bSort \\[.*"))
+        assert(sorts == 1, s"expected exactly 1 sort in write plan, got $sorts:\n$finalPlan")
+      }
+      assert(!spark.conf.getOption("spark.sql.maxConcurrentOutputFileWriters")
+        .exists(_.toInt > 0))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("randomize is deterministic and preserves rows") {
     val df = spark.range(1000).toDF("id")
     val a = Pipeline.randomize(df).collect().map(_.getLong(0)).toSeq
