@@ -1147,7 +1147,55 @@ object GraftQueries {
         |            ELSE 24 + f.j * 100 END AS BIGINT) AS offset,
         |  CAST(100 AS INT) AS length
         |FROM generate_series(0, 59) v(i)
-        |CROSS JOIN (VALUES (0), (30), (60)) f(j)""".stripMargin))
+        |CROSS JOIN (VALUES (0), (30), (60)) f(j)""".stripMargin)),
+
+    // BERKELEY DB BTREE ROUNDTRIP (reference store/bsddb.py keys
+    // `str(tilecoord)`): deterministic payloads travel through a REAL
+    // bdb btree archive — encode on the driver, decode executor-side —
+    // and the oracle regenerates the same payloads directly, so any
+    // byte lost or reordered by the file format breaks the hash. Rep
+    // counts up to 300 push ~half the values past the 1 KB overflow
+    // threshold (chained overflow pages on the wire).
+    ("q48_bsddb_roundtrip",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val tiles = for {
+          z <- 2 to 3
+          x <- 0L until (1L << z)
+          y <- 0L until (1L << z)
+        } yield {
+          val rep = (1 + (x + y + z) % 300).toInt
+          (s"$z/$x/$y".getBytes("UTF-8"),
+            (s"tile-$z/$x/$y-" * rep).getBytes("UTF-8"))
+        }
+        val archive = graft.sources.Bsddb.encode(tiles)
+        s.createDataset(Seq(archive)).flatMap { bytes =>
+          graft.sources.Bsddb.decode(bytes).map { case (k, v) =>
+            val Array(z, x, y) = new String(k, "UTF-8").split("/")
+            (z.toInt, x.toLong, y.toLong, v)
+          }
+        }.toDF("z", "x", "y", "data")
+          .select(
+            col("z"), col("x"), col("y"),
+            length(col("data")).cast("int").as("n_bytes"),
+            md5(col("data")).as("payload_md5"))
+          .orderBy("z", "x", "y")
+      },
+      Some("""SELECT z, x, y,
+        |  CAST(length(payload) AS INT) AS n_bytes,
+        |  md5(payload) AS payload_md5
+        |FROM (
+        |  SELECT z, x, y,
+        |    repeat('tile-' || z || '/' || x || '/' || y || '-',
+        |           CAST(1 + (x + y + z) % 300 AS INT)) AS payload
+        |  FROM (SELECT CAST(2 AS INT) AS z, gx.x, gy.y
+        |        FROM generate_series(0, 3) gx(x)
+        |        CROSS JOIN generate_series(0, 3) gy(y)
+        |        UNION ALL
+        |        SELECT CAST(3 AS INT), gx.x, gy.y
+        |        FROM generate_series(0, 7) gx(x)
+        |        CROSS JOIN generate_series(0, 7) gy(y)))
+        |ORDER BY z, x, y""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
