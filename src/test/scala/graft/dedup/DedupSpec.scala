@@ -35,11 +35,17 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("jaccard pairs find planted near-dups only") {
+    // no-pin contract: the operator caches the sets relation internally
+    // but must release it before returning (eager small-result
+    // materialization + unpersist)
+    spark.sharedState.cacheManager.clearCache()
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", minJaccardE6 = 500000L)
       .collect()
       .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"), r.getAs[Long]("jaccard_e6")))
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
     assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 1000000L)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "jaccardPairs left its sets cache pinned")
   }
 
   test("minhash: identical docs identical signatures; candidates catch near-dups") {
