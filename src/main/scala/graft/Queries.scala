@@ -1195,7 +1195,30 @@ object GraftQueries {
         |        SELECT CAST(3 AS INT), gx.x, gy.y
         |        FROM generate_series(0, 7) gx(x)
         |        CROSS JOIN generate_series(0, 7) gy(y)))
-        |ORDER BY z, x, y""".stripMargin))
+        |ORDER BY z, x, y""".stripMargin)),
+
+    // Perceptual-hash image near-dup: the corpus plants a JPEG
+    // re-encode of every 5th photo-like image under a `dup` id; the
+    // engine must recover exactly those pairs FROM PIXELS (decode →
+    // DCT pHash → hamming-banded self-join), with zero false positives
+    // across the 400 distinct base images. The oracle is the planted
+    // ground truth — id arithmetic only, no image math in DuckDB —
+    // which checks both recall (re-encode stays within hamming 7) and
+    // precision (distinct photos stay outside it).
+    ("q49_phash_neardup",
+      (s: SparkSession, dir: String) => {
+        val media = graft.engine.Corpus.generateNearDupMedia(s, 400).toDF()
+        val hashes = graft.multimodal.Multimodal.imagePhash(media)
+          .where(col("error").isNull)
+        graft.dedup.Dedup.phashPairs(hashes)
+          .select(col("da"), col("db"))
+          .orderBy("da")
+      },
+      Some("""SELECT printf('dup%012d', g.i) AS da,
+        |  printf('img%012d', g.i) AS db
+        |FROM generate_series(0, 399) g(i)
+        |WHERE g.i % 5 = 2
+        |ORDER BY da""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -453,24 +453,50 @@ object Dedup {
   /** Hamming distance between two 60-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: block on 15-bit bands (a pair within
-    * hamming distance 3 shares at least one of 4 bands), verify by
-    * hamming distance. Band buckets larger than `maxBucketSize` are
-    * dropped before the self-join (same quadratic-hot-bucket guard as
-    * [[minhashCandidates]]; cap mirrored in the SQL oracle). */
-  def simhashPairs(
+  /** Generic hamming-banded near-dup pair join over an integer
+    * signature column: block on `maxHamming + 1` disjoint bit bands (by
+    * pigeonhole, a pair within hamming distance `maxHamming` agrees
+    * exactly on at least one band — guaranteed recall, no probabilistic
+    * miss), verify candidates by `bit_count(xor)`. Shuffles (id, long)
+    * band keys only, never the underlying payloads. Band buckets larger
+    * than `maxBucketSize` are dropped before the self-join (the same
+    * quadratic-hot-bucket guard as [[minhashCandidates]], computed as a
+    * window count in the SAME shuffle — single execution of the
+    * signature pipeline).
+    *
+    * Band width is `bits / (maxHamming+1)` with the remainder folded
+    * into the last band. Scale note: the recall guarantee prices wider
+    * tolerance as narrower keys (key space `2^width`), so expected
+    * bucket size grows as `n / 2^width` — at billions of rows either
+    * lower `maxHamming` (wider keys, e.g. 3 → 16-bit bands on 64-bit
+    * signatures) or accept the cap dropping the hottest buckets; sizes
+    * are observable via the same `bandBucketSizes` pattern, nothing is
+    * truncated silently. */
+  def hammingPairs(
       sigs: DataFrame,
-      maxHamming: Int = 3,
-      maxBucketSize: Long = 1000L): DataFrame = {
+      idCol: String,
+      sigCol: String,
+      bits: Int,
+      maxHamming: Int,
+      maxBucketSize: Long): DataFrame = {
+    val bands = maxHamming + 1
+    val width = bits / bands
+    require(width >= 1, s"maxHamming=$maxHamming too large for $bits-bit signatures")
+    val bandKeys = (0 until bands).map { b =>
+      val start = b * width
+      val w = if (b == bands - 1) bits - start else width
+      // mask makes the arithmetic shiftright safe for negative (full
+      // 64-bit) signatures
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
+      struct(lit(b).as("band"),
+        shiftright(col(sigCol), start).bitwiseAND(mask).as("key"))
+    }
     val banded = capBuckets(
       sigs.select(
-        col("id"), col("simhash"),
-        explode(array((0 until 4).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(col("simhash"), b * 15).bitwiseAND(0x7fffL).as("key"))
-        }: _*)).as("bk"))
+        col(idCol).as("id"), col(sigCol).as("__sig"),
+        explode(array(bandKeys: _*)).as("bk"))
         .select(
-          col("id"), col("simhash"),
+          col("id"), col("__sig"),
           col("bk.band").as("band"), col("bk.key").as("key")),
       maxBucketSize)
     banded.as("a")
@@ -480,8 +506,30 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(
         col("a.id").as("da"), col("b.id").as("db"),
-        hamming(col("a.simhash"), col("b.simhash")).as("dist"))
+        hamming(col("a.__sig"), col("b.__sig")).as("dist"))
       .distinct()
       .where(col("dist") <= maxHamming)
   }
+
+  /** SimHash near-dup pairs: 60-bit signatures blocked on 15-bit bands
+    * (a pair within hamming distance 3 shares at least one of 4 bands),
+    * verified by hamming distance — the `maxHamming = 3` instance of
+    * [[hammingPairs]]. */
+  def simhashPairs(
+      sigs: DataFrame,
+      maxHamming: Int = 3,
+      maxBucketSize: Long = 1000L): DataFrame =
+    hammingPairs(sigs, "id", "simhash", 60, maxHamming, maxBucketSize)
+
+  /** Perceptual-hash image near-dup pairs over [[graft.multimodal.Multimodal.imagePhash]]
+    * output: 64-bit DCT pHashes ([[graft.image.Phash]]) blocked on 8-bit
+    * bands — guaranteed recall for hamming distance ≤ 7, which the
+    * corpus probe (tools/PhashProbe) shows comfortably covers JPEG
+    * re-encodes and small photometric shifts (intra ≤ 6) while staying
+    * under the nearest distinct-image distance (inter ≥ 12). */
+  def phashPairs(
+      hashes: DataFrame,
+      maxHamming: Int = 7,
+      maxBucketSize: Long = 1000L): DataFrame =
+    hammingPairs(hashes, "media_id", "phash", 64, maxHamming, maxBucketSize)
 }

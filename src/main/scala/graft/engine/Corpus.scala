@@ -48,6 +48,31 @@ object Corpus {
     ImageRow(f"img$i%012d", bytes, size, size, fmt, captionFor(i, phash), phash)
   }
 
+  /** Photo-like near-dup media corpus for the perceptual-hash operator
+    * ([[graft.image.Phash]]): `n` base rows — `imgNNN`, a broad-spectrum
+    * [[ImageCodec.photoImage]] encoded PNG — plus, for every row with
+    * `i % dupEvery == dupPhase`, a near-duplicate `dupNNN`: the SAME
+    * picture re-encoded as JPEG at `quality`. The dup structure is thus
+    * ground truth derivable from ids alone (the q49 oracle), while the
+    * Spark side must recover it from pixels. Distributed generation,
+    * same shape as [[generate]]. */
+  def generateNearDupMedia(
+      spark: SparkSession,
+      n: Long,
+      dupEvery: Int = 5,
+      dupPhase: Int = 2,
+      quality: Float = 0.7f,
+      size: Int = 64): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).flatMap { i =>
+      val img = ImageCodec.photoImage(size, splitmix64(i))
+      val base = MediaRow(f"img$i%012d", ImageCodec.encode(img, "png"))
+      if (i % dupEvery == dupPhase)
+        Seq(base, MediaRow(f"dup$i%012d", ImageCodec.encodeJpeg(img, quality)))
+      else Seq(base)
+    }
+  }
+
   /** Distributed corpus of `n` rows. */
   def generate(
       spark: SparkSession,

@@ -38,6 +38,9 @@ object TileRow {
 }
 
 /** Input-corpus row, exactly the BASELINE.json input_hint schema. */
+/** Minimal media row for the perceptual-hash near-dup corpus. */
+final case class MediaRow(media_id: String, bytes: Array[Byte])
+
 final case class ImageRow(
     image_id: String,
     bytes: Array[Byte],

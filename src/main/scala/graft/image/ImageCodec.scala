@@ -91,6 +91,31 @@ object ImageCodec {
     bos.toByteArray
   }
 
+  /** JPEG encode at an explicit quality (the default [[encode]] path
+    * pins [[JpegQuality]]); used by the near-dup corpus to produce
+    * perceptually-identical-but-byte-different variants. */
+  def encodeJpeg(img: BufferedImage, quality: Float): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val toWrite =
+      if (img.getType != BufferedImage.TYPE_INT_RGB) {
+        val r =
+          new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_INT_RGB)
+        val g = r.createGraphics()
+        g.drawImage(img, 0, 0, null)
+        g.dispose()
+        r
+      } else img
+    val writer = writerFor("jpeg")
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(toWrite, null, null), param)
+    ios.close()
+    bos.toByteArray
+  }
+
   /** Lossless PNG size optimization (reference filter/optipng.py shells
     * out to the optipng binary; none here, so this is the pure-JDK
     * equivalent): re-encode at maximum deflate effort and keep the
@@ -216,6 +241,50 @@ object ImageCodec {
         val r = (127.5 + 127.5 * math.sin(f * x + p0)).toInt
         val g = (127.5 + 127.5 * math.sin(f * y + p1)).toInt
         val b = (127.5 + 127.5 * math.sin(f * (x + y) * 0.5 + p2)).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Deterministic broad-spectrum "photo-like" image: a sum of K
+    * oriented sinusoids with 1/f amplitudes, frequencies 1–8 cycles,
+    * phases/orientations all derived from `seed` (splitmix64 per
+    * component). Unlike [[gradientImage]] (whose energy sits at a
+    * single DCT frequency, making perceptual hashing degenerate), this
+    * fills the low-frequency DCT block the way natural photos do while
+    * staying smooth enough for JPEG round-trips — it is the corpus
+    * payload for the pHash near-dup operator ([[Phash]]). */
+  def photoImage(size: Int, seed: Long): BufferedImage = {
+    val K = 12
+    val comps = Array.tabulate(K) { k =>
+      val h = graft.engine.Corpus.splitmix64(seed + 0x5851f42d4c957f2dL * (k + 1))
+      val freq = 1.0 + (h & 0x7L) // 1..8 cycles across the image
+      val theta = ((h >>> 3) & 0x3ffL).toDouble / 1024.0 * math.Pi
+      val phase = ((h >>> 13) & 0x3ffL).toDouble / 1024.0 * 2.0 * math.Pi
+      val amp = 1.0 / freq
+      (freq * 2.0 * math.Pi / size, math.cos(theta), math.sin(theta), phase, amp)
+    }
+    val ampSum = comps.map(_._5).sum
+    val img = new BufferedImage(size, size, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < size) {
+      var x = 0
+      while (x < size) {
+        var l = 0.0
+        var k = 0
+        while (k < K) {
+          val (w, cx, cy, p, a) = comps(k)
+          l += a * math.sin(w * (x * cx + y * cy) + p)
+          k += 1
+        }
+        val v = (127.5 + 127.5 * l / ampSum).toInt
+        // mild per-channel tint keeps it RGB without adding chroma edges
+        val r = math.min(255, math.max(0, v + ((seed & 0xf).toInt - 8)))
+        val g = v
+        val b = math.min(255, math.max(0, v + (((seed >> 4) & 0xf).toInt - 8)))
         img.setRGB(x, y, (r << 16) | (g << 8) | b)
         x += 1
       }

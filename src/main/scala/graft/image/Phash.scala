@@ -1,0 +1,156 @@
+package graft.image
+
+import java.awt.image.BufferedImage
+
+/** 64-bit DCT perceptual hash ("pHash") for image near-duplicate
+  * detection — the image-side sibling of the text SimHash in
+  * [[graft.dedup.Dedup]]: re-encodes (PNG↔JPEG, quality changes) and
+  * small photometric perturbations of the same picture land within a
+  * few bits of hamming distance, while different pictures land far
+  * apart, so near-dup pairs reduce to a hamming-banded self-join over
+  * a 64-bit column (see `Dedup.phashPairs`).
+  *
+  * The reference engine deduplicates tiles only by exact payload hash
+  * (tilecloud Tile equality is coordinate+data, tests/test_tile.py);
+  * perceptual near-dup is part of this engine's LLM-corpus extension,
+  * alongside MinHash/SimHash for text.
+  *
+  * Pipeline (classic pHash, public algorithm):
+  *  1. luma (BT.601 0.299/0.587/0.114) + area-average downscale to
+  *     32×32 — explicit arithmetic, no AWT interpolation, so the hash
+  *     is bit-deterministic for given pixels;
+  *  2. 2-D DCT-II (separable, precomputed 32×32 basis);
+  *  3. keep the top-left 8×8 low-frequency block, flatten row-major;
+  *  4. median of the 63 non-DC coefficients; bit i = coeff(i) > median.
+  *
+  * Every step is per-row and branch-free — the operator adds no
+  * shuffle; only the pair join in `Dedup.phashPairs` exchanges data,
+  * and it exchanges (id, long) keys, never pixels.
+  */
+object Phash {
+
+  private val N = 32
+  private val Block = 8
+
+  /** DCT-II basis, basis(k)(x) = c(k)·cos(π(2x+1)k / 2N). */
+  private val basis: Array[Array[Double]] = {
+    val m = Array.ofDim[Double](N, N)
+    var k = 0
+    while (k < N) {
+      val c = if (k == 0) math.sqrt(1.0 / N) else math.sqrt(2.0 / N)
+      var x = 0
+      while (x < N) {
+        m(k)(x) = c * math.cos(math.Pi * (2 * x + 1) * k / (2.0 * N))
+        x += 1
+      }
+      k += 1
+    }
+    m
+  }
+
+  /** Luma plane area-averaged to 32×32. Exact pixel-weight arithmetic
+    * (each source pixel contributes its overlap fraction), so any
+    * source size maps deterministically. */
+  private[image] def luma32(img: BufferedImage): Array[Double] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Double](N * N)
+    val wgt = new Array[Double](N * N)
+    val sx = N.toDouble / w
+    val sy = N.toDouble / h
+    var y = 0
+    while (y < h) {
+      // source row y covers [y·sy, (y+1)·sy) in target space
+      val ty0 = y * sy
+      val ty1 = (y + 1) * sy
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val l = 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+        val tx0 = x * sx
+        val tx1 = (x + 1) * sx
+        var ty = math.floor(ty0).toInt
+        while (ty < ty1 && ty < N) {
+          val fy = math.min(ty1, ty + 1.0) - math.max(ty0, ty.toDouble)
+          if (fy > 0) {
+            var tx = math.floor(tx0).toInt
+            while (tx < tx1 && tx < N) {
+              val fx = math.min(tx1, tx + 1.0) - math.max(tx0, tx.toDouble)
+              if (fx > 0) {
+                out(ty * N + tx) += l * fx * fy
+                wgt(ty * N + tx) += fx * fy
+              }
+              tx += 1
+            }
+          }
+          ty += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < N * N) { if (wgt(i) > 0) out(i) /= wgt(i); i += 1 }
+    out
+  }
+
+  /** Top-left `Block`×`Block` of the 2-D DCT of a 32×32 plane.
+    * Separable: rows first (only the first `Block` output frequencies
+    * are ever used, so only those are computed), then columns. */
+  private[image] def dctBlock(plane: Array[Double]): Array[Double] = {
+    // rows: tmp(y)(u) = Σ_x plane(y,x)·basis(u)(x), u < Block
+    val tmp = Array.ofDim[Double](N, Block)
+    var y = 0
+    while (y < N) {
+      var u = 0
+      while (u < Block) {
+        var s = 0.0
+        var x = 0
+        while (x < N) { s += plane(y * N + x) * basis(u)(x); x += 1 }
+        tmp(y)(u) = s
+        u += 1
+      }
+      y += 1
+    }
+    // cols: out(v,u) = Σ_y tmp(y)(u)·basis(v)(y)
+    val out = new Array[Double](Block * Block)
+    var v = 0
+    while (v < Block) {
+      var u = 0
+      while (u < Block) {
+        var s = 0.0
+        var yy = 0
+        while (yy < N) { s += tmp(yy)(u) * basis(v)(yy); yy += 1 }
+        out(v * Block + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    out
+  }
+
+  /** 64-bit perceptual hash of a decoded image. */
+  def phash64(img: BufferedImage): Long = {
+    val coeffs = dctBlock(luma32(img))
+    // median of the 63 non-DC coefficients (classic pHash threshold)
+    val sorted = java.util.Arrays.copyOfRange(coeffs, 1, coeffs.length)
+    java.util.Arrays.sort(sorted)
+    val median = (sorted(30) + sorted(31)) / 2.0
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      if (coeffs(i) > median) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** Decode-then-hash; the partition-batch column form lives in
+    * [[graft.multimodal.Multimodal.imagePhash]]. */
+  def phashOf(bytes: Array[Byte]): Long = phash64(ImageCodec.decode(bytes))
+
+  /** Hamming distance between two 64-bit hashes (driver-side helper;
+    * the column form is `bit_count(a ^ b)`). */
+  def hammingDist(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}

