@@ -1218,7 +1218,57 @@ object GraftQueries {
         |  printf('img%012d', g.i) AS db
         |FROM generate_series(0, 399) g(i)
         |WHERE g.i % 5 = 2
-        |ORDER BY da""".stripMargin))
+        |ORDER BY da""".stripMargin)),
+
+    // Product quantization + ADC search (the compression half of
+    // IVF-PQ): 4 subspaces x 16 sampled centroids (rows vec_id < 16 —
+    // deterministic and oracle-replicable), encode every embedding to
+    // 4 codes, then approximate top-10 for the vec_id=0 query via the
+    // broadcast lookup table. Distance arithmetic is elementwise
+    // squared L2 in ascending dimension order on BOTH sides (see
+    // Ann.sliceDist2), argmin ties break to the lowest centroid id,
+    // and the oracle sums LUT terms in subspace order via
+    // list_sum(list(d ORDER BY m)) to mirror Spark's fold.
+    ("q50_pq_adc",
+      (s: SparkSession, dir: String) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val books = graft.ann.Ann.samplePqCodebooks(emb, "vec_id", "embedding")
+        val query = emb.where(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>"))
+          .head.getSeq[Double](0).toArray
+        graft.ann.Ann.pqAdcSearch(
+          graft.ann.Ann.pqEncode(emb, "vec_id", "embedding", books),
+          books, query, 10)
+          .select(
+            col("id").as("vec_id"),
+            floor(col("adc") * lit(1e6)).cast("long").as("adc_e6"))
+      },
+      Some("""WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), book AS (
+        |  SELECT m.m, e.vec_id AS j, e.v[m.m*16+1 : m.m*16+16] AS c
+        |  FROM emb e, (SELECT unnest([0,1,2,3]) AS m) m
+        |  WHERE e.vec_id < 16
+        |), codes AS (
+        |  SELECT vec_id, m, j
+        |  FROM (
+        |    SELECT e.vec_id, b.m, b.j,
+        |      list_sum([(e.v[b.m*16+i] - b.c[i]) * (e.v[b.m*16+i] - b.c[i])
+        |                for i in generate_series(1,16)]) AS d2
+        |    FROM emb e CROSS JOIN book b)
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, j) = 1
+        |), lut AS (
+        |  SELECT b.m, b.j,
+        |    list_sum([(q.v[b.m*16+i] - b.c[i]) * (q.v[b.m*16+i] - b.c[i])
+        |              for i in generate_series(1,16)]) AS d
+        |  FROM book b, (SELECT v FROM emb WHERE vec_id = 0) q
+        |), adc AS (
+        |  SELECT c.vec_id, list_sum(list(l.d ORDER BY c.m)) AS adc
+        |  FROM codes c JOIN lut l ON c.m = l.m AND c.j = l.j
+        |  GROUP BY c.vec_id
+        |)
+        |SELECT vec_id, CAST(floor(adc * 1e6) AS BIGINT) AS adc_e6
+        |FROM adc ORDER BY adc, vec_id LIMIT 10""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

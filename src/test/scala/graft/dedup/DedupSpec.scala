@@ -239,6 +239,45 @@ class DedupSpec extends SparkTestBase {
     assert(one.length == 1)
   }
 
+  test("ann: pq encode/adc — exact reconstruction for codebook rows, training shrinks error, adc ranks near-exact") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, Array.tabulate(64)(d => math.sin(i * 0.37 + d * 0.11).toFloat))
+    }.toDF("vec_id", "embedding")
+    val books = Ann.samplePqCodebooks(vecs, "vec_id", "embedding", m = 4, k = 16)
+    assert(books.length == 4 && books.forall(_.length == 16) &&
+      books.forall(_.forall(_.length == 16)))
+    // a codebook seed row quantizes to its own centroids (distance 0)
+    val codes = Ann.pqEncode(vecs, "vec_id", "embedding", books)
+    val own = codes.where(col("id") === 5L)
+      .select("codes").as[Seq[Int]].head()
+    assert(own == Seq(5, 5, 5, 5))
+    // ADC with the query's own vector: the query's code row must rank
+    // first (its quantization error is the smallest adc to itself)
+    val q = vecs.where(col("vec_id") === 7L)
+      .select(col("embedding").cast("array<double>")).as[Seq[Double]].head().toArray
+    val top = Ann.pqAdcSearch(codes, books, q, 10)
+      .select("id").as[Long].collect()
+    assert(top.head == 7L)
+    // trained codebooks: mean quantization error must not exceed the
+    // sampled ones' (Lloyd's never increases within-cluster SSE)
+    def sse(bks: Seq[Seq[Array[Double]]]): Double = {
+      val enc = Ann.pqEncode(vecs, "vec_id", "embedding", bks)
+        .join(vecs.select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("v")), "id")
+        .as[(Long, Seq[Int], Seq[Double])].collect()
+      enc.map { case (_, cs, v) =>
+        cs.zipWithIndex.map { case (c, m) =>
+          val sub = v.slice(m * 16, (m + 1) * 16)
+          sub.zip(bks(m)(c)).map { case (x, y) => (x - y) * (x - y) }.sum
+        }.sum
+      }.sum
+    }
+    val trained = Ann.trainPqCodebooks(vecs, "vec_id", "embedding", iters = 3)
+    assert(sse(trained) <= sse(books) + 1e-9)
+  }
+
   test("multimodal: real image meta + resize, stub audio/video plumbing") {
     val media = graft.engine.Corpus.generate(spark, 20).toDF()
       .select(
