@@ -1268,7 +1268,48 @@ object GraftQueries {
         |  GROUP BY c.vec_id
         |)
         |SELECT vec_id, CAST(floor(adc * 1e6) AS BIGINT) AS adc_e6
-        |FROM adc ORDER BY adc, vec_id LIMIT 10""".stripMargin))
+        |FROM adc ORDER BY adc, vec_id LIMIT 10""".stripMargin)),
+
+    // Deterministic stratified sampling (corpus mixing): keep a doc iff
+    // md5-hash-of-id mod 1e6 clears the language's e6 rate — downsample
+    // dominant en 4x, zh ~2x, keep the rest. Hash keyed on the row id
+    // (not rand()), so the sample is reproducible and monotone in the
+    // rate; pure codegen filter at the scan, no shuffle.
+    ("q51_stratified_sample",
+      (s: SparkSession, dir: String) =>
+        table(s, dir, "documents")
+          .where(graft.text.CorpusOps.stratifiedSampleE6(
+            col("doc_id"), col("lang"),
+            Map("en" -> 250000L, "zh" -> 600000L), defaultE6 = 1000000L))
+          .select("doc_id", "lang"),
+      Some("""SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |        % 1000000
+        |  < CASE lang WHEN 'en' THEN 250000 WHEN 'zh' THEN 600000
+        |    ELSE 1000000 END""".stripMargin)),
+
+    // Sliding token-window chunking (context-length splitting): windows
+    // of 32 words every 24; a doc of n words yields
+    // 1 + ceil(max(n-32,0)/24) chunks, the last possibly short. Oracle
+    // explodes via the constant-bound generate_series + filter pattern
+    // (DuckDB can't take lateral args in generate_series).
+    ("q52_token_chunks",
+      (s: SparkSession, dir: String) =>
+        graft.text.CorpusOps.chunkByTokens(
+          table(s, dir, "documents"), "doc_id", "text")
+          .withColumnRenamed("id", "doc_id"),
+      Some("""WITH w AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, ws,
+        |    1 + ((greatest(len(ws) - 32, 0) + 23) // 24) AS nc
+        |  FROM w)
+        |SELECT doc_id, CAST(g.i AS INT) AS chunk_idx,
+        |  array_to_string(ws[g.i*24+1 : g.i*24+32], ' ') AS chunk_text,
+        |  CAST(len(ws[g.i*24+1 : g.i*24+32]) AS INT) AS n_tokens
+        |FROM n CROSS JOIN generate_series(0, 63) g(i)
+        |WHERE g.i < nc""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

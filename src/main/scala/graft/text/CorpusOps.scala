@@ -1,0 +1,72 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Training-corpus assembly operators: the steps between "cleaned
+  * documents" and "training batches" in an LLM data pipeline —
+  * deterministic stratified sampling (corpus mixing) and sliding
+  * token-window chunking (context-length splitting). Both are pure
+  * column math (no shuffle, no UDF): sampling is a codegen filter on
+  * the scan, chunking is a per-row explode whose output rows carry only
+  * the chunk text, so at 100 TB they run at scan speed and parallelize
+  * with the input partitioning. Determinism (md5-keyed sampling rather
+  * than `rand()`) is what makes resumable/reproducible corpus builds
+  * possible — re-running the pipeline selects the identical subset.
+  */
+object CorpusOps {
+
+  /** Stratified-sampling predicate: keep a row iff the 60-bit md5 hash
+    * of its key, taken mod 1e6, falls below the stratum's e6-scaled
+    * fraction. Strata absent from `fractionsE6` fall back to
+    * `defaultE6` (0 = drop). The hash is keyed on the row id, NOT the
+    * stratum, so resampling a stratum at a higher rate yields a strict
+    * superset of the previous sample (the standard monotone-sampling
+    * property for corpus version bumps). */
+  def stratifiedSampleE6(
+      key: Column,
+      stratum: Column,
+      fractionsE6: Map[String, Long],
+      defaultE6: Long = 0L): Column = {
+    val frac = fractionsE6.foldLeft(lit(defaultE6): Column) {
+      case (acc, (k, v)) => when(stratum === lit(k), lit(v)).otherwise(acc)
+    }
+    pmod(Dedup.hash60(key.cast("string")), lit(1000000L)) < frac
+  }
+
+  /** Sliding token-window chunks: `(id, chunk_idx, chunk_text,
+    * n_tokens)` with windows of `window` words every `stride` words
+    * ([[TextOps.words]] tokenization). A document of n words yields
+    * `1 + ceil(max(n - window, 0) / stride)` chunks; the final chunk
+    * may be shorter than `window`, and a document shorter than one
+    * window yields exactly one chunk. */
+  def chunkByTokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 32,
+      stride: Int = 24): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val ws = TextOps.words(col(textCol))
+    df.select(
+      col(idCol).as("id"),
+      ws.as("__ws"),
+      (floor(
+        (greatest(size(ws) - window, lit(0)) + lit(stride - 1)) / lit(stride))
+        .cast("int") + 1).as("__nc"))
+      .select(
+        col("id"),
+        explode(sequence(lit(0), col("__nc") - 1)).as("chunk_idx"),
+        col("__ws"))
+      .select(
+        col("id"),
+        col("chunk_idx"),
+        array_join(
+          slice(col("__ws"), col("chunk_idx") * stride + 1, lit(window)), " ")
+          .as("chunk_text"),
+        size(slice(col("__ws"), col("chunk_idx") * stride + 1, lit(window)))
+          .as("n_tokens"))
+  }
+}

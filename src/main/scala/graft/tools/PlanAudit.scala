@@ -44,6 +44,12 @@ object PlanAudit {
     audit("jaccard verify (expect broadcast sets joins + codegen intersect, no array shuffle)")(
       graft.dedup.Dedup.jaccardPairs(
         spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"))
+    audit("pq adc search (expect ONE scan -> codegen project -> TakeOrdered, ZERO exchanges)")(
+      graft.GraftQueries.queryMap("q50_pq_adc")(spark, dir))
+    audit("phash near-dup (expect band-key exchanges only — pixels never shuffle; reused exchange at SMJ scale)")(
+      graft.GraftQueries.queryMap("q49_phash_neardup")(spark, dir))
+    audit("stratified sample (expect codegen filter directly on the scan, no shuffle)")(
+      graft.GraftQueries.queryMap("q51_stratified_sample")(spark, dir))
     audit("bucketed coord join (expect Bucketed: true scans, no Exchange)") {
       import spark.implicits._
       val t = Seq((3, 1L, 2L, "p")).toDF("z", "x", "y", "payload")

@@ -239,6 +239,48 @@ class DedupSpec extends SparkTestBase {
     assert(one.length == 1)
   }
 
+  test("corpus ops: monotone stratified sampling, chunk coverage + overlap invariants") {
+    val s = spark
+    import s.implicits._
+    val docs = s.read.parquet(sf("sf0.001") + "/documents.parquet")
+    // monotone: raising a stratum's rate yields a strict superset
+    def sample(enE6: Long) = docs
+      .where(graft.text.CorpusOps.stratifiedSampleE6(
+        col("doc_id"), col("lang"), Map("en" -> enE6), defaultE6 = 0L))
+      .select("doc_id").as[Long].collect().toSet
+    val lo = sample(200000L)
+    val hi = sample(600000L)
+    assert(lo.subsetOf(hi) && lo.size < hi.size)
+    // rate lands near the requested fraction
+    val enTotal = docs.where(col("lang") === "en").count()
+    assert(math.abs(hi.size.toDouble / enTotal - 0.6) < 0.15)
+
+    // chunking: per doc, chunks tile the word array with stride overlap
+    val chunks = graft.text.CorpusOps
+      .chunkByTokens(docs, "doc_id", "text", window = 32, stride = 24)
+      .as[(Long, Int, String, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val words = docs
+      .select(col("doc_id"), graft.text.TextOps.words(col("text")))
+      .as[(Long, Seq[String])].collect().toMap
+    words.foreach { case (id, ws) =>
+      val cs = chunks(id)
+      val expected = 1 + math.ceil(math.max(ws.size - 32, 0) / 24.0).toInt
+      assert(cs.length == expected, s"doc $id chunk count")
+      cs.foreach { case (_, i, text, n) =>
+        val want = ws.slice(i * 24, i * 24 + 32)
+        assert(text == want.mkString(" "), s"doc $id chunk $i text")
+        assert(n == want.size)
+      }
+      // reconstruction: concatenating de-overlapped chunks = the doc
+      val rebuilt = cs.flatMap { case (_, i, text, _) =>
+        val toks = if (text.isEmpty) Seq.empty else text.split(" ").toSeq
+        if (i == 0) toks else toks.drop(32 - 24)
+      }
+      assert(rebuilt.toSeq == ws.toSeq, s"doc $id reconstruction")
+    }
+  }
+
   test("ann: pq encode/adc — exact reconstruction for codebook rows, training shrinks error, adc ranks near-exact") {
     val s = spark
     import s.implicits._
