@@ -1309,7 +1309,53 @@ object GraftQueries {
         |  array_to_string(ws[g.i*24+1 : g.i*24+32], ' ') AS chunk_text,
         |  CAST(len(ws[g.i*24+1 : g.i*24+32]) AS INT) AS n_tokens
         |FROM n CROSS JOIN generate_series(0, 63) g(i)
-        |WHERE g.i < nc""".stripMargin))
+        |WHERE g.i < nc""".stripMargin)),
+
+    // OGC GeoPackage interchange: deterministic payloads through a real
+    // .gpkg archive (pure-JVM SQLite codec, GPKG stamps + gpkg_* meta
+    // tables, top-left tile_row — no TMS flip) and back; the oracle
+    // recomputes the payload md5s from the generator arithmetic.
+    // Cross-validation that the archives satisfy REAL SQLite lives in
+    // GeoPackageSpec (integrity_check + pragma stamps via CPython).
+    ("q53_gpkg_roundtrip",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val tiles = for {
+          z <- 2 to 3
+          x <- 0L until (1L << z)
+          y <- 0L until (1L << z)
+        } yield {
+          val rep = (1 + (x * 5 + y * 3 + z) % 200).toInt
+          (z.toLong, x, y, (s"gpkg-$z/$x/$y-" * rep).getBytes("UTF-8"))
+        }
+        val archive = graft.sources.GeoPackage.encode(
+          tiles.iterator, "tiles", minZ = 2, maxZ = 3)
+        s.createDataset(Seq(archive)).flatMap { bytes =>
+          graft.sources.GeoPackage.decode(bytes).map {
+            case (z, x, row, data) => (z, x, row, data)
+          }
+        }.toDF("z", "x", "y", "data")
+          .select(
+            col("z"), col("x"), col("y"),
+            length(col("data")).cast("int").as("n_bytes"),
+            md5(col("data")).as("payload_md5"))
+          .orderBy("z", "x", "y")
+      },
+      Some("""SELECT z, x, y,
+        |  CAST(length(payload) AS INT) AS n_bytes,
+        |  md5(payload) AS payload_md5
+        |FROM (
+        |  SELECT z, x, y,
+        |    repeat('gpkg-' || z || '/' || x || '/' || y || '-',
+        |           CAST(1 + (x * 5 + y * 3 + z) % 200 AS INT)) AS payload
+        |  FROM (SELECT CAST(2 AS INT) AS z, gx.x, gy.y
+        |        FROM generate_series(0, 3) gx(x)
+        |        CROSS JOIN generate_series(0, 3) gy(y)
+        |        UNION ALL
+        |        SELECT CAST(3 AS INT), gx.x, gy.y
+        |        FROM generate_series(0, 7) gx(x)
+        |        CROSS JOIN generate_series(0, 7) gy(y)))
+        |ORDER BY z, x, y""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

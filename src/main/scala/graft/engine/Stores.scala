@@ -19,6 +19,7 @@ object Stores {
     *   log://<path>       coord log lines
     *   zip://<dir>        zip archives of layout-named tiles
     *   mbtiles://<dir>    real .mbtiles (SQLite) archives
+    *   gpkg://<dir>       OGC GeoPackage archives (*.gpkg)
     *   bsddb://<dir>      Berkeley DB btree archives (*.db)
     *   pyramid://<spec>   generator relation from a pyramid spec string
     *   null://            empty tile relation
@@ -34,6 +35,7 @@ object Stores {
       case "log"     => readLog(spark, rest)
       case "zip"     => readZip(spark, rest)
       case "mbtiles" => graft.sources.MBTiles.read(spark, rest)
+      case "gpkg"    => graft.sources.GeoPackage.read(spark, rest)
       case "bsddb"   => graft.sources.BsddbStore.read(spark, rest)
       case "pyramid" =>
         graft.sql.TileFunctions.enumeratePyramid(

@@ -1,0 +1,230 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sqlite._
+
+/** OGC GeoPackage (`.gpkg`) tile interchange over the same pure-JVM
+  * [[Sqlite]] codec as [[MBTiles]] — the second packaged-tile dialect a
+  * tiling engine meets in practice (the reference ships only MBTiles,
+  * store/mbtiles.py; GeoPackage is its OGC-standardized sibling,
+  * public spec at opengeospatial.org/standards/geopackage).
+  *
+  * Dialect differences handled here, everything else shared with
+  * [[MBTiles]]:
+  *  - file stamps: `application_id = "GPKG"` (0x47504B47) and a
+  *    `user_version` spec stamp in the SQLite header;
+  *  - required metadata tables (`gpkg_spatial_ref_sys`,
+  *    `gpkg_contents`, `gpkg_tile_matrix_set`, `gpkg_tile_matrix`)
+  *    instead of MBTiles' free-form `metadata`;
+  *  - `tile_row` is TOP-left origin (XYZ), NOT the TMS flip MBTiles
+  *    applies — no y transform;
+  *  - the tile table carries an `id INTEGER PRIMARY KEY` (stored as
+  *    the SQLite rowid with a NULL record slot, exactly as the real
+  *    library serializes rowid-alias columns).
+  *
+  * `last_change` defaults to a FIXED timestamp so exports are
+  * byte-deterministic (reproducible corpus builds); pass the real
+  * build time when interop matters more than determinism.
+  *
+  * Scale shape is identical to [[MBTiles]]: one archive = one
+  * indivisible SQLite file, so `read` parallelizes over many archives
+  * (binaryFile + executor-side parse) and [[writeSharded]] exports one
+  * archive per partition through the Hadoop FileSystem API.
+  */
+object GeoPackage {
+
+  val ApplicationId: Long = 0x47504B47L // "GPKG"
+  val UserVersion: Long = 10301L // GeoPackage 1.3.1
+  private val MercOrigin = 20037508.34 // graft.core.TileGrids.WebMercatorExtent
+
+  /** The four gpkg_* metadata tables for one tile pyramid table
+    * covering zooms [minZ, maxZ] over the full WebMercator extent. */
+  private def metaTables(
+      tableName: String,
+      minZ: Long,
+      maxZ: Long,
+      lastChange: String): Seq[Table] = {
+    val srsRows = Seq(
+      // (srs_name, srs_id, organization, org_coordsys_id, definition, description)
+      ("Undefined cartesian SRS", -1L, "NONE", -1L, "undefined", "undefined cartesian"),
+      ("Undefined geographic SRS", 0L, "NONE", 0L, "undefined", "undefined geographic"),
+      ("WGS 84", 4326L, "EPSG", 4326L,
+        "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\",SPHEROID[\"WGS 84\",6378137,298.257223563]]]",
+        "WGS 1984 geodetic"),
+      ("WGS 84 / Pseudo-Mercator", 3857L, "EPSG", 3857L,
+        "PROJCS[\"WGS 84 / Pseudo-Mercator\",GEOGCS[\"WGS 84\"],PROJECTION[\"Mercator_1SP\"]]",
+        "WebMercator")).zipWithIndex.map { case ((n, id, org, oid, d, desc), i) =>
+      TableRow(i + 1L, encodeRecord(Seq(
+        TextValue(n), IntValue(id), TextValue(org), IntValue(oid),
+        TextValue(d), TextValue(desc))))
+    }
+    val contentsRow = TableRow(1L, encodeRecord(Seq(
+      TextValue(tableName), TextValue("tiles"), TextValue(tableName),
+      TextValue(""), TextValue(lastChange),
+      FloatValue(-MercOrigin), FloatValue(-MercOrigin),
+      FloatValue(MercOrigin), FloatValue(MercOrigin), IntValue(3857L))))
+    val matrixSetRow = TableRow(1L, encodeRecord(Seq(
+      TextValue(tableName), IntValue(3857L),
+      FloatValue(-MercOrigin), FloatValue(-MercOrigin),
+      FloatValue(MercOrigin), FloatValue(MercOrigin))))
+    val matrixRows = (minZ to maxZ).zipWithIndex.map { case (z, i) =>
+      val n = 1L << z
+      val px = 2.0 * MercOrigin / (n.toDouble * 256.0)
+      TableRow(i + 1L, encodeRecord(Seq(
+        TextValue(tableName), IntValue(z), IntValue(n), IntValue(n),
+        IntValue(256L), IntValue(256L), FloatValue(px), FloatValue(px))))
+    }
+    // DDL deliberately omits the spec template's non-INTEGER PRIMARY
+    // KEY constraints: real SQLite backs those with sqlite_autoindex
+    // b-trees, which this codec does not write — declaring them without
+    // the index pages makes integrity_check report the file malformed
+    // (and `srs_id INTEGER PRIMARY KEY` would alias the rowid,
+    // conflicting with the stored -1/0/4326/3857 values). The column
+    // shapes and row contents follow the spec exactly; only the
+    // tile table's `id INTEGER PRIMARY KEY` rowid alias is kept, which
+    // needs no index.
+    Seq(
+      Table("gpkg_spatial_ref_sys",
+        "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, " +
+          "srs_id INTEGER NOT NULL, organization TEXT NOT NULL, " +
+          "organization_coordsys_id INTEGER NOT NULL, definition TEXT NOT NULL, " +
+          "description TEXT)",
+        srsRows.iterator),
+      Table("gpkg_contents",
+        "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL, " +
+          "data_type TEXT NOT NULL, identifier TEXT, " +
+          "description TEXT DEFAULT '', last_change DATETIME NOT NULL, " +
+          "min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, " +
+          "srs_id INTEGER)",
+        Iterator.single(contentsRow)),
+      Table("gpkg_tile_matrix_set",
+        "CREATE TABLE gpkg_tile_matrix_set (table_name TEXT NOT NULL, " +
+          "srs_id INTEGER NOT NULL, min_x DOUBLE NOT NULL, min_y DOUBLE NOT NULL, " +
+          "max_x DOUBLE NOT NULL, max_y DOUBLE NOT NULL)",
+        Iterator.single(matrixSetRow)),
+      Table("gpkg_tile_matrix",
+        "CREATE TABLE gpkg_tile_matrix (table_name TEXT NOT NULL, " +
+          "zoom_level INTEGER NOT NULL, matrix_width INTEGER NOT NULL, " +
+          "matrix_height INTEGER NOT NULL, tile_width INTEGER NOT NULL, " +
+          "tile_height INTEGER NOT NULL, pixel_x_size DOUBLE NOT NULL, " +
+          "pixel_y_size DOUBLE NOT NULL)",
+        matrixRows.iterator))
+  }
+
+  private def tileTableSql(tableName: String): String =
+    s"CREATE TABLE $tableName (id INTEGER PRIMARY KEY, " +
+      "zoom_level INTEGER NOT NULL, tile_column INTEGER NOT NULL, " +
+      "tile_row INTEGER NOT NULL, tile_data BLOB NOT NULL)"
+
+  /** Serialize one archive's tables to a byte image (driver- or
+    * executor-side; small interchange archives only — the page image
+    * buffers in memory, see [[Sqlite.writeDatabase]]). */
+  def encode(
+      tiles: Iterator[(Long, Long, Long, Array[Byte])],
+      tableName: String = "tiles",
+      minZ: Long,
+      maxZ: Long,
+      lastChange: String = "2026-01-01T00:00:00.000Z"): Array[Byte] = {
+    var rowid = 0L
+    val tileRows = tiles.map { case (z, x, row, data) =>
+      rowid += 1
+      // id INTEGER PRIMARY KEY = rowid alias: NULL record slot
+      TableRow(rowid, encodeRecord(Seq(
+        NullValue, IntValue(z), IntValue(x), IntValue(row), BlobValue(data))))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    writeDatabase(
+      bos,
+      metaTables(tableName, minZ, maxZ, lastChange) :+
+        Table(tableName, tileTableSql(tableName), tileRows),
+      ApplicationId, UserVersion)
+    bos.toByteArray
+  }
+
+  /** Parse one archive's tile rows `(z, x, row, data)` — the tile
+    * table is located via the archive's own `gpkg_contents`. */
+  def decode(bytes: Array[Byte]): Iterator[(Int, Long, Long, Array[Byte])] = {
+    val db = new Database(bytes)
+    val tableName = db.rows("gpkg_contents").collectFirst {
+      case Seq(TextValue(t), TextValue("tiles"), _*) => t
+    }.getOrElse(throw new IllegalArgumentException(
+      "no tiles entry in gpkg_contents"))
+    db.rows(tableName).map {
+      // id slot NULL when the writer used the rowid alias, or an
+      // explicit integer; either way coordinates follow
+      case Seq(NullValue | IntValue(_),
+          IntValue(z), IntValue(x), IntValue(row), BlobValue(data)) =>
+        (z.toInt, x, row, data)
+      case other =>
+        throw new IllegalArgumentException(
+          s"$tableName row with unexpected types: " +
+            other.map(_.getClass.getSimpleName).mkString(", "))
+    }
+  }
+
+  /** Read every `.gpkg` archive under `path` into the canonical tile
+    * relation `(z, x, y, data, archive)` — XYZ y directly (GeoPackage
+    * rows are top-left origin), one task per archive. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.gpkg")
+      .option("recursiveFileLookup", "true")
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (archive, bytes) =>
+        decode(bytes).map { case (z, x, row, data) => (z, x, row, data, archive) }
+      }
+      .toDF("z", "x", "y", "data", "archive")
+  }
+
+  /** DISTRIBUTED GeoPackage export: one `.gpkg` per partition under
+    * `dir`, written executor-side through the Hadoop FileSystem API
+    * (shared destination on real clusters — same contract as
+    * [[MBTiles.writeSharded]]). */
+  def writeSharded(
+      tiles: DataFrame,
+      dir: String,
+      tableName: String = "tiles",
+      lastChange: String = "2026-01-01T00:00:00.000Z"): Unit = {
+    val hadoopConf = tiles.sparkSession.sparkContext.hadoopConfiguration
+    val confEntries: Array[(String, String)] = {
+      val it = hadoopConf.iterator()
+      val buf = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += (e.getKey -> e.getValue) }
+      buf.result()
+    }
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(hadoopConf).mkdirs(dirPath)
+    tiles
+      .select(
+        col("z").cast("long").as("z"),
+        col("x").cast("long").as("x"),
+        col("y").cast("long").as("row"),
+        col("data"))
+      .sortWithinPartitions("z", "x", "row")
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          var minZ = Long.MaxValue
+          var maxZ = Long.MinValue
+          val rows = it.map { r =>
+            minZ = math.min(minZ, r.getLong(0))
+            maxZ = math.max(maxZ, r.getLong(0))
+            (r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getAs[Array[Byte]]("data"))
+          }.toArray // zoom range must be known before the meta tables
+          val bytes = encode(rows.iterator, tableName, minZ, maxZ, lastChange)
+          val conf = new org.apache.hadoop.conf.Configuration(false)
+          confEntries.foreach { case (k, v) => conf.set(k, v) }
+          val shard = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.gpkg")
+          val out = shard.getFileSystem(conf).create(shard, true)
+          try out.write(bytes)
+          finally out.close()
+        }
+      }
+  }
+}

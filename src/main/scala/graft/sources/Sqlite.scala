@@ -363,7 +363,11 @@ object Sqlite {
     * buffering or a seekable re-patch — an archive is therefore
     * bounded by the writer's heap (use [[graft.sources.MBTiles
     * .writeSharded]]'s many-archives form for corpus-scale exports). */
-  def writeDatabase(out: java.io.OutputStream, tables: Seq[Table]): Unit = {
+  def writeDatabase(
+      out: java.io.OutputStream,
+      tables: Seq[Table],
+      applicationId: Long = 0L,
+      userVersion: Long = 0L): Unit = {
     val pages = new Pages
     val rootPlaceholder = pages.alloc() // page 1: header + sqlite_master
     require(rootPlaceholder == 1)
@@ -412,6 +416,8 @@ object Sqlite {
     // sqlite.org/fileformat2.html §Record Format
     putU32(p1, 44, 4L)
     putU32(p1, 56, 1L) // text encoding: UTF-8
+    putU32(p1, 60, userVersion) // e.g. GeoPackage spec version stamp
+    putU32(p1, 68, applicationId) // e.g. 0x47504B47 "GPKG"
     putU32(p1, 92, 1L) // version-valid-for == change counter
     putU32(p1, 96, 3045001L) // sqlite version number stamp
     pages.pages.foreach(out.write)

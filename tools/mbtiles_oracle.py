@@ -56,8 +56,36 @@ def check(path: str) -> None:
     con.close()
 
 
+def checkgpkg(path: str) -> None:
+    """integrity + GeoPackage stamps + canonical dump of a .gpkg tile
+    archive written by graft.sources.GeoPackage (real C sqlite3)."""
+    con = sqlite3.connect(path)
+    (ok,) = con.execute("PRAGMA integrity_check").fetchone()
+    print(f"integrity:{ok}")
+    (app_id,) = con.execute("PRAGMA application_id").fetchone()
+    (user_ver,) = con.execute("PRAGMA user_version").fetchone()
+    print(f"application_id:{app_id:#x}")
+    print(f"user_version:{user_ver}")
+    for (t, dt, srs) in con.execute(
+            "SELECT table_name, data_type, srs_id FROM gpkg_contents"):
+        print(f"contents:{t}:{dt}:{srs}")
+        for z, w, h in con.execute(
+                "SELECT zoom_level, matrix_width, matrix_height "
+                "FROM gpkg_tile_matrix WHERE table_name = ? "
+                "ORDER BY zoom_level", (t,)):
+            print(f"matrix:{z}:{w}x{h}")
+        for i, z, x, row, data in con.execute(
+                f"SELECT id, zoom_level, tile_column, tile_row, tile_data "
+                f"FROM {t} ORDER BY zoom_level, tile_column, tile_row"):
+            digest = hashlib.md5(data).hexdigest()
+            print(f"tile:{i}:{z}/{x}/{row}:{digest}")
+    con.close()
+
+
 if __name__ == "__main__":
     if sys.argv[1] == "make":
         make(sys.argv[2], int(sys.argv[3]))
+    elif sys.argv[1] == "checkgpkg":
+        checkgpkg(sys.argv[2])
     else:
         check(sys.argv[2])
