@@ -1355,7 +1355,43 @@ object GraftQueries {
         |        SELECT CAST(3 AS INT), gx.x, gy.y
         |        FROM generate_series(0, 7) gx(x)
         |        CROSS JOIN generate_series(0, 7) gy(y)))
-        |ORDER BY z, x, y""".stripMargin))
+        |ORDER BY z, x, y""".stripMargin)),
+
+    // Greedy sequence packing (sample packing): documents concatenate
+    // in id order into <=256-token packs. Packing is sequential, so the
+    // oracle walks the same greedy recurrence as a recursive CTE; the
+    // Spark op parallelizes by SHARDING (per-partition packs with the
+    // partition id embedded in pack_id) — one partition here so both
+    // sides walk the identical sequence.
+    ("q54_pack_sequences",
+      (s: SparkSession, dir: String) => {
+        val docs = table(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            graft.text.TextOps.tokenCount(col("text")).as("t"))
+        graft.text.CorpusOps.packGreedy(docs.coalesce(1), "doc_id", "t", 256L)
+          .select(
+            col("id").as("doc_id"), col("pack_id"),
+            col("pack_pos"), col("n_tokens"))
+      },
+      Some("""WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS t,
+        |    ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |p AS (
+        |  SELECT rn, doc_id, t, CAST(0 AS BIGINT) AS pack_id,
+        |    CAST(0 AS INT) AS pack_pos, t AS acc
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.rn, d.doc_id, d.t,
+        |    CAST(CASE WHEN p.acc + d.t > 256 THEN p.pack_id + 1
+        |         ELSE p.pack_id END AS BIGINT),
+        |    CAST(CASE WHEN p.acc + d.t > 256 THEN 0
+        |         ELSE p.pack_pos + 1 END AS INT),
+        |    CASE WHEN p.acc + d.t > 256 THEN d.t ELSE p.acc + d.t END
+        |  FROM d JOIN p ON d.rn = p.rn + 1)
+        |SELECT doc_id, pack_id, pack_pos, t AS n_tokens FROM p""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

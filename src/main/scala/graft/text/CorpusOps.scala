@@ -36,6 +36,52 @@ object CorpusOps {
     pmod(Dedup.hash60(key.cast("string")), lit(1000000L)) < frac
   }
 
+  /** Greedy sequence packing ("sample packing"): concatenate documents
+    * in id order into packs of at most `capTokens` tokens — the step
+    * that turns variable-length documents into fixed-budget training
+    * sequences without padding waste. Returns `(id, pack_id, pack_pos,
+    * n_tokens)`; a document larger than the cap gets a pack of its own.
+    *
+    * Packing is inherently sequential, so parallelism comes from
+    * SHARDING, not from splitting one greedy scan: each partition packs
+    * its own id-sorted rows independently and `pack_id` embeds the
+    * partition id (`pid << 32 | local`), giving deterministic output
+    * for any fixed partitioning. At corpus scale, shard by a hash or
+    * range prefix first (any per-shard set yields valid packs — the
+    * cap is per pack, not global), then pack each shard in one pass;
+    * the only per-row state is a running token count, so the scan
+    * stays O(1)-memory and never materializes a shard. */
+  def packGreedy(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      capTokens: Long): DataFrame = {
+    require(capTokens > 0, "capTokens must be positive")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("pack_id", LongType),
+      StructField("pack_pos", IntegerType),
+      StructField("n_tokens", LongType)))
+    df.select(col(idCol).cast("long").as("id"), col(tokenCol).cast("long").as("t"))
+      .sortWithinPartitions("id")
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        var local = -1L
+        var acc = 0L
+        var pos = 0
+        var first = true
+        it.map { r =>
+          val t = r.getLong(1)
+          if (first || acc + t > capTokens) {
+            local += 1; acc = t; pos = 0; first = false
+          } else { acc += t; pos += 1 }
+          Row(r.getLong(0), (pid << 32) | local, pos, t)
+        }
+      }(Encoders.row(schema))
+  }
+
   /** Sliding token-window chunks: `(id, chunk_idx, chunk_text,
     * n_tokens)` with windows of `window` words every `stride` words
     * ([[TextOps.words]] tokenization). A document of n words yields

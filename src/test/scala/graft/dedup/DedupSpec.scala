@@ -279,6 +279,22 @@ class DedupSpec extends SparkTestBase {
       }
       assert(rebuilt.toSeq == ws.toSeq, s"doc $id reconstruction")
     }
+
+    // greedy packing invariants, sharded: every doc packed exactly
+    // once, per-pack token sums within the cap (unless a lone oversize
+    // doc), positions contiguous from 0 in id order
+    val withT = docs.select(
+      col("doc_id"), graft.text.TextOps.tokenCount(col("text")).as("t"))
+    val packed = graft.text.CorpusOps
+      .packGreedy(withT.repartition(4, col("doc_id")), "doc_id", "t", 128L)
+      .as[(Long, Long, Int, Long)].collect()
+    assert(packed.map(_._1).toSet == words.keySet)
+    packed.groupBy(_._2).foreach { case (pack, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == sorted.indices.toSeq, s"pack $pack positions")
+      assert(sorted.map(_._1).sorted.toSeq == sorted.map(_._1).toSeq, s"pack $pack id order")
+      assert(rows.map(_._4).sum <= 128L || rows.length == 1, s"pack $pack overflow")
+    }
   }
 
   test("ann: pq encode/adc — exact reconstruction for codebook rows, training shrinks error, adc ranks near-exact") {
