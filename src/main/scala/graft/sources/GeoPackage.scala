@@ -39,25 +39,29 @@ object GeoPackage {
   val UserVersion: Long = 10301L // GeoPackage 1.3.1
   private val MercOrigin = 20037508.34 // graft.core.TileGrids.WebMercatorExtent
 
-  /** The four gpkg_* metadata tables for one tile pyramid table
-    * covering zooms [minZ, maxZ] over the full WebMercator extent. */
+  /** The four gpkg_* metadata tables (plus their constraint-backing
+    * autoindexes) for one tile pyramid table covering zooms
+    * [minZ, maxZ] over the full WebMercator extent. */
   private def metaTables(
       tableName: String,
       minZ: Long,
       maxZ: Long,
-      lastChange: String): Seq[Table] = {
+      lastChange: String): (Seq[Table], Seq[IndexDef]) = {
+    // srs_id INTEGER PRIMARY KEY is a rowid alias: rows carry a NULL
+    // srs_id slot and live AT rowid -1/0/3857/4326 (ascending — the
+    // b-tree key), exactly how the real library serializes them
     val srsRows = Seq(
       // (srs_name, srs_id, organization, org_coordsys_id, definition, description)
       ("Undefined cartesian SRS", -1L, "NONE", -1L, "undefined", "undefined cartesian"),
       ("Undefined geographic SRS", 0L, "NONE", 0L, "undefined", "undefined geographic"),
-      ("WGS 84", 4326L, "EPSG", 4326L,
-        "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\",SPHEROID[\"WGS 84\",6378137,298.257223563]]]",
-        "WGS 1984 geodetic"),
       ("WGS 84 / Pseudo-Mercator", 3857L, "EPSG", 3857L,
         "PROJCS[\"WGS 84 / Pseudo-Mercator\",GEOGCS[\"WGS 84\"],PROJECTION[\"Mercator_1SP\"]]",
-        "WebMercator")).zipWithIndex.map { case ((n, id, org, oid, d, desc), i) =>
-      TableRow(i + 1L, encodeRecord(Seq(
-        TextValue(n), IntValue(id), TextValue(org), IntValue(oid),
+        "WebMercator"),
+      ("WGS 84", 4326L, "EPSG", 4326L,
+        "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\",SPHEROID[\"WGS 84\",6378137,298.257223563]]]",
+        "WGS 1984 geodetic")).map { case (n, id, org, oid, d, desc) =>
+      TableRow(id, encodeRecord(Seq(
+        TextValue(n), NullValue, TextValue(org), IntValue(oid),
         TextValue(d), TextValue(desc))))
     }
     val contentsRow = TableRow(1L, encodeRecord(Seq(
@@ -76,31 +80,28 @@ object GeoPackage {
         TextValue(tableName), IntValue(z), IntValue(n), IntValue(n),
         IntValue(256L), IntValue(256L), FloatValue(px), FloatValue(px))))
     }
-    // DDL deliberately omits the spec template's non-INTEGER PRIMARY
-    // KEY constraints: real SQLite backs those with sqlite_autoindex
-    // b-trees, which this codec does not write — declaring them without
-    // the index pages makes integrity_check report the file malformed
-    // (and `srs_id INTEGER PRIMARY KEY` would alias the rowid,
-    // conflicting with the stored -1/0/4326/3857 values). The column
-    // shapes and row contents follow the spec exactly; only the
-    // tile table's `id INTEGER PRIMARY KEY` rowid alias is kept, which
-    // needs no index.
-    Seq(
+    // Spec-template DDL including the PRIMARY KEY / UNIQUE constraints,
+    // each non-rowid constraint backed by a real sqlite_autoindex
+    // b-tree (Sqlite.buildIndex) so integrity_check's index↔table
+    // consistency scan passes. Only AUTOINCREMENT is omitted (it would
+    // require a sqlite_sequence bookkeeping table; plain INTEGER
+    // PRIMARY KEY has identical read semantics).
+    val tables = Seq(
       Table("gpkg_spatial_ref_sys",
         "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, " +
-          "srs_id INTEGER NOT NULL, organization TEXT NOT NULL, " +
+          "srs_id INTEGER NOT NULL PRIMARY KEY, organization TEXT NOT NULL, " +
           "organization_coordsys_id INTEGER NOT NULL, definition TEXT NOT NULL, " +
           "description TEXT)",
         srsRows.iterator),
       Table("gpkg_contents",
-        "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL, " +
-          "data_type TEXT NOT NULL, identifier TEXT, " +
+        "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL PRIMARY KEY, " +
+          "data_type TEXT NOT NULL, identifier TEXT UNIQUE, " +
           "description TEXT DEFAULT '', last_change DATETIME NOT NULL, " +
           "min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, " +
           "srs_id INTEGER)",
         Iterator.single(contentsRow)),
       Table("gpkg_tile_matrix_set",
-        "CREATE TABLE gpkg_tile_matrix_set (table_name TEXT NOT NULL, " +
+        "CREATE TABLE gpkg_tile_matrix_set (table_name TEXT NOT NULL PRIMARY KEY, " +
           "srs_id INTEGER NOT NULL, min_x DOUBLE NOT NULL, min_y DOUBLE NOT NULL, " +
           "max_x DOUBLE NOT NULL, max_y DOUBLE NOT NULL)",
         Iterator.single(matrixSetRow)),
@@ -109,14 +110,28 @@ object GeoPackage {
           "zoom_level INTEGER NOT NULL, matrix_width INTEGER NOT NULL, " +
           "matrix_height INTEGER NOT NULL, tile_width INTEGER NOT NULL, " +
           "tile_height INTEGER NOT NULL, pixel_x_size DOUBLE NOT NULL, " +
-          "pixel_y_size DOUBLE NOT NULL)",
+          "pixel_y_size DOUBLE NOT NULL, " +
+          "CONSTRAINT pk_ttm PRIMARY KEY (table_name, zoom_level))",
         matrixRows.iterator))
+    val indexes = Seq(
+      IndexDef("sqlite_autoindex_gpkg_contents_1", "gpkg_contents", None,
+        Iterator.single(encodeRecord(Seq(TextValue(tableName), IntValue(1L))))),
+      IndexDef("sqlite_autoindex_gpkg_contents_2", "gpkg_contents", None,
+        Iterator.single(encodeRecord(Seq(TextValue(tableName), IntValue(1L))))),
+      IndexDef("sqlite_autoindex_gpkg_tile_matrix_set_1", "gpkg_tile_matrix_set", None,
+        Iterator.single(encodeRecord(Seq(TextValue(tableName), IntValue(1L))))),
+      IndexDef("sqlite_autoindex_gpkg_tile_matrix_1", "gpkg_tile_matrix", None,
+        (minZ to maxZ).zipWithIndex.iterator.map { case (z, i) =>
+          encodeRecord(Seq(TextValue(tableName), IntValue(z), IntValue(i + 1L)))
+        }))
+    (tables, indexes)
   }
 
   private def tileTableSql(tableName: String): String =
     s"CREATE TABLE $tableName (id INTEGER PRIMARY KEY, " +
       "zoom_level INTEGER NOT NULL, tile_column INTEGER NOT NULL, " +
-      "tile_row INTEGER NOT NULL, tile_data BLOB NOT NULL)"
+      "tile_row INTEGER NOT NULL, tile_data BLOB NOT NULL, " +
+      "UNIQUE (zoom_level, tile_column, tile_row))"
 
   /** Serialize one archive's tables to a byte image (driver- or
     * executor-side; small interchange archives only — the page image
@@ -128,18 +143,29 @@ object GeoPackage {
       maxZ: Long,
       lastChange: String = "2026-01-01T00:00:00.000Z"): Array[Byte] = {
     var rowid = 0L
+    // (z, x, row, rowid) keys buffered while the table b-tree streams;
+    // the UNIQUE autoindex re-reads them (keys only, never the blobs),
+    // sorted into index key order below — table rows may arrive in any
+    // order, the b-tree key ordering constraint is the INDEX's alone.
+    val keyBuf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     val tileRows = tiles.map { case (z, x, row, data) =>
       rowid += 1
+      keyBuf += ((z, x, row, rowid))
       // id INTEGER PRIMARY KEY = rowid alias: NULL record slot
       TableRow(rowid, encodeRecord(Seq(
         NullValue, IntValue(z), IntValue(x), IntValue(row), BlobValue(data))))
     }
+    val (meta, metaIdx) = metaTables(tableName, minZ, maxZ, lastChange)
     val bos = new java.io.ByteArrayOutputStream()
     writeDatabase(
       bos,
-      metaTables(tableName, minZ, maxZ, lastChange) :+
-        Table(tableName, tileTableSql(tableName), tileRows),
-      ApplicationId, UserVersion)
+      meta :+ Table(tableName, tileTableSql(tableName), tileRows),
+      ApplicationId, UserVersion,
+      metaIdx :+ IndexDef(s"sqlite_autoindex_${tableName}_1", tableName, None,
+        deferred(keyBuf.sortBy(k => (k._1, k._2, k._3)).iterator.map {
+          case (z, x, row, rid) =>
+            encodeRecord(Seq(IntValue(z), IntValue(x), IntValue(row), IntValue(rid)))
+        })))
     bos.toByteArray
   }
 

@@ -114,10 +114,12 @@ object MBTiles {
           var rowid = 0L
           var minZ = Long.MaxValue
           var maxZ = Long.MinValue
+          val keyBuf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
           val tileRows = it.map { r =>
             rowid += 1
             minZ = math.min(minZ, r.getLong(0))
             maxZ = math.max(maxZ, r.getLong(0))
+            keyBuf += ((r.getLong(0), r.getLong(1), r.getLong(2), rowid))
             TableRow(rowid, encodeRecord(Seq(
               IntValue(r.getLong(0)), IntValue(r.getLong(1)), IntValue(r.getLong(2)),
               Option(r.getAs[Array[Byte]]("data")).map(BlobValue).getOrElse(NullValue))))
@@ -132,14 +134,29 @@ object MBTiles {
           confEntries.foreach { case (k, v) => conf.set(k, v) }
           val shard = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.mbtiles")
           val out = shard.getFileSystem(conf).create(shard, true)
+          val metaKeys = (metadata ++ Map(
+            "minzoom" -> minZ.toString, "maxzoom" -> maxZ.toString))
+            .toSeq.sortBy(_._1).zipWithIndex
           try
             writeDatabase(out, Seq(
-              Table("metadata", "CREATE TABLE metadata (name text, value text)",
+              Table("metadata",
+                "CREATE TABLE metadata (name text, value text, PRIMARY KEY (name))",
                 metaRows.iterator),
               Table("tiles",
                 "CREATE TABLE tiles (zoom_level integer, tile_column integer, " +
-                  "tile_row integer, tile_data blob)",
-                tileRows.iterator)))
+                  "tile_row integer, tile_data blob, " +
+                  "PRIMARY KEY (zoom_level, tile_column, tile_row))",
+                tileRows.iterator)),
+              indexes = Seq(
+                IndexDef("sqlite_autoindex_metadata_1", "metadata", None,
+                  metaKeys.iterator.map { case ((k, _), i) =>
+                    encodeRecord(Seq(TextValue(k), IntValue(i + 1L)))
+                  }),
+                IndexDef("sqlite_autoindex_tiles_1", "tiles", None,
+                  keyBuf.iterator.map { case (z, x, row, rid) =>
+                    encodeRecord(Seq(
+                      IntValue(z), IntValue(x), IntValue(row), IntValue(rid)))
+                  })))
           finally out.close()
         }
       }
@@ -183,25 +200,43 @@ object MBTiles {
     }
     var rowid = 0L
     val tileRows = ordered.toLocalIterator()
+    // (z, x, row, rowid) keys buffered while the table b-tree streams —
+    // the PK autoindex re-reads them (keys only, never the blobs)
+    val keyBuf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     val tileIter = new Iterator[TableRow] {
       def hasNext: Boolean = tileRows.hasNext
       def next(): TableRow = {
         val r = tileRows.next()
         rowid += 1
+        keyBuf += ((r.getLong(0), r.getLong(1), r.getLong(2), rowid))
         TableRow(rowid, encodeRecord(Seq(
           IntValue(r.getLong(0)), IntValue(r.getLong(1)), IntValue(r.getLong(2)),
           Option(r.getAs[Array[Byte]]("data")).map(BlobValue).getOrElse(NullValue))))
       }
     }
+    // the reference store's exact schema — PRIMARY KEYs backed by real
+    // sqlite_autoindex b-trees (store/mbtiles.py:79-90 DDL)
     writeDatabase(path, Seq(
       Table(
         "metadata",
-        "CREATE TABLE metadata (name text, value text)",
+        "CREATE TABLE metadata (name text, value text, PRIMARY KEY (name))",
         metaRows.iterator),
       Table(
         "tiles",
         "CREATE TABLE tiles (zoom_level integer, tile_column integer, " +
-          "tile_row integer, tile_data blob)",
-        tileIter)))
+          "tile_row integer, tile_data blob, " +
+          "PRIMARY KEY (zoom_level, tile_column, tile_row))",
+        tileIter)),
+      Seq(
+        IndexDef("sqlite_autoindex_metadata_1", "metadata", None,
+          deferred(fullMeta.toSeq.sortBy(_._1).zipWithIndex.iterator.map {
+            case ((k, _), i) =>
+              encodeRecord(Seq(TextValue(k), IntValue(i + 1L)))
+          })),
+        IndexDef("sqlite_autoindex_tiles_1", "tiles", None,
+          deferred(keyBuf.iterator.map { case (z, x, row, rid) =>
+            encodeRecord(Seq(
+              IntValue(z), IntValue(x), IntValue(row), IntValue(rid)))
+          }))))
   }
 }

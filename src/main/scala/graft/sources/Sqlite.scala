@@ -347,12 +347,192 @@ object Sqlite {
     * row iterator. */
   final case class Table(name: String, sql: String, rows: Iterator[TableRow])
 
+  /** An index to be written: entries are pre-encoded records
+    * `(key columns..., rowid)` in key-sorted order. `sql = None` marks
+    * an automatic index (`sqlite_autoindex_<table>_<n>`, the b-tree
+    * real SQLite creates for non-INTEGER PRIMARY KEY / UNIQUE
+    * constraints — sqlite_master stores NULL sql for those). */
+  final case class IndexDef(
+      name: String,
+      table: String,
+      sql: Option[String],
+      entries: Iterator[Array[Byte]])
+
+  /** Max local payload for index pages — smaller than table leaves:
+    * x = 64/255ths of usable space (sqlite.org/fileformat2.html
+    * §B-tree Pages). */
+  private def indexLocal(payload: Int): Int = {
+    val u = PageSize
+    val x = ((u - 12) * 64) / 255 - 23
+    if (payload <= x) payload
+    else {
+      val m = ((u - 12) * 32) / 255 - 23
+      val k = m + (payload - m) % (u - 4)
+      if (k <= x) k else m
+    }
+  }
+
+  /** Build an index b-tree from key-sorted entry records; returns the
+    * root page. Unlike table b-trees, index INTERIOR cells carry real
+    * entries (each entry lives at exactly one level): when a leaf
+    * fills, its LAST entry moves up as the parent divider — valid
+    * because entries are strictly ordered, so the left leaf's max
+    * separates the siblings. The same rule applies recursively when an
+    * interior level itself overflows. Sizes are computed purely;
+    * overflow pages are allocated only when a cell is actually placed
+    * (a speculative allocation would orphan pages and fail
+    * integrity_check's never-used scan). */
+  private def buildIndex(pages: Pages, entries: Iterator[Array[Byte]]): Int = {
+    def varintSize(v: Long): Int = {
+      if (v >= 0 && v <= 0x7f) 1
+      else if ((v >>> 56) != 0) 9
+      else {
+        var n = 0
+        var rest = v
+        while (rest != 0) { n += 1; rest >>>= 7 }
+        n
+      }
+    }
+    def cellSize(payloadLen: Int): Int = {
+      val local = indexLocal(payloadLen)
+      varintSize(payloadLen.toLong) + local + (if (local < payloadLen) 4 else 0)
+    }
+    /** Encode + place one cell; allocates any overflow chain NOW. */
+    def cellBytes(payload: Array[Byte]): Array[Byte] = {
+      val local = indexLocal(payload.length)
+      val cell = ArrayBuffer.empty[Byte]
+      writeVarint(cell, payload.length.toLong)
+      if (local == payload.length) cell ++= payload
+      else {
+        cell ++= payload.slice(0, local)
+        var off = local
+        val chain = ArrayBuffer.empty[Int]
+        while (off < payload.length) {
+          chain += pages.alloc()
+          off += math.min(PageSize - 4, payload.length - off)
+        }
+        var i = 0
+        off = local
+        while (i < chain.length) {
+          val p = pages(chain(i))
+          putU32(p, 0, (if (i + 1 < chain.length) chain(i + 1) else 0).toLong)
+          val n = math.min(PageSize - 4, payload.length - off)
+          System.arraycopy(payload, off, p, 4, n)
+          off += n
+          i += 1
+        }
+        val ptr = new Array[Byte](4)
+        putU32(ptr, 0, chain(0).toLong)
+        cell ++= ptr
+      }
+      cell.toArray
+    }
+
+    // leaves (type 10, 8-byte header); dividers(i) separates
+    // children(i) from children(i+1)
+    val children = ArrayBuffer.empty[Int]
+    val dividers = ArrayBuffer.empty[Array[Byte]]
+    val pending = ArrayBuffer.empty[Array[Byte]] // raw payloads
+    var pendingCellBytes = 0
+    def flushLeaf(popDivider: Boolean): Unit = {
+      if (popDivider) {
+        require(pending.length >= 2, "index leaf too small to pop a divider")
+        val d = pending.remove(pending.length - 1)
+        pendingCellBytes -= cellSize(d.length)
+        dividers += d
+      }
+      val pn = pages.alloc()
+      val p = pages(pn)
+      p(0) = 10
+      putU16(p, 3, pending.length)
+      var content = PageSize
+      var ptrOff = 8
+      pending.foreach { payload =>
+        val c = cellBytes(payload)
+        content -= c.length
+        System.arraycopy(c, 0, p, content, c.length)
+        putU16(p, ptrOff, content)
+        ptrOff += 2
+      }
+      putU16(p, 5, content)
+      children += pn
+      pending.clear()
+      pendingCellBytes = 0
+    }
+    var any = false
+    entries.foreach { e =>
+      any = true
+      if (pending.nonEmpty &&
+        8 + 2 * (pending.length + 1) + pendingCellBytes + cellSize(e.length) > PageSize)
+        flushLeaf(popDivider = true)
+      pending += e
+      pendingCellBytes += cellSize(e.length)
+    }
+    if (pending.nonEmpty || !any) flushLeaf(popDivider = false)
+
+    // interior levels (type 2, 12-byte header): cells are
+    // (leftChild u32, divider cell); each group's last child becomes
+    // the page's right-most pointer and the divider that would follow
+    // it moves up a level
+    var kids = children.toIndexedSeq
+    var divs = dividers.toIndexedSeq
+    while (kids.length > 1) {
+      require(divs.length == kids.length - 1, "divider/child count mismatch")
+      val nextKids = ArrayBuffer.empty[Int]
+      val nextDivs = ArrayBuffer.empty[Array[Byte]]
+      var i = 0
+      while (i < kids.length) {
+        val group = ArrayBuffer.empty[Int] // child indexes whose divider is a cell
+        var bytes = 0
+        while (i < kids.length - 1 &&
+          group.length < 300 &&
+          12 + 2 * (group.length + 1) + bytes + 4 + cellSize(divs(i).length) <= PageSize) {
+          bytes += 4 + cellSize(divs(i).length)
+          group += i
+          i += 1
+        }
+        val pn = pages.alloc()
+        val p = pages(pn)
+        p(0) = 2
+        putU16(p, 3, group.length)
+        putU32(p, 8, kids(i).toLong)
+        var content = PageSize
+        var ptrOff = 12
+        group.foreach { gi =>
+          val c = cellBytes(divs(gi))
+          content -= c.length + 4
+          putU32(p, content, kids(gi).toLong)
+          System.arraycopy(c, 0, p, content + 4, c.length)
+          putU16(p, ptrOff, content)
+          ptrOff += 2
+        }
+        putU16(p, 5, content)
+        nextKids += pn
+        if (i < kids.length - 1) nextDivs += divs(i) // divider after right-most child
+        i += 1
+      }
+      kids = nextKids.toIndexedSeq
+      divs = nextDivs.toIndexedSeq
+    }
+    kids.head
+  }
+
   /** Write a fresh SQLite database file containing `tables`. */
-  def writeDatabase(path: String, tables: Seq[Table]): Unit = {
+  def writeDatabase(path: String, tables: Seq[Table]): Unit =
+    writeDatabase(path, tables, Nil)
+
+  /** Write a fresh SQLite database file with index b-trees. */
+  def writeDatabase(path: String, tables: Seq[Table], indexes: Seq[IndexDef]): Unit = {
     val out = java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path))
-    try writeDatabase(out, tables)
+    try writeDatabase(out, tables, indexes = indexes)
     finally out.close()
   }
+
+  /** Defer an iterator so it is constructed only when first pulled —
+    * index-entry iterators read buffers that fill while the TABLE
+    * b-tree consumes its row iterator, so they must not touch the
+    * buffer at IndexDef construction time. */
+  def deferred[A](mk: => Iterator[A]): Iterator[A] = Iterator.empty ++ mk
 
   /** Write a fresh SQLite database to an already-open stream (caller
     * closes) — the form executor tasks use to target a Hadoop
@@ -367,16 +547,30 @@ object Sqlite {
       out: java.io.OutputStream,
       tables: Seq[Table],
       applicationId: Long = 0L,
-      userVersion: Long = 0L): Unit = {
+      userVersion: Long = 0L,
+      indexes: Seq[IndexDef] = Nil): Unit = {
     val pages = new Pages
     val rootPlaceholder = pages.alloc() // page 1: header + sqlite_master
     require(rootPlaceholder == 1)
-    val roots = tables.map(t => t -> buildTable(pages, t.rows))
-    // sqlite_master rows on page 1 (schema is small; one leaf page)
-    val masterRecords = roots.zipWithIndex.map { case ((t, root), i) =>
-      TableRow(i + 1L, encodeRecord(Seq(
+    // per-table: table b-tree, then its index b-trees (creation order,
+    // like the real library) — sqlite_master rows follow the same order
+    val masterEntries = tables.flatMap { t =>
+      val tableRoot = buildTable(pages, t.rows)
+      val tableRow: Seq[Value] = Seq(
         TextValue("table"), TextValue(t.name), TextValue(t.name),
-        IntValue(root.toLong), TextValue(t.sql))))
+        IntValue(tableRoot.toLong), TextValue(t.sql))
+      val indexRows = indexes.filter(_.table == t.name).map { ix =>
+        val ixRoot = buildIndex(pages, ix.entries)
+        Seq(
+          TextValue("index"), TextValue(ix.name), TextValue(t.name),
+          IntValue(ixRoot.toLong),
+          ix.sql.map(TextValue).getOrElse(NullValue)): Seq[Value]
+      }
+      tableRow +: indexRows
+    }
+    // sqlite_master rows on page 1 (schema is small; one leaf page)
+    val masterRecords = masterEntries.zipWithIndex.map { case (vals, i) =>
+      TableRow(i + 1L, encodeRecord(vals))
     }
     val p1 = pages(1)
     // b-tree header at offset 100 on page 1

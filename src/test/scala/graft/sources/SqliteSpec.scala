@@ -130,6 +130,14 @@ class SqliteSpec extends SparkTestBase {
         assert(out.linesIterator.next() == "integrity:ok", out.take(500))
         val tilesDumped = out.linesIterator.count(_.startsWith("tile:"))
         assert(tilesDumped == n)
+        // the PK autoindex b-tree WE wrote is visible to the real
+        // library and actually used for the point lookup (index seek,
+        // not a table scan)
+        assert(out.linesIterator.exists(
+          _.startsWith("index:sqlite_autoindex_tiles_1:unique=1")), out.take(800))
+        assert(out.linesIterator.exists(l =>
+          l.startsWith("plan:") && l.contains("USING INDEX sqlite_autoindex_tiles_1")),
+          out.linesIterator.filter(_.startsWith("plan:")).mkString("|"))
         // canonical digests match the real-sqlite-written twin below
         val twin = tmp() + "/real.mbtiles"
         val (mc, mo) = run(Seq(py, "tools/mbtiles_oracle.py", "make", twin, n.toString))

@@ -53,6 +53,12 @@ def check(path: str) -> None:
             "FROM tiles ORDER BY zoom_level, tile_column, tile_row"):
         digest = hashlib.md5(data).hexdigest() if data is not None else "null"
         print(f"tile:{z}/{x}/{row}:{digest}")
+    for row in con.execute("PRAGMA index_list(tiles)"):
+        print(f"index:{row[1]}:unique={row[2]}")
+    plan = con.execute(
+        "EXPLAIN QUERY PLAN SELECT tile_data FROM tiles "
+        "WHERE zoom_level=6 AND tile_column=1 AND tile_row=1").fetchall()
+    print("plan:" + ";".join(str(r[-1]) for r in plan))
     con.close()
 
 
