@@ -1391,7 +1391,64 @@ object GraftQueries {
         |         ELSE p.pack_pos + 1 END AS INT),
         |    CASE WHEN p.acc + d.t > 256 THEN d.t ELSE p.acc + d.t END
         |  FROM d JOIN p ON d.rn = p.rn + 1)
-        |SELECT doc_id, pack_id, pack_pos, t AS n_tokens FROM p""".stripMargin))
+        |SELECT doc_id, pack_id, pack_pos, t AS n_tokens FROM p""".stripMargin)),
+
+    // End-to-end corpus build: mix (en 50%, zh 80%, rest full) -> exact
+    // dedup -> alpha-ratio quality gate -> 32/24 chunking -> 256-token
+    // packing, one partition so the oracle's recursive packing CTE
+    // walks the identical sequence. The oracle is the composition of
+    // the q51/q42/q21/q52/q54 oracle fragments — every stage of the
+    // pipeline is value-checked END TO END, not just per-op.
+    ("q55_corpus_build",
+      (s: SparkSession, dir: String) =>
+        graft.text.CorpusOps.buildCorpus(
+          table(s, dir, "documents"),
+          Map("en" -> 500000L, "zh" -> 800000L), defaultE6 = 1000000L,
+          minAlphaE6 = 820000L, packShards = 1)
+          .select(
+            col("doc_id"), col("chunk_idx"), col("pack_id"),
+            col("pack_pos"), col("n_tokens")),
+      Some("""WITH RECURSIVE sampled AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        |          % 1000000
+        |    < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 800000
+        |      ELSE 1000000 END),
+        |kept AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM sampled) WHERE rn = 1),
+        |q AS (
+        |  SELECT doc_id, text FROM kept
+        |  WHERE CAST(floor(1000000.0 * len(regexp_extract_all(lower(text), '[a-z]'))
+        |        / greatest(length(text), 1)) AS BIGINT) >= 820000),
+        |w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM q),
+        |n AS (SELECT doc_id, ws,
+        |        1 + ((greatest(len(ws) - 32, 0) + 23) // 24) AS nc FROM w),
+        |chunks AS (
+        |  SELECT doc_id, CAST(g.i AS INT) AS chunk_idx,
+        |    CAST(len(ws[g.i*24+1 : g.i*24+32]) AS BIGINT) AS t
+        |  FROM n CROSS JOIN generate_series(0, 63) g(i)
+        |  WHERE g.i < nc),
+        |o AS (
+        |  SELECT doc_id, chunk_idx, t,
+        |    ROW_NUMBER() OVER (ORDER BY doc_id * 1024 + chunk_idx) AS rn
+        |  FROM chunks),
+        |p AS (
+        |  SELECT rn, doc_id, chunk_idx, t, CAST(0 AS BIGINT) AS pack_id,
+        |    CAST(0 AS INT) AS pack_pos, t AS acc
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.rn, o.doc_id, o.chunk_idx, o.t,
+        |    CAST(CASE WHEN p.acc + o.t > 256 THEN p.pack_id + 1
+        |         ELSE p.pack_id END AS BIGINT),
+        |    CAST(CASE WHEN p.acc + o.t > 256 THEN 0
+        |         ELSE p.pack_pos + 1 END AS INT),
+        |    CASE WHEN p.acc + o.t > 256 THEN o.t ELSE p.acc + o.t END
+        |  FROM o JOIN p ON o.rn = p.rn + 1)
+        |SELECT doc_id, chunk_idx, pack_id, pack_pos, t AS n_tokens
+        |FROM p""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -36,6 +36,55 @@ object CorpusOps {
     pmod(Dedup.hash60(key.cast("string")), lit(1000000L)) < frac
   }
 
+  /** End-to-end training-corpus build — the canonical composition of
+    * this module with the dedup layer, mirroring a production data
+    * pipeline stage list:
+    *
+    *  1. corpus mixing: [[stratifiedSampleE6]] per-language rates;
+    *  2. exact dedup: keep the lowest doc_id per content hash
+    *     ([[graft.dedup.Dedup.dropExactDuplicates]]; swap in
+    *     `minhashNearDups` + `clusters` for fuzzy dedup — same shape,
+    *     oracle-tested separately as q26/q32);
+    *  3. quality gate: alphabetic-character ratio floor;
+    *  4. context-length chunking: [[chunkByTokens]];
+    *  5. sequence packing: [[packGreedy]] over the chunks, keyed by
+    *     `doc_id * 1024 + chunk_idx` (chunk counts are bounded far
+    *     below 1024 by doc length / stride).
+    *
+    * Returns `(doc_id, chunk_idx, chunk_text, pack_id, pack_pos,
+    * n_tokens)`. `packShards` > 0 repartitions the chunks before the
+    * sequential packing scan (shard-parallel packs, pack_id embeds the
+    * shard); 0 leaves the incoming partitioning. Every stage is a
+    * narrow column transform except the dedup window and the final
+    * pack join — at 100 TB the plan is scan → filter → window →
+    * explode → one co-keyed join. */
+  def buildCorpus(
+      docs: DataFrame,
+      fractionsE6: Map[String, Long],
+      defaultE6: Long,
+      minAlphaE6: Long,
+      window: Int = 32,
+      stride: Int = 24,
+      capTokens: Long = 256L,
+      packShards: Int = 0): DataFrame = {
+    val sampled = docs.where(
+      stratifiedSampleE6(col("doc_id"), col("lang"), fractionsE6, defaultE6))
+    val deduped = graft.dedup.Dedup.dropExactDuplicates(sampled, "doc_id", "text")
+    val quality = deduped.where(TextOps.alphaRatioE6(col("text")) >= minAlphaE6)
+    val chunks = chunkByTokens(quality, "doc_id", "text", window, stride)
+      .select(
+        (col("id") * 1024 + col("chunk_idx")).as("chunk_key"),
+        col("id").as("doc_id"), col("chunk_idx"), col("chunk_text"),
+        col("n_tokens"))
+    val forPack =
+      if (packShards > 0) chunks.repartition(packShards, col("chunk_key"))
+      else chunks
+    packGreedy(forPack, "chunk_key", "n_tokens", capTokens)
+      .select(col("id").as("chunk_key"), col("pack_id"), col("pack_pos"))
+      .join(chunks, "chunk_key")
+      .select("doc_id", "chunk_idx", "chunk_text", "pack_id", "pack_pos", "n_tokens")
+  }
+
   /** Greedy sequence packing ("sample packing"): concatenate documents
     * in id order into packs of at most `capTokens` tokens — the step
     * that turns variable-length documents into fixed-budget training

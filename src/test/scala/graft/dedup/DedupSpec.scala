@@ -295,6 +295,25 @@ class DedupSpec extends SparkTestBase {
       assert(sorted.map(_._1).sorted.toSeq == sorted.map(_._1).toSeq, s"pack $pack id order")
       assert(rows.map(_._4).sum <= 128L || rows.length == 1, s"pack $pack overflow")
     }
+
+    // end-to-end corpus build, sharded: the sample/dedup/quality/chunk
+    // stages are deterministic regardless of packShards, and each
+    // shard's packs respect the budget
+    val built = graft.text.CorpusOps.buildCorpus(
+      docs, Map("en" -> 600000L), defaultE6 = 1000000L,
+      minAlphaE6 = 800000L, capTokens = 200L, packShards = 3)
+      .as[(Long, Int, String, Long, Int, Int)].collect()
+    val single = graft.text.CorpusOps.buildCorpus(
+      docs, Map("en" -> 600000L), defaultE6 = 1000000L,
+      minAlphaE6 = 800000L, capTokens = 200L, packShards = 1)
+      .as[(Long, Int, String, Long, Int, Int)].collect()
+    // identical chunk set either way; only pack grouping differs
+    assert(built.map(r => (r._1, r._2, r._3, r._6)).toSet ==
+      single.map(r => (r._1, r._2, r._3, r._6)).toSet)
+    built.groupBy(_._4).foreach { case (pack, rows) =>
+      assert(rows.map(_._6.toLong).sum <= 200L || rows.length == 1,
+        s"corpus pack $pack overflow")
+    }
   }
 
   test("ann: pq encode/adc — exact reconstruction for codebook rows, training shrinks error, adc ranks near-exact") {
