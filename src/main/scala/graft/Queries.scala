@@ -1448,7 +1448,66 @@ object GraftQueries {
         |    CASE WHEN p.acc + o.t > 256 THEN o.t ELSE p.acc + o.t END
         |  FROM o JOIN p ON o.rn = p.rn + 1)
         |SELECT doc_id, chunk_idx, pack_id, pack_pos, t AS n_tokens
-        |FROM p""".stripMargin))
+        |FROM p""".stripMargin)),
+
+    // Full IVF-PQ search: coarse-quantizer probe (q46's fragment)
+    // routing into PQ-ADC scoring (q50's fragment) — the production
+    // ANN layout end to end, value-checked as a composition like q55.
+    ("q56_ivfpq_search",
+      (s: SparkSession, dir: String) => {
+        val emb = table(s, dir, "embeddings")
+        val books = graft.ann.Ann.samplePqCodebooks(emb, "vec_id", "embedding")
+        graft.ann.Ann.ivfPqSearch(
+          emb, "vec_id", "embedding", ivfCentroids, books,
+          queryId = 0L, k = 10, nprobe = 3)
+          .select(
+            col("id").as("vec_id"), col("list_id"),
+            floor(col("adc") * lit(1e6)).cast("long").as("adc_e6"))
+      },
+      Some {
+        val dists = ivfCentroids.zipWithIndex.map { case (c, i) =>
+          s"(-2.0 * list_dot_product(v, ${planeLiteral(c)}) + ${c.map(x => x * x).sum}) AS d$i"
+        }.mkString(",\n       ")
+        val m = ivfCentroids.indices.map(i => s"d$i").mkString("least(", ", ", ")")
+        val pick = ivfCentroids.indices
+          .map(i => s"WHEN d$i = m THEN $i").mkString("CASE ", " ", " END")
+        val qdist = ivfCentroids.zipWithIndex.map { case (c, i) =>
+          s"SELECT $i AS list_id, (-2.0 * list_dot_product(qv, ${planeLiteral(c)}) + ${c.map(x => x * x).sum}) AS d2 FROM q"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (SELECT vec_id, $dists FROM emb),
+        |a AS (SELECT vec_id, $pick AS list_id FROM (SELECT *, $m AS m FROM d)),
+        |q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+        |qdist AS (
+        |  $qdist),
+        |probe AS (SELECT list_id FROM qdist ORDER BY d2, list_id LIMIT 3),
+        |book AS (
+        |  SELECT m.m, e.vec_id AS j, e.v[m.m*16+1 : m.m*16+16] AS c
+        |  FROM emb e, (SELECT unnest([0,1,2,3]) AS m) m
+        |  WHERE e.vec_id < 16),
+        |codes AS (
+        |  SELECT vec_id, m, j
+        |  FROM (
+        |    SELECT e.vec_id, b.m, b.j,
+        |      list_sum([(e.v[b.m*16+i] - b.c[i]) * (e.v[b.m*16+i] - b.c[i])
+        |                for i in generate_series(1,16)]) AS d2
+        |    FROM emb e CROSS JOIN book b)
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, j) = 1),
+        |lut AS (
+        |  SELECT b.m, b.j,
+        |    list_sum([(q.qv[b.m*16+i] - b.c[i]) * (q.qv[b.m*16+i] - b.c[i])
+        |              for i in generate_series(1,16)]) AS d
+        |  FROM book b, q),
+        |adc AS (
+        |  SELECT c.vec_id, list_sum(list(l.d ORDER BY c.m)) AS adc
+        |  FROM codes c JOIN lut l ON c.m = l.m AND c.j = l.j
+        |  GROUP BY c.vec_id)
+        |SELECT adc.vec_id, a.list_id,
+        |  CAST(floor(adc.adc * 1e6) AS BIGINT) AS adc_e6
+        |FROM adc JOIN a USING (vec_id)
+        |WHERE a.list_id IN (SELECT list_id FROM probe) AND adc.vec_id <> 0
+        |ORDER BY adc.adc, adc.vec_id LIMIT 10""".stripMargin
+      })
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

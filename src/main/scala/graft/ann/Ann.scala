@@ -329,6 +329,74 @@ object Ann {
       .limit(k)
   }
 
+  /** Full IVF-PQ search — the production ANN layout at corpus scale:
+    * the coarse quantizer ([[ivfAssign]]) routes the query to `nprobe`
+    * lists, and within them distance is the PQ ADC approximation
+    * ([[pqAdcSearch]]'s lookup-table sum over the codes relation) —
+    * raw vectors are touched ONLY to compute each row's coarse list
+    * and codes, both of which a real deployment materializes once
+    * (list_id as the partition column, codes as a 4-byte column), so
+    * the steady-state search reads `~nprobe/L` of a 4-byte-per-vector
+    * table and does m lookups + a sum per row. Probe lists are chosen
+    * on the driver from the centroid literals (ties to the lower list
+    * id), matching the q46 oracle's ORDER BY d2, list_id. */
+  def ivfPqSearch(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Array[Double]],
+      codebooks: Seq[Seq[Array[Double]]],
+      queryId: Long,
+      k: Int = 10,
+      nprobe: Int = 2): DataFrame = {
+    val query = df.where(col(idCol) === queryId)
+      .select(asDouble(col(vecCol)))
+      .head.getSeq[Double](0).toArray
+    val probe = centroids.zipWithIndex.map { case (c, i) =>
+      // same -2*q.c + |c|^2 shortcut as ivfAssign/q46 (the |q|^2 term
+      // is constant across lists)
+      val d2 = -2.0 * c.zip(query).map { case (a, b) => a * b }.sum +
+        c.map(x => x * x).sum
+      (d2, i)
+    }.sortBy(identity).take(nprobe).map(_._2)
+    val assigned = ivfAssign(df, idCol, vecCol, centroids)
+      .select(col("id"), col("list_id"))
+    val codes = pqEncode(df, idCol, vecCol, codebooks)
+    pqAdcSearchWithin(
+      codes.join(assigned, "id")
+        .where(col("list_id").isin(probe: _*) && col("id") =!= queryId),
+      codebooks, query, k)
+  }
+
+  /** ADC scoring over a codes relation that carries extra columns
+    * (e.g. `list_id`); kept by the projection. */
+  private def pqAdcSearchWithin(
+      codes: DataFrame,
+      codebooks: Seq[Seq[Array[Double]]],
+      query: Array[Double],
+      k: Int): DataFrame = {
+    val subDim = codebooks.head.head.length
+    val nCent = codebooks.head.length
+    val lut: Array[Double] = codebooks.zipWithIndex.flatMap { case (book, i) =>
+      val q = query.slice(i * subDim, (i + 1) * subDim)
+      book.map { c =>
+        var s = 0.0
+        var d = 0
+        while (d < subDim) { val t = q(d) - c(d); s += t * t; d += 1 }
+        s
+      }
+    }.toArray
+    val terms = codebooks.indices.map { i =>
+      element_at(
+        lit(lut),
+        lit(i * nCent + 1) + element_at(col("codes"), i + 1).cast("int"))
+    }
+    codes
+      .select(col("id"), col("list_id"), terms.reduce(_ + _).as("adc"))
+      .orderBy(col("adc"), col("id"))
+      .limit(k)
+  }
+
   /** IVF-style coarse quantization: assign each vector to its nearest
     * of `centroids`; search probes only matching lists. Centroids are
     * a driver-side broadcastable array. */

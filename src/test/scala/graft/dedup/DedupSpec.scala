@@ -355,6 +355,31 @@ class DedupSpec extends SparkTestBase {
     assert(sse(trained) <= sse(books) + 1e-9)
   }
 
+  test("ann: ivfPqSearch with all lists probed equals plain ADC; nprobe=1 stays in one list") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, Array.tabulate(64)(d => math.sin(i * 0.37 + d * 0.11).toFloat))
+    }.toDF("vec_id", "embedding")
+    val centroids = Ann.planes(64, 4, seed = 99L)
+    val books = Ann.samplePqCodebooks(vecs, "vec_id", "embedding")
+    val q = vecs.where(col("vec_id") === 7L)
+      .select(col("embedding").cast("array<double>")).as[Seq[Double]].head().toArray
+    // probing every list removes the routing approximation: ranking
+    // must equal plain ADC over the whole corpus (minus the query row)
+    val full = Ann.ivfPqSearch(vecs, "vec_id", "embedding", centroids, books,
+      queryId = 7L, k = 10, nprobe = centroids.length)
+      .select("id").as[Long].collect().toSeq
+    val adcAll = Ann.pqAdcSearch(
+      Ann.pqEncode(vecs.where(col("vec_id") =!= 7L), "vec_id", "embedding", books),
+      books, q, 10).select("id").as[Long].collect().toSeq
+    assert(full == adcAll)
+    val one = Ann.ivfPqSearch(vecs, "vec_id", "embedding", centroids, books,
+      queryId = 7L, k = 10, nprobe = 1)
+      .select("list_id").distinct().collect()
+    assert(one.length == 1)
+  }
+
   test("multimodal: real image meta + resize, stub audio/video plumbing") {
     val media = graft.engine.Corpus.generate(spark, 20).toDF()
       .select(
