@@ -397,6 +397,33 @@ object Ann {
       .limit(k)
   }
 
+  /** ADC + exact rerank — the standard production finish for PQ
+    * search: the lookup-table scan nominates `candidates` ids (codes
+    * only, no raw vectors), then exact elementwise L2 re-scores JUST
+    * those rows via a broadcast semi-join against the vector table.
+    * Raw-vector I/O is `candidates` rows per query regardless of
+    * corpus size, and recall approaches exact as `candidates` grows —
+    * the knob that buys back the quantization error (measured in
+    * BENCH/ANN_RECALL.md). */
+  def pqAdcRerank(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codes: DataFrame,
+      codebooks: Seq[Seq[Array[Double]]],
+      query: Array[Double],
+      k: Int = 10,
+      candidates: Int = 100): DataFrame = {
+    val cand = pqAdcSearch(codes, codebooks, query, candidates).select("id")
+    val exact = aggregate(
+      zip_with(asDouble(col(vecCol)), lit(query), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, d) => acc + d)
+    df.select(col(idCol).as("id"), exact.as("dist2"))
+      .join(broadcast(cand), "id")
+      .orderBy(col("dist2"), col("id"))
+      .limit(k)
+  }
+
   /** IVF-style coarse quantization: assign each vector to its nearest
     * of `centroids`; search probes only matching lists. Centroids are
     * a driver-side broadcastable array. */

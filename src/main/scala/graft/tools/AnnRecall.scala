@@ -1,0 +1,148 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.Ann
+
+/** Recall-vs-cost evidence for the ANN family — the standard way to
+  * judge approximate search: recall@10 against brute-force cosine /
+  * exact-L2 ground truth on a clustered synthetic corpus, alongside
+  * the fraction of the corpus each method actually scores. Writes
+  * BENCH/ANN_RECALL.md. Deterministic (splitmix64 corpus, fixed
+  * queries), so the table is reproducible run to run. */
+object AnnRecall {
+
+  private def unit(h: Long, d: Int): Double = {
+    val m = graft.engine.Corpus.splitmix64(h * 64 + d)
+    ((m & 0xffffL).toDouble / 0xffff.toDouble) * 2.0 - 1.0
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 5000
+    val nClusters = 16
+    val spark = graft.Bench.mkSession(16)
+    import spark.implicits._
+
+    // clustered corpus: 16 deterministic centers + per-vector noise —
+    // the structure IVF exists to exploit
+    val vecs = spark.range(n).map { i =>
+      val c = (i % nClusters).toInt
+      val v = Array.tabulate(64) { d =>
+        unit(c.toLong + 1000, d) + 0.35 * unit(i + 2000, d)
+      }
+      (i, v.map(_.toFloat))
+    }.toDF("vec_id", "embedding").cache()
+    vecs.count()
+
+    val queries = (0 until 10).map(q => (q * (n / 10)).toLong)
+    val k = 10
+
+    // ground truths per metric: IVF scores cosine, PQ-ADC scores L2 —
+    // recall must be judged against the matching exact ranking
+    val exactCos: Map[Long, Seq[Long]] = queries.map { q =>
+      q -> Ann.topK(vecs, "vec_id", "embedding", q, k)
+        .select("id").as[Long].collect().toSeq
+    }.toMap
+    val all: Array[(Long, Array[Double])] = vecs
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().map { case (i, v) => (i, v.toArray) }
+    val exactL2: Map[Long, Seq[Long]] = queries.map { q =>
+      val qv = all.find(_._1 == q).get._2
+      q -> all.filter(_._1 != q).map { case (i, v) =>
+        var s = 0.0
+        var d = 0
+        while (d < 64) { val t = qv(d) - v(d); s += t * t; d += 1 }
+        (s, i)
+      }.sortBy(identity).take(k).map(_._2).toSeq
+    }.toMap
+
+    def recall(got: Map[Long, Seq[Long]], exact: Map[Long, Seq[Long]]): Double =
+      queries.map { q =>
+        got(q).toSet.intersect(exact(q).toSet).size.toDouble / k
+      }.sum / queries.size
+
+    val centroids = Ann.planes(64, nClusters, seed = 99L)
+    // K=64 centroids per subspace (4 per cluster) so codes resolve
+    // WITHIN clusters — K equal to the cluster count would collapse
+    // every same-cluster vector to identical codes
+    val books = Ann.samplePqCodebooks(vecs, "vec_id", "embedding", m = 8, k = 64)
+    val trained = Ann.trainPqCodebooks(vecs, "vec_id", "embedding", m = 8, k = 64, iters = 5)
+
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    // IVF (exact distance within probed lists) at several nprobe
+    for (np <- Seq(1, 2, 4, nClusters)) {
+      val got = queries.map { q =>
+        q -> Ann.ivfSearch(vecs, "vec_id", "embedding", centroids, q, k, np)
+          .select("id").as[Long].collect().toSeq
+      }.toMap
+      rows += ((s"IVF nprobe=$np/$nClusters (cosine)", recall(got, exactCos), np.toDouble / nClusters))
+    }
+    // PQ-ADC full scan (approximate distance, every row scored)
+    for ((name, bk) <- Seq("PQ-ADC (sampled books)" -> books,
+      "PQ-ADC (Lloyd-trained)" -> trained)) {
+      val codes = Ann.pqEncode(vecs, "vec_id", "embedding", bk).cache()
+      codes.count()
+      val got = queries.map { q =>
+        val qv = vecs.where(col("vec_id") === q)
+          .select(col("embedding").cast("array<double>")).as[Seq[Double]]
+          .head().toArray
+        q -> Ann.pqAdcSearch(codes.where(col("id") =!= q), bk, qv, k)
+          .select("id").as[Long].collect().toSeq
+      }.toMap
+      rows += ((name, recall(got, exactL2), 1.0))
+      codes.unpersist()
+    }
+    // PQ-ADC + exact rerank: codes nominate C candidates, raw vectors
+    // re-score only those
+    for (c <- Seq(50, 100, 200)) {
+      val codes = Ann.pqEncode(vecs, "vec_id", "embedding", trained).cache()
+      codes.count()
+      val got = queries.map { q =>
+        val qv = vecs.where(col("vec_id") === q)
+          .select(col("embedding").cast("array<double>")).as[Seq[Double]]
+          .head().toArray
+        q -> Ann.pqAdcRerank(vecs.where(col("vec_id") =!= q), "vec_id", "embedding",
+          codes.where(col("id") =!= q), trained, qv, k, candidates = c)
+          .select("id").as[Long].collect().toSeq
+      }.toMap
+      rows += ((s"PQ-ADC + rerank C=$c (trained)", recall(got, exactL2), c.toDouble / n))
+      codes.unpersist()
+    }
+    // full IVF-PQ (approximate distance, probed lists only)
+    for (np <- Seq(2, 4)) {
+      val got = queries.map { q =>
+        q -> Ann.ivfPqSearch(vecs, "vec_id", "embedding", centroids, trained, q, k, np)
+          .select("id").as[Long].collect().toSeq
+      }.toMap
+      rows += ((s"IVF-PQ nprobe=$np (trained)", recall(got, exactL2), np.toDouble / nClusters))
+    }
+
+    val md = new StringBuilder
+    md ++= s"# ANN recall@$k vs corpus fraction scored\n\n"
+    md ++= s"Corpus: $n clustered 64-dim vectors ($nClusters centers + noise), "
+    md ++= "10 fixed queries, ground truth = exact ranking in each method's own metric.\n"
+    md ++= "Generated by `sbt \"runMain graft.tools.AnnRecall\"` (deterministic).\n\n"
+    md ++= "| method | recall@10 | fraction of corpus scored |\n|---|---|---|\n"
+    rows.foreach { case (name, r, frac) =>
+      md ++= f"| $name | $r%.2f | ${frac * 100}%.0f%% |\n"
+    }
+    md ++= """
+      |Notes:
+      |- IVF with exact in-list distance trades recall for scan fraction
+      |  via `nprobe`; probing all lists is exact by construction (1.00).
+      |- PQ-ADC scores every row but reads only m-byte codes (32x less
+      |  I/O than raw vectors at m=8) — its recall ceiling is the
+      |  quantization error, which Lloyd training visibly tightens.
+      |- Rerank rows: the fraction column is the share of RAW VECTORS
+      |  touched (the expensive I/O at corpus scale); the nominating
+      |  ADC pass still scans the codes column. Candidates C is the
+      |  recall knob — exact by construction as C approaches n.
+      |- IVF-PQ composes both: the 100 TB steady state reads
+      |  ~nprobe/L of a codes-only table.
+      |""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH/ANN_RECALL.md"), md.toString)
+    println(md.toString)
+    spark.stop()
+  }
+}

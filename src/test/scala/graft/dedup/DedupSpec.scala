@@ -378,6 +378,18 @@ class DedupSpec extends SparkTestBase {
       queryId = 7L, k = 10, nprobe = 1)
       .select("list_id").distinct().collect()
     assert(one.length == 1)
+    // rerank with C = corpus size degenerates to the exact L2 ranking
+    val codes = Ann.pqEncode(vecs.where(col("vec_id") =!= 7L), "vec_id", "embedding", books)
+    val reranked = Ann.pqAdcRerank(vecs.where(col("vec_id") =!= 7L), "vec_id", "embedding",
+      codes, books, q, k = 10, candidates = 200)
+      .select("id").as[Long].collect().toSeq
+    val all = vecs.where(col("vec_id") =!= 7L)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val exactL2 = all.map { case (i, v) =>
+      (v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+    }.sortBy(identity).take(10).map(_._2).toSeq
+    assert(reranked == exactL2)
   }
 
   test("multimodal: real image meta + resize, stub audio/video plumbing") {
