@@ -1507,7 +1507,29 @@ object GraftQueries {
         |FROM adc JOIN a USING (vec_id)
         |WHERE a.list_id IN (SELECT list_id FROM probe) AND adc.vec_id <> 0
         |ORDER BY adc.adc, adc.vec_id LIMIT 10""".stripMargin
-      })
+      }),
+
+    // Image near-dup clustering end to end: pixels -> pHash -> banded
+    // hamming pairs -> connected components with min-id labels (the
+    // string-keyed distributed branch of Dedup.clusters). Ground truth:
+    // each planted group {dupNNN, imgNNN} clusters under its dup id
+    // (the lexicographic minimum).
+    ("q57_phash_clusters",
+      (s: SparkSession, dir: String) => {
+        val media = graft.engine.Corpus.generateNearDupMedia(s, 400).toDF()
+        val hashes = graft.multimodal.Multimodal.imagePhash(media)
+          .where(col("error").isNull)
+        graft.dedup.Dedup.clusters(graft.dedup.Dedup.phashPairs(hashes))
+          .orderBy("id")
+      },
+      Some("""SELECT printf('dup%012d', g.i) AS id,
+        |  printf('dup%012d', g.i) AS cluster_id
+        |FROM generate_series(0, 399) g(i) WHERE g.i % 5 = 2
+        |UNION ALL
+        |SELECT printf('img%012d', g.i) AS id,
+        |  printf('dup%012d', g.i) AS cluster_id
+        |FROM generate_series(0, 399) g(i) WHERE g.i % 5 = 2
+        |ORDER BY id""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

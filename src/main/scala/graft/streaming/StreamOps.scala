@@ -52,6 +52,27 @@ object StreamOps {
         col("cnt"), col("max_v"))
   }
 
+  /** Streaming exact dedup for continuous document ingest — the
+    * streaming face of [[graft.dedup.Dedup.dropExactDuplicates]]: keep
+    * the first arrival of each content fingerprint
+    * ([[graft.text.TextOps.fingerprint]], the engine's 60-bit md5 key).
+    * Uses `dropDuplicatesWithinWatermark`, so the dedup state store
+    * holds only fingerprints younger than the watermark — bounded
+    * state at unbounded stream length, the property a naive
+    * `dropDuplicates` on a stream does NOT have (its state grows
+    * forever). The documented consequence: a duplicate arriving AFTER
+    * its original has aged past the watermark is re-admitted —
+    * at corpus scale the periodic batch dedup (q20/q42) sweeps those.
+    * Batch frames take the exact window-function path. */
+  def dedupDocStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val withFp = docs.withColumn(
+      "fp", graft.text.TextOps.fingerprint(col("text")))
+    if (withFp.isStreaming)
+      withFp.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("fp")
+    else graft.dedup.Dedup.dropExactDuplicates(withFp, "doc_id", "text")
+  }
+
   /** Sessionization: assign a session id per (user, gap-delimited run
     * of events). Batch form uses window functions; the streaming form
     * of the same semantics is `flatMapGroupsWithState` (session windows)

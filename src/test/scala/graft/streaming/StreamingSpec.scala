@@ -102,6 +102,52 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupDocStream: first arrival wins within the watermark, state is bounded by it") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val deduped = StreamOps.dedupDocStream(
+      mem.toDF().toDF("doc_id", "ts", "text"), watermark = "30 minutes")
+
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName("dedup_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: two distinct texts + an intra-batch dup
+      mem.addData(Seq(
+        (1L, ts(0), "alpha"), (2L, ts(1), "beta"), (3L, ts(2), "alpha")))
+      q.processAllAvailable()
+      // batch 2: cross-batch dup within the watermark -> dropped
+      mem.addData(Seq((4L, ts(5), "beta"), (5L, ts(6), "gamma")))
+      q.processAllAvailable()
+      val kept1 = spark.table("dedup_out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept1 == Set(1L, 2L, 5L), s"got $kept1")
+
+      // advance the watermark far past the old fingerprints, then
+      // replay "alpha": state for it has been dropped -> re-admitted
+      // (the documented bounded-state contract)
+      mem.addData(Seq((6L, ts(1000), "delta")))
+      q.processAllAvailable()
+      mem.addData(Seq((7L, ts(1001), "alpha")))
+      q.processAllAvailable()
+      val kept2 = spark.table("dedup_out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept2 == Set(1L, 2L, 5L, 6L, 7L), s"got $kept2")
+    } finally q.stop()
+
+    // batch frames take the exact keep-lowest-id path
+    val batch = StreamOps.dedupDocStream(
+      Seq((3L, ts(0), "x"), (1L, ts(1), "x"), (2L, ts(2), "y"))
+        .toDF("doc_id", "ts", "text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch == Set(1L, 2L))
+  }
+
   test("sessionizeStream is incremental: state carries sessions across batches") {
     val s = spark
     import s.implicits._
