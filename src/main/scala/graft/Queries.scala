@@ -105,6 +105,13 @@ object GraftQueries {
     * planes); ±1 keeps the DuckDB literal exact. */
   private val ivfCentroids: Seq[Array[Double]] = graft.ann.Ann.planes(64, 8, seed = 99L)
 
+  /** Learned by `Bpe.train(documents, "text", 8)` on this corpus
+    * (deterministic — BpeSpec re-derives them); pinned here so the
+    * q58 oracle can replay the identical replace chain. */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"))
+
   private val cosineSql =
     "CAST(floor(1000000.0 * list_dot_product(%A, %B) / " +
       "(sqrt(list_dot_product(%A, %A)) * sqrt(list_dot_product(%B, %B)))) AS BIGINT)"
@@ -1529,7 +1536,35 @@ object GraftQueries {
         |SELECT printf('img%012d', g.i) AS id,
         |  printf('dup%012d', g.i) AS cluster_id
         |FROM generate_series(0, 399) g(i) WHERE g.i % 5 = 2
-        |ORDER BY id""".stripMargin))
+        |ORDER BY id""".stripMargin)),
+
+    // BPE tokenization: the 8 merges below were LEARNED by Bpe.train on
+    // this corpus (deterministic; BpeSpec pins the training), then
+    // applied as a pure-column replace chain. The oracle applies the
+    // identical chain in DuckDB — SQL replace is left-to-right
+    // non-overlapping, exactly BPE's within-pass semantics, and the
+    // leading-space delimiter prevents matches inside longer symbols.
+    // Note merge 6 ("m"+"er") consumes the output of merge 1 — the
+    // chain order is rank order, which the oracle mirrors verbatim.
+    ("q58_bpe_tokens",
+      (s: SparkSession, dir: String) =>
+        graft.text.Bpe.encodeStats(
+          table(s, dir, "documents"), "doc_id", "text", BpeMerges)
+          .withColumnRenamed("id", "doc_id"),
+      Some {
+        val chain = BpeMerges.foldLeft(
+          "(' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')))") {
+          case (c, (a, b)) => s"replace($c, ' $a $b', ' $a$b')"
+        }
+        s"""WITH w AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+        |  CAST(coalesce(list_sum(
+        |    [len(string_split(trim($chain), ' ')) for w in ws]), 0) AS INT)
+        |    AS n_bpe_tokens
+        |FROM w""".stripMargin
+      })
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

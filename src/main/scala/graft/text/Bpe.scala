@@ -1,0 +1,120 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer: distributed training over the
+  * word-TYPE histogram and a pure-column encoder.
+  *
+  * Training (Sennrich-style word-level BPE, public algorithm): the
+  * cluster computes the distinct-word histogram — one `groupBy(word)`
+  * shuffle over any corpus size; the TYPE table is bounded by
+  * vocabulary growth (Heaps' law — millions of rows at 100 TB, not
+  * trillions), so it collects to the driver like centroids and
+  * codebooks do, where the classic merge loop runs over types, not
+  * tokens. Ties in pair counts break by (count desc, pair asc) so
+  * training is deterministic.
+  *
+  * Encoding is PURE COLUMN MATH, no UDF: a word becomes a
+  * space-delimited symbol string (leading space as the boundary
+  * marker), and each merge in rank order is one `replace(" a b",
+  * " ab")` — SQL replace is left-to-right non-overlapping, exactly
+  * BPE's within-pass semantics, and the leading-space delimiting
+  * prevents a match inside a longer symbol. The same chain is
+  * expressible verbatim in the DuckDB oracle (q58). */
+object Bpe {
+
+  /** One left-to-right non-overlapping merge pass over a symbol list —
+    * the driver-side reference semantics the column encoder mirrors. */
+  def mergeOnce(symbols: List[String], a: String, b: String): List[String] =
+    symbols match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: mergeOnce(rest, a, b)
+      case x :: rest => x :: mergeOnce(rest, a, b)
+      case Nil => Nil
+    }
+
+  /** Apply a ranked merge list to one word. */
+  def applyMerges(word: String, merges: Seq[(String, String)]): List[String] =
+    merges.foldLeft(word.map(_.toString).toList) {
+      case (syms, (a, b)) => mergeOnce(syms, a, b)
+    }
+
+  /** Learn `numMerges` merges from the corpus' word-type histogram.
+    * One distributed aggregation; the merge loop runs on the driver
+    * over the bounded type table. */
+  def train(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxWordTypes: Int = 1 << 20): Seq[(String, String)] = {
+    val types: Array[(String, Long)] = df
+      .select(explode(TextOps.words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxWordTypes)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var words: Array[(List[String], Long)] =
+      types.map { case (w, c) => (w.map(_.toString).toList, c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    while (i < numMerges) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        syms.zip(syms.drop(1)).foreach { p =>
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
+        }
+      }
+      if (pairCounts.isEmpty) i = numMerges
+      else {
+        val (best, _) = pairCounts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += best
+        words = words.map { case (syms, c) =>
+          (mergeOnce(syms, best._1, best._2), c)
+        }
+        i += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Symbol-string form of one word: " l o w" — leading space is the
+    * boundary marker the merge replaces key on. */
+  private def spaced(w: Column): Column =
+    concat(lit(" "), trim(regexp_replace(w, "(.)", "$1 ")))
+
+  /** Encoded symbol string per word after the ranked merges — pure
+    * codegen (regexp_replace + a replace chain). */
+  def encodeWord(w: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(spaced(w)) { case (c, (a, b)) =>
+      call_function("replace", c, lit(s" $a $b"), lit(s" $a$b"))
+    }
+
+  /** Per-document BPE stats: `(id, n_words, n_bpe_tokens)`. The token
+    * count per word is the symbol count of the encoded form (spaces =
+    * symbols, by the leading-space invariant). */
+  def encodeStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val ws = TextOps.words(col(textCol))
+    val perWord = transform(ws, w => size(split(trim(encodeWord(w, merges)), " ")))
+    df.select(
+      col(idCol).as("id"),
+      size(ws).as("n_words"),
+      coalesce(aggregate(perWord, lit(0), (acc, n) => acc + n), lit(0))
+        .as("n_bpe_tokens"))
+  }
+
+  /** Full token array per document (flattened across words). */
+  def encode(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      flatten(transform(
+        TextOps.words(col(textCol)),
+        w => split(trim(encodeWord(w, merges)), " "))).as("tokens"))
+}

@@ -1,0 +1,54 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** BPE tokenizer: hand-computed training on a toy corpus, the pinned
+  * corpus merges q58 embeds, reference-vs-column encoder parity, and
+  * the left-to-right non-overlapping merge-pass semantics. */
+class BpeSpec extends SparkTestBase {
+
+  test("merge pass is left-to-right non-overlapping") {
+    assert(Bpe.mergeOnce(List("a", "a", "a"), "a", "a") == List("aa", "a"))
+    assert(Bpe.mergeOnce(List("a", "b", "a", "b"), "a", "b") == List("ab", "ab"))
+    assert(Bpe.applyMerges("lower", Seq(("l", "o"), ("lo", "w"))) ==
+      List("low", "e", "r"))
+  }
+
+  test("training matches hand-computed BPE on a toy corpus") {
+    val s = spark
+    import s.implicits._
+    // types: low x3, lower x2. Round 1: (l,o)=5 ties (o,w)=5, breaks
+    // lexicographically to (l,o); round 2: (lo,w)=5; round 3:
+    // (low,e)=2 ties (e,r)=2, "e" < "low" -> (e,r)
+    val docs = Seq("low low lower", "low lower").toDF("text")
+    val merges = Bpe.train(docs, "text", 3)
+    assert(merges == Seq(("l", "o"), ("lo", "w"), ("e", "r")))
+  }
+
+  test("q58's pinned merges re-derive from the sf0.01 corpus") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val merges = Bpe.train(docs, "text", 8)
+    assert(merges == Seq(
+      ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+      ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u")))
+  }
+
+  test("column encoder agrees with the driver reference on corpus words") {
+    val s = spark
+    import s.implicits._
+    val merges = Seq(("e", "r"), ("i", "n"), ("m", "er"), ("s", "t"))
+    val words = Seq("merger", "instant", "er", "x", "sterner", "minimum")
+    val got = words.toDF("w")
+      .select(split(trim(Bpe.encodeWord(col("w"), merges)), " "))
+      .as[Seq[String]].collect().toSeq
+    val want = words.map(w => Bpe.applyMerges(w, merges).toSeq)
+    assert(got == want)
+    // and the flattened document encoder preserves word order
+    val toks = Bpe.encode(
+      Seq((1L, "merger stern")).toDF("doc_id", "text"), "doc_id", "text", merges)
+      .select("tokens").as[Seq[String]].head()
+    assert(toks == Bpe.applyMerges("merger", merges) ++ Bpe.applyMerges("stern", merges))
+  }
+}
