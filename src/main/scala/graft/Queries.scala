@@ -1524,8 +1524,13 @@ object GraftQueries {
     ("q57_phash_clusters",
       (s: SparkSession, dir: String) => {
         val media = graft.engine.Corpus.generateNearDupMedia(s, 400).toDF()
+        // materialize the hashes once: the pair self-join (2 sides when
+        // AQE broadcasts one) and the clustering loop would otherwise
+        // re-run the decode+DCT pipeline per consumer — localCheckpoint
+        // truncates to the materialized 16-byte hash rows, no cache pin
         val hashes = graft.multimodal.Multimodal.imagePhash(media)
           .where(col("error").isNull)
+          .localCheckpoint()
         graft.dedup.Dedup.clusters(graft.dedup.Dedup.phashPairs(hashes))
           .orderBy("id")
       },
