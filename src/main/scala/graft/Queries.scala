@@ -1543,6 +1543,28 @@ object GraftQueries {
         |FROM generate_series(0, 399) g(i) WHERE g.i % 5 = 2
         |ORDER BY id""".stripMargin)),
 
+    // Difference-hash near-dup: same planted ground truth as q49
+    // recovered by the DCT-free dHash (9x8 luma gradient signs) through
+    // the identical banded-pair machinery — the cheap scale path when
+    // DCT per image is the bottleneck. dHash's separation margin is
+    // thinner than pHash's (probe at n=400: intra <= 2, inter >= 7 with
+    // collisions AT 7), so its threshold is 4 — inside the gap, five
+    // 12-bit bands.
+    ("q59_dhash_neardup",
+      (s: SparkSession, dir: String) => {
+        val media = graft.engine.Corpus.generateNearDupMedia(s, 400).toDF()
+        val hashes = graft.multimodal.Multimodal.imageHash64(media, "dhash")
+          .where(col("error").isNull)
+        graft.dedup.Dedup.phashPairs(hashes, maxHamming = 4)
+          .select(col("da"), col("db"))
+          .orderBy("da")
+      },
+      Some("""SELECT printf('dup%012d', g.i) AS da,
+        |  printf('img%012d', g.i) AS db
+        |FROM generate_series(0, 399) g(i)
+        |WHERE g.i % 5 = 2
+        |ORDER BY da""".stripMargin)),
+
     // BPE tokenization: the 8 merges below were LEARNED by Bpe.train on
     // this corpus (deterministic; BpeSpec pins the training), then
     // applied as a pure-column replace chain. The oracle applies the

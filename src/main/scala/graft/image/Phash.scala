@@ -48,16 +48,20 @@ object Phash {
     m
   }
 
-  /** Luma plane area-averaged to 32×32. Exact pixel-weight arithmetic
-    * (each source pixel contributes its overlap fraction), so any
-    * source size maps deterministically. */
-  private[image] def luma32(img: BufferedImage): Array[Double] = {
+  /** Luma plane area-averaged to 32×32. */
+  private[image] def luma32(img: BufferedImage): Array[Double] =
+    lumaGrid(img, N, N)
+
+  /** Luma plane area-averaged to an arbitrary `gw`×`gh` grid. Exact
+    * pixel-weight arithmetic (each source pixel contributes its
+    * overlap fraction), so any source size maps deterministically. */
+  private[image] def lumaGrid(img: BufferedImage, gw: Int, gh: Int): Array[Double] = {
     val w = img.getWidth
     val h = img.getHeight
-    val out = new Array[Double](N * N)
-    val wgt = new Array[Double](N * N)
-    val sx = N.toDouble / w
-    val sy = N.toDouble / h
+    val out = new Array[Double](gw * gh)
+    val wgt = new Array[Double](gw * gh)
+    val sx = gw.toDouble / w
+    val sy = gh.toDouble / h
     var y = 0
     while (y < h) {
       // source row y covers [y·sy, (y+1)·sy) in target space
@@ -71,15 +75,15 @@ object Phash {
         val tx0 = x * sx
         val tx1 = (x + 1) * sx
         var ty = math.floor(ty0).toInt
-        while (ty < ty1 && ty < N) {
+        while (ty < ty1 && ty < gh) {
           val fy = math.min(ty1, ty + 1.0) - math.max(ty0, ty.toDouble)
           if (fy > 0) {
             var tx = math.floor(tx0).toInt
-            while (tx < tx1 && tx < N) {
+            while (tx < tx1 && tx < gw) {
               val fx = math.min(tx1, tx + 1.0) - math.max(tx0, tx.toDouble)
               if (fx > 0) {
-                out(ty * N + tx) += l * fx * fy
-                wgt(ty * N + tx) += fx * fy
+                out(ty * gw + tx) += l * fx * fy
+                wgt(ty * gw + tx) += fx * fy
               }
               tx += 1
             }
@@ -91,7 +95,7 @@ object Phash {
       y += 1
     }
     var i = 0
-    while (i < N * N) { if (wgt(i) > 0) out(i) /= wgt(i); i += 1 }
+    while (i < gw * gh) { if (wgt(i) > 0) out(i) /= wgt(i); i += 1 }
     out
   }
 
@@ -146,9 +150,55 @@ object Phash {
     h
   }
 
+  /** 64-bit difference hash ("dHash", public algorithm): 9×8 luma
+    * grid, bit (r, c) = cell (r, c) > cell (r, c+1) — horizontal
+    * gradient signs. Cheaper than pHash (no DCT) and robust to the
+    * same re-encode/brightness perturbations (global brightness shifts
+    * cancel in the differences); less robust to aspect changes. */
+  def dhash64(img: BufferedImage): Long = {
+    val g = lumaGrid(img, 9, 8)
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (g(r * 9 + c) > g(r * 9 + c + 1)) h |= (1L << (r * 8 + c))
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** 64-bit average hash ("aHash"): 8×8 luma grid, bit = cell > the
+    * grid mean. Cheapest of the family; most sensitive to global
+    * brightness shifts (the mean moves with them). */
+  def ahash64(img: BufferedImage): Long = {
+    val g = lumaGrid(img, 8, 8)
+    var mean = 0.0
+    var i = 0
+    while (i < 64) { mean += g(i); i += 1 }
+    mean /= 64.0
+    var h = 0L
+    i = 0
+    while (i < 64) { if (g(i) > mean) h |= (1L << i); i += 1 }
+    h
+  }
+
   /** Decode-then-hash; the partition-batch column form lives in
     * [[graft.multimodal.Multimodal.imagePhash]]. */
   def phashOf(bytes: Array[Byte]): Long = phash64(ImageCodec.decode(bytes))
+
+  /** Decode-then-hash by algorithm name: phash | dhash | ahash. */
+  def hashOf(bytes: Array[Byte], algo: String): Long = {
+    val img = ImageCodec.decode(bytes)
+    algo match {
+      case "phash" => phash64(img)
+      case "dhash" => dhash64(img)
+      case "ahash" => ahash64(img)
+      case other => throw new IllegalArgumentException(s"unknown hash: $other")
+    }
+  }
 
   /** Hamming distance between two 64-bit hashes (driver-side helper;
     * the column form is `bit_count(a ^ b)`). */

@@ -64,14 +64,20 @@ object Multimodal {
     * partition-batch + error-column shape as [[imageMeta]]; pair
     * generation over the output is [[graft.dedup.Dedup.phashPairs]]
     * (hamming-banded join — hashes shuffle, pixels never do). */
-  def imagePhash(media: DataFrame): DataFrame = {
+  def imagePhash(media: DataFrame): DataFrame = imageHash64(media, "phash")
+
+  /** Any of the perceptual-hash family by name (phash | dhash |
+    * ahash — [[graft.image.Phash]]); output column is always `phash`
+    * so [[graft.dedup.Dedup.phashPairs]] composes with every algo. */
+  def imageHash64(media: DataFrame, algo: String): DataFrame = {
+    require(Seq("phash", "dhash", "ahash").contains(algo), algo)
     val idIdx = media.schema.fieldIndex("media_id")
     val bIdx = media.schema.fieldIndex("bytes")
     media.mapPartitions { it =>
       it.map { r =>
         val id = r.getString(idIdx)
         try {
-          Row(id, graft.image.Phash.phashOf(r.getAs[Array[Byte]](bIdx)), null)
+          Row(id, graft.image.Phash.hashOf(r.getAs[Array[Byte]](bIdx), algo), null)
         } catch {
           case e: Exception => Row(id, null, e.toString)
         }

@@ -65,6 +65,39 @@ class PhashSpec extends SparkTestBase {
     assert(pairs === expected)
   }
 
+  test("dhash/ahash variants: jpeg-invariant, seed-separated; dhash recovers planted pairs") {
+    val seeds = (0 until 120).map(i => graft.engine.Corpus.splitmix64(i.toLong))
+    for (algo <- Seq("dhash", "ahash")) {
+      def hash(img: java.awt.image.BufferedImage) =
+        if (algo == "dhash") Phash.dhash64(img) else Phash.ahash64(img)
+      var intraMax = 0
+      var interMin = 64
+      val hs = seeds.map(s => hash(ImageCodec.photoImage(64, s)))
+      seeds.take(40).zipWithIndex.foreach { case (s, i) =>
+        val img = ImageCodec.photoImage(64, s)
+        val re = ImageCodec.decode(ImageCodec.encodeJpeg(img, 0.7f))
+        intraMax = math.max(intraMax, Phash.hammingDist(hs(i), hash(re)))
+      }
+      for (i <- hs.indices; j <- (i + 1) until hs.size)
+        interMin = math.min(interMin, Phash.hammingDist(hs(i), hs(j)))
+      assert(intraMax <= 7, s"$algo jpeg drift $intraMax")
+      // dhash separates past the default banded-pair threshold like
+      // phash; ahash (weakest of the family — the mean moves with
+      // global shifts) only guarantees a gap above its own drift, so
+      // pairing with it needs a lower maxHamming
+      if (algo == "dhash") assert(interMin > 7, s"dhash separation $interMin")
+      else assert(interMin > intraMax, s"ahash gap $interMin <= $intraMax")
+    }
+    // end-to-end with dhash through the same pair machinery
+    val media = graft.engine.Corpus.generateNearDupMedia(spark, 100).toDF()
+    val hashes = Multimodal.imageHash64(media, "dhash")
+    val pairs = Dedup.phashPairs(hashes, maxHamming = 4)
+      .select("da", "db").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = (0 until 100).filter(_ % 5 == 2)
+      .map(i => (f"dup$i%012d", f"img$i%012d")).toSet
+    assert(pairs === expected)
+  }
+
   test("hammingPairs band layout covers all bits for non-divisible widths") {
     import spark.implicits._
     // 60-bit sigs with maxHamming 6 -> 7 bands of width 8, last band 12
