@@ -693,9 +693,9 @@ object GraftQueries {
         |ORDER BY sim_e6 DESC, id LIMIT 20""".stripMargin)),
 
     // LSH-bucketed embedding near-dup pairs (8 random hyperplanes,
-    // cosine >= 0.4 verification) — the ANN scale path. nPlanes is
-    // pinned to 8 because the oracle mirrors that bucket layout; the
-    // library default (nPlanes = 0) auto-sizes planes from the
+    // cosine >= 0.4 verification) — the ANN scale path. nPlanes = 8 is
+    // the reproducible default the oracle mirrors (pinned explicitly
+    // here anyway); nPlanes = 0 opts into auto-sizing planes from the
     // optimizer's row estimate (Ann.planesForCount).
     ("q29_embed_neardup",
       (s: SparkSession, dir: String) =>
@@ -1440,7 +1440,7 @@ object GraftQueries {
         |  WHERE g.i < nc),
         |o AS (
         |  SELECT doc_id, chunk_idx, t,
-        |    ROW_NUMBER() OVER (ORDER BY doc_id * 1024 + chunk_idx) AS rn
+        |    ROW_NUMBER() OVER (ORDER BY doc_id, chunk_idx) AS rn
         |  FROM chunks),
         |p AS (
         |  SELECT rn, doc_id, chunk_idx, t, CAST(0 AS BIGINT) AS pack_id,
@@ -1569,8 +1569,10 @@ object GraftQueries {
     // this corpus (deterministic; BpeSpec pins the training), then
     // applied as a pure-column replace chain. The oracle applies the
     // identical chain in DuckDB — SQL replace is left-to-right
-    // non-overlapping, exactly BPE's within-pass semantics, and the
-    // leading-space delimiter prevents matches inside longer symbols.
+    // non-overlapping, exactly BPE's within-pass semantics, and every
+    // symbol carries its OWN flanking spaces (" t  h  e "), so a merge
+    // pattern " a  b " can neither match a prefix of a longer symbol
+    // nor consume the boundary the next match in a run needs.
     // Note merge 6 ("m"+"er") consumes the output of merge 1 — the
     // chain order is rank order, which the oracle mirrors verbatim.
     ("q58_bpe_tokens",
@@ -1580,15 +1582,15 @@ object GraftQueries {
           .withColumnRenamed("id", "doc_id"),
       Some {
         val chain = BpeMerges.foldLeft(
-          "(' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')))") {
-          case (c, (a, b)) => s"replace($c, ' $a $b', ' $a$b')"
+          "regexp_replace(w, '(.)', ' \\1 ', 'g')") {
+          case (c, (a, b)) => s"replace($c, ' $a  $b ', ' $a$b ')"
         }
         s"""WITH w AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
         |  FROM documents)
         |SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
         |  CAST(coalesce(list_sum(
-        |    [len(string_split(trim($chain), ' ')) for w in ws]), 0) AS INT)
+        |    [len(string_split(trim($chain), '  ')) for w in ws]), 0) AS INT)
         |    AS n_bpe_tokens
         |FROM w""".stripMargin
       })

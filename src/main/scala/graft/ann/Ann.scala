@@ -78,17 +78,24 @@ object Ann {
     * bucket)` window riding the same exchange the self-join needs, so
     * the 8-64 dot products per row run once and the join's second side
     * reuses the shuffle. (2) the plane count GROWS with corpus size
-    * (buckets ~ n / 2^planes): the default `nPlanes <= 0` sizes planes
-    * from the optimizer's row estimate via [[planesForCount]] — a
+    * (buckets ~ n / 2^planes): pass `nPlanes = 0` to size planes from
+    * the optimizer's row estimate via [[planesForCount]] — a
     * 10^9-vector corpus gets ~20 planes / 10^6 buckets where a fixed 8
     * would leave 4M vectors per bucket, all capped away (correct but
-    * useless output). Pass an explicit positive `nPlanes` to pin the
-    * bucket layout (the oracle-checked form uses 8). */
+    * useless output).
+    *
+    * Reproducibility: the default (8 planes) pins the bucket layout,
+    * so output is a pure function of the input. Auto mode (`nPlanes =
+    * 0`) derives the layout from table STATISTICS — candidate pairs
+    * near the cosine threshold, and which hot buckets the cap drops,
+    * can then vary with the environment's stats, not just the data;
+    * opt in only where that is acceptable (it usually is for a
+    * recall-bounded near-dup sweep, not for an oracle-checked one). */
   def nearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      nPlanes: Int = 0,
+      nPlanes: Int = 8,
       minCosineE6: Long = 400000L,
       dim: Int = 64,
       maxBucketSize: Long = 1000L): DataFrame = {
@@ -241,14 +248,41 @@ object Ann {
     * centroid mean, initialized from [[samplePqCodebooks]]. Each round
     * is one distributed aggregation; only the m*k*subDim centroid means
     * (a few KB) ever reach the driver. Deterministic: means are exact
-    * sums / counts over a fixed assignment. */
+    * sums / counts over a fixed assignment.
+    *
+    * Training is bounded to a deterministic md5-keyed sample of at
+    * most ~`maxTrainRows` rows (production practice: codebooks
+    * converge on 10^5-10^6 vectors; re-encoding the FULL relation
+    * every Lloyd iteration at corpus scale would be `iters` needless
+    * 100 TB scans). The sample is cached across iterations and is a
+    * pure function of the ids, so training stays reproducible. */
   def trainPqCodebooks(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       m: Int = 4,
       k: Int = 16,
-      iters: Int = 5): Seq[Seq[Array[Double]]] = {
+      iters: Int = 5,
+      maxTrainRows: Long = 1L << 20): Seq[Seq[Array[Double]]] = {
+    val base = df.select(col(idCol).as(idCol), col(vecCol).as(vecCol))
+    val n = base.count()
+    val sampled =
+      if (n <= maxTrainRows) base
+      else base.where(
+        pmod(graft.dedup.Dedup.hash60(col(idCol).cast("string")), lit(1000000L))
+          < lit(math.max(1L, maxTrainRows * 1000000L / n)))
+    val train = sampled.persist()
+    try trainPqCodebooksFull(train, idCol, vecCol, m, k, iters)
+    finally { train.unpersist(); () }
+  }
+
+  private def trainPqCodebooksFull(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int,
+      iters: Int): Seq[Seq[Array[Double]]] = {
     var books = samplePqCodebooks(df, idCol, vecCol, m, k)
     val subDim = books.head.head.length
     (0 until iters).foreach { _ =>
@@ -339,7 +373,17 @@ object Ann {
     * the steady-state search reads `~nprobe/L` of a 4-byte-per-vector
     * table and does m lookups + a sum per row. Probe lists are chosen
     * on the driver from the centroid literals (ties to the lower list
-    * id), matching the q46 oracle's ORDER BY d2, list_id. */
+    * id), matching the q46 oracle's ORDER BY d2, list_id.
+    *
+    * `rerank > 0` adds the production finish ([[pqAdcRerank]]'s
+    * structure composed with the probe): ADC nominates `rerank`
+    * candidates from the probed lists' CODES, then exact elementwise
+    * L2 re-scores just those rows against the raw vectors via a
+    * broadcast semi-join — raw-vector I/O stays `rerank` rows per
+    * query regardless of corpus size, and recall recovers the ADC
+    * quantization loss (measured in BENCH/ANN_RECALL.md). Output is
+    * `(id, list_id, adc)` without rerank, `(id, list_id, dist2)`
+    * with. */
   def ivfPqSearch(
       df: DataFrame,
       idCol: String,
@@ -348,7 +392,8 @@ object Ann {
       codebooks: Seq[Seq[Array[Double]]],
       queryId: Long,
       k: Int = 10,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2,
+      rerank: Int = 0): DataFrame = {
     val query = df.where(col(idCol) === queryId)
       .select(asDouble(col(vecCol)))
       .head.getSeq[Double](0).toArray
@@ -362,10 +407,20 @@ object Ann {
     val assigned = ivfAssign(df, idCol, vecCol, centroids)
       .select(col("id"), col("list_id"))
     val codes = pqEncode(df, idCol, vecCol, codebooks)
-    pqAdcSearchWithin(
+    val adc = pqAdcSearchWithin(
       codes.join(assigned, "id")
         .where(col("list_id").isin(probe: _*) && col("id") =!= queryId),
-      codebooks, query, k)
+      codebooks, query, if (rerank > 0) math.max(rerank, k) else k)
+    if (rerank <= 0) adc
+    else {
+      val exact = aggregate(
+        zip_with(asDouble(col(vecCol)), lit(query), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, d) => acc + d)
+      df.select(col(idCol).as("id"), exact.as("dist2"))
+        .join(broadcast(adc.select("id", "list_id")), "id")
+        .orderBy(col("dist2"), col("id"))
+        .limit(k)
+    }
   }
 
   /** ADC scoring over a codes relation that carries extra columns

@@ -319,6 +319,12 @@ object Sqlite {
           bytes += buf.length
           i += 1
         }
+        // same guard as buildIndex: never leave exactly one child for
+        // the next group (it would emit a zero-cell interior page)
+        if (i == level.length - 2 && cells.length >= 2) {
+          bytes -= cells.remove(cells.length - 1).length
+          i -= 1
+        }
         // level(i) becomes this page's right-most pointer
         val pn = pages.alloc()
         val p = pages(pn)
@@ -490,6 +496,15 @@ object Sqlite {
           bytes += 4 + cellSize(divs(i).length)
           group += i
           i += 1
+        }
+        // never leave exactly one child for the next group: it would
+        // start at the level's last child and emit a ZERO-CELL interior
+        // page (just a right-most pointer) — a shape real SQLite never
+        // writes and strict readers may reject. Shrink this group by
+        // one so the remainder is 2 children (1 cell + right pointer).
+        if (i == kids.length - 2 && group.length >= 2) {
+          group.remove(group.length - 1)
+          i -= 1
         }
         val pn = pages.alloc()
         val p = pages(pn)

@@ -48,8 +48,10 @@ object CorpusOps {
     *  3. quality gate: alphabetic-character ratio floor;
     *  4. context-length chunking: [[chunkByTokens]];
     *  5. sequence packing: [[packGreedy]] over the chunks, keyed by
-    *     `doc_id * 1024 + chunk_idx` (chunk counts are bounded far
-    *     below 1024 by doc length / stride).
+    *     `doc_id << 32 | chunk_idx` — chunk counts cannot reach 2^32
+    *     (a chunk is at least one word), so the key never collides
+    *     across documents, and it sorts identically to the
+    *     `(doc_id, chunk_idx)` pair.
     *
     * Returns `(doc_id, chunk_idx, chunk_text, pack_id, pack_pos,
     * n_tokens)`. `packShards` > 0 repartitions the chunks before the
@@ -73,7 +75,7 @@ object CorpusOps {
     val quality = deduped.where(TextOps.alphaRatioE6(col("text")) >= minAlphaE6)
     val chunks = chunkByTokens(quality, "doc_id", "text", window, stride)
       .select(
-        (col("id") * 1024 + col("chunk_idx")).as("chunk_key"),
+        (shiftleft(col("id").cast("long"), 32) + col("chunk_idx")).as("chunk_key"),
         col("id").as("doc_id"), col("chunk_idx"), col("chunk_text"),
         col("n_tokens"))
     val forPack =

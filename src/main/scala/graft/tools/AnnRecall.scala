@@ -67,6 +67,12 @@ object AnnRecall {
     // every same-cluster vector to identical codes
     val books = Ann.samplePqCodebooks(vecs, "vec_id", "embedding", m = 8, k = 64)
     val trained = Ann.trainPqCodebooks(vecs, "vec_id", "embedding", m = 8, k = 64, iters = 5)
+    // same training bounded to a deterministic ~2k-row hash sample —
+    // the form a 100 TB corpus uses (codebooks converge on a sample;
+    // full-relation re-encoding per Lloyd iteration would be 5 needless
+    // corpus scans)
+    val trainedSampled = Ann.trainPqCodebooks(
+      vecs, "vec_id", "embedding", m = 8, k = 64, iters = 5, maxTrainRows = 2000L)
 
     val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
     // IVF (exact distance within probed lists) at several nprobe
@@ -79,7 +85,8 @@ object AnnRecall {
     }
     // PQ-ADC full scan (approximate distance, every row scored)
     for ((name, bk) <- Seq("PQ-ADC (sampled books)" -> books,
-      "PQ-ADC (Lloyd-trained)" -> trained)) {
+      "PQ-ADC (Lloyd-trained)" -> trained,
+      "PQ-ADC (Lloyd-trained on 2k-row sample)" -> trainedSampled)) {
       val codes = Ann.pqEncode(vecs, "vec_id", "embedding", bk).cache()
       codes.count()
       val got = queries.map { q =>
@@ -115,6 +122,18 @@ object AnnRecall {
           .select("id").as[Long].collect().toSeq
       }.toMap
       rows += ((s"IVF-PQ nprobe=$np (trained)", recall(got, exactL2), np.toDouble / nClusters))
+    }
+    // IVF-PQ + exact rerank — the full production composition: probe
+    // routes, ADC nominates C within the probed lists' codes, exact L2
+    // re-scores only C raw vectors per query
+    for ((np, c) <- Seq((2, 100), (2, 200), (4, 200))) {
+      val got = queries.map { q =>
+        q -> Ann.ivfPqSearch(vecs, "vec_id", "embedding", centroids, trained, q, k,
+          nprobe = np, rerank = c)
+          .select("id").as[Long].collect().toSeq
+      }.toMap
+      rows += ((s"IVF-PQ nprobe=$np + rerank C=$c (trained)",
+        recall(got, exactL2), c.toDouble / n))
     }
 
     val md = new StringBuilder

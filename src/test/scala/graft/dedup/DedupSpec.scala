@@ -106,7 +106,7 @@ class DedupSpec extends SparkTestBase {
     assert(Ann.planesForCount(100000L, 1000L) <= 8)
   }
 
-  test("ann: default nearDupPairs auto-sizes planes; candidate volume stays ~linear at 100x") {
+  test("ann: nPlanes=0 auto-sizes planes; candidate volume stays ~linear at 100x") {
     val s = spark
     import s.implicits._
     // deterministic spread-out corpus (no planted dups), SAME generator
@@ -316,6 +316,29 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("corpus: chunk keys don't collide for documents beyond 1024 chunks") {
+    val s = spark
+    import s.implicits._
+    // doc 0: 25k words -> 1 + ceil((25000-32)/24) = 1042 chunks, past
+    // 1024, so a 1024-based key would collide with doc 1's chunks and
+    // the pack join would attach wrong rows
+    val big = (0 until 25000).map(i => s"w$i").mkString(" ")
+    val small = (0 until 100).map(i => s"v$i").mkString(" ")
+    val docs = Seq((0L, "en", big), (1L, "en", small)).toDF("doc_id", "lang", "text")
+    val out = graft.text.CorpusOps.buildCorpus(
+      docs, Map.empty, defaultE6 = 1000000L, minAlphaE6 = 0L,
+      capTokens = 64L, packShards = 2)
+      .select("doc_id", "chunk_idx", "chunk_text")
+      .as[(Long, Int, String)].collect()
+    val nBig = 1 + math.ceil((25000 - 32) / 24.0).toInt
+    val nSmall = 1 + math.ceil((100 - 32) / 24.0).toInt
+    assert(out.length == nBig + nSmall, "pack join must attach each chunk exactly once")
+    assert(out.map(r => (r._1, r._2)).distinct.length == out.length)
+    // spot-check the join attached the RIGHT rows in the collision zone
+    assert(out.find(r => r._1 == 1L && r._2 == 0).get._3.startsWith("v0 v1 "))
+    assert(out.find(r => r._1 == 0L && r._2 == 1041).get._3.startsWith("w24984 "))
+  }
+
   test("ann: pq encode/adc — exact reconstruction for codebook rows, training shrinks error, adc ranks near-exact") {
     val s = spark
     import s.implicits._
@@ -390,6 +413,24 @@ class DedupSpec extends SparkTestBase {
       (v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, i)
     }.sortBy(identity).take(10).map(_._2).toSeq
     assert(reranked == exactL2)
+    // composed IVF-PQ + rerank: all lists probed and C = corpus size
+    // degenerates to the same exact L2 ranking (dist2 output schema)
+    val composed = Ann.ivfPqSearch(vecs, "vec_id", "embedding", centroids, books,
+      queryId = 7L, k = 10, nprobe = centroids.length, rerank = 200)
+      .select("id").as[Long].collect().toSeq
+    assert(composed == exactL2)
+    // a bounded rerank re-scores exactly WITHIN its nominee set: the
+    // result must equal the exact-L2 ranking restricted to the ADC
+    // top-C nominees
+    val nominees = Ann.pqAdcSearch(codes, books, q, 20)
+      .select("id").as[Long].collect().toSet
+    val r20 = Ann.ivfPqSearch(vecs, "vec_id", "embedding", centroids, books,
+      queryId = 7L, k = 10, nprobe = centroids.length, rerank = 20)
+      .select("id").as[Long].collect().toSeq
+    val wantR20 = all.filter(p => nominees.contains(p._1)).map { case (i, v) =>
+      (v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+    }.sortBy(identity).take(10).map(_._2).toSeq
+    assert(r20 == wantR20)
   }
 
   test("multimodal: real image meta + resize, stub audio/video plumbing") {

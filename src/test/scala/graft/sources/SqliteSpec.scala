@@ -152,6 +152,85 @@ class SqliteSpec extends SparkTestBase {
     }
   }
 
+  test("no zero-cell interior pages across leaf-count sweep; 2-level index passes integrity_check") {
+    // ~490-byte keys make index cells ~500 B, so leaves hold ~8 entries
+    // and a few thousand rows reach multiple interior levels. The sweep
+    // crosses the child-count ≡ 1 (mod group cap) boundaries (index cap
+    // 300, table cap 340) where the level's last child used to start
+    // its own group and emit a ZERO-CELL interior page.
+    val pad = "x" * 480
+    def key(i: Int) = f"k$i%07d" + pad
+    def dbBytes(n: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      writeDatabase(
+        out,
+        Seq(Table("t", "CREATE TABLE t (k TEXT UNIQUE)",
+          (1 to n).iterator.map(i =>
+            TableRow(i.toLong, encodeRecord(Seq(TextValue(key(i)))))))),
+        indexes = Seq(IndexDef("sqlite_autoindex_t_1", "t", None,
+          (1 to n).iterator.map(i =>
+            encodeRecord(Seq(TextValue(key(i)), IntValue(i.toLong)))))))
+      out.toByteArray
+    }
+    // (page type, cell count) for every page after page 1; no overflow
+    // pages exist here (payloads < the ~1 KB local max), so the type
+    // byte is trustworthy
+    def pageStats(db: Array[Byte]): Seq[(Int, Int)] =
+      (1 until db.length / 4096).map { p =>
+        val off = p * 4096
+        (db(off) & 0xff, ((db(off + 3) & 0xff) << 8) | (db(off + 4) & 0xff))
+      }
+    var deepIndexN = 0 // an n whose index has 2 interior levels
+    var indexLeafCounts = Set.empty[Int]
+    var tableLeafCounts = Set.empty[Int]
+    (2300 to 2900 by 4).foreach { n =>
+      val db = dbBytes(n)
+      val stats = pageStats(db)
+      val zero = stats.filter { case (t, c) => (t == 2 || t == 5) && c == 0 }
+      assert(zero.isEmpty, s"n=$n wrote ${zero.length} zero-cell interior page(s)")
+      indexLeafCounts += stats.count(_._1 == 10)
+      tableLeafCounts += stats.count(_._1 == 13)
+      if (deepIndexN == 0 && stats.count(_._1 == 2) >= 3) deepIndexN = n
+    }
+    // the sweep actually crossed both dangerous boundaries (index
+    // interior groups consume 301 children/page, table groups 341)
+    assert(indexLeafCounts.exists(_ <= 301) && indexLeafCounts.exists(_ >= 302),
+      s"sweep must cross 302 index leaves, saw $indexLeafCounts")
+    assert(indexLeafCounts.contains(302),
+      s"sweep must include exactly-302-leaf case, saw $indexLeafCounts")
+    assert(tableLeafCounts.contains(342),
+      s"sweep must include exactly-342-leaf case, saw $tableLeafCounts")
+    assert(deepIndexN > 0, "sweep must reach a 2-interior-level index")
+    // decisive: the genuine library accepts the deep file and seeks
+    // through OUR 2-level interior pages
+    python3.foreach { py =>
+      val dir = tmp()
+      val dbPath = dir + "/deep.db"
+      Files.write(Paths.get(dbPath), dbBytes(deepIndexN))
+      val script = dir + "/check.py"
+      Files.writeString(Paths.get(script),
+        """import sqlite3, sys
+          |c = sqlite3.connect(sys.argv[1])
+          |print("integrity:" + c.execute("PRAGMA integrity_check").fetchone()[0])
+          |k = sys.argv[2]
+          |plan = " ".join(str(r) for r in c.execute(
+          |    "EXPLAIN QUERY PLAN SELECT rowid FROM t WHERE k = ?", (k,)))
+          |print("plan:" + plan)
+          |print("row:" + str(c.execute(
+          |    "SELECT rowid FROM t WHERE k = ?", (k,)).fetchone()[0]))
+          |print("count:" + str(c.execute("SELECT count(*) FROM t").fetchone()[0]))
+          |""".stripMargin)
+      val probe = deepIndexN / 2
+      val (code, out) = run(Seq(py, script, dbPath, key(probe)))
+      assert(code == 0, out.take(500))
+      assert(out.linesIterator.next() == "integrity:ok", out.take(500))
+      assert(out.linesIterator.exists(l =>
+        l.startsWith("plan:") && l.contains("USING") && l.contains("INDEX")), out)
+      assert(out.linesIterator.exists(_ == s"row:$probe"), out)
+      assert(out.linesIterator.exists(_ == s"count:$deepIndexN"), out)
+    }
+  }
+
   test("files real SQLite writes (PK + autoindex) parse identically here") {
     python3 match {
       case None => cancel("python3 not available for cross-validation")

@@ -41,7 +41,7 @@ class BpeSpec extends SparkTestBase {
     val merges = Seq(("e", "r"), ("i", "n"), ("m", "er"), ("s", "t"))
     val words = Seq("merger", "instant", "er", "x", "sterner", "minimum")
     val got = words.toDF("w")
-      .select(split(trim(Bpe.encodeWord(col("w"), merges)), " "))
+      .select(split(trim(Bpe.encodeWord(col("w"), merges)), "  "))
       .as[Seq[String]].collect().toSeq
     val want = words.map(w => Bpe.applyMerges(w, merges).toSeq)
     assert(got == want)
@@ -50,5 +50,89 @@ class BpeSpec extends SparkTestBase {
       Seq((1L, "merger stern")).toDF("doc_id", "text"), "doc_id", "text", merges)
       .select("tokens").as[Seq[String]].head()
     assert(toks == Bpe.applyMerges("merger", merges) ++ Bpe.applyMerges("stern", merges))
+  }
+
+  test("merge boundaries: prefix-extension and run cases match the reference") {
+    val s = spark
+    import s.implicits._
+    def enc(words: Seq[String], merges: Seq[(String, String)]): Seq[Seq[String]] = {
+      val got = words.toDF("w")
+        .select(split(trim(Bpe.encodeWord(col("w"), merges)), "  "))
+        .as[Seq[String]].collect().toSeq
+      val want = words.map(w => Bpe.applyMerges(w, merges).toSeq)
+      assert(got == want, s"column/reference divergence for $words under $merges")
+      got
+    }
+    // one merge's output ("he") is a prefix-extension of another's
+    // right symbol ("h"): 'the' must stay [t, he] — a pattern missing
+    // its trailing boundary would match " t h" inside " t he" and
+    // silently collapse the word to one token
+    assert(enc(Seq("the", "tha", "hehe"), Seq(("h", "e"), ("t", "h"))) ==
+      Seq(Seq("t", "he"), Seq("th", "a"), Seq("he", "he")))
+    // runs: left-to-right non-overlap — a single shared-space delimiter
+    // would consume the boundary the next match needs and stop after
+    // one merge
+    assert(enc(Seq("aaaa", "aaa", "aaaaa"), Seq(("a", "a"))) ==
+      Seq(Seq("aa", "aa"), Seq("aa", "a"), Seq("aa", "aa", "a")))
+    // merged symbols keep participating in later merges across runs
+    assert(enc(Seq("abab", "ababab"), Seq(("a", "b"), ("ab", "ab"))) ==
+      Seq(Seq("abab"), Seq("abab", "ab")))
+  }
+
+  /** The pre-incremental full-rescan loop, kept as the reference
+    * semantics for [[Bpe.trainFromTypes]]. */
+  private def naiveTrain(
+      types: Array[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+    var words: Array[(List[String], Long)] =
+      types.map { case (w, c) => (w.map(_.toString).toList, c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    while (i < numMerges) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        syms.zip(syms.drop(1)).foreach { p =>
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
+        }
+      }
+      if (pairCounts.isEmpty) i = numMerges
+      else {
+        val (best, _) = pairCounts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += best
+        words = words.map { case (syms, c) =>
+          (Bpe.mergeOnce(syms, best._1, best._2), c)
+        }
+        i += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  test("incremental trainFromTypes equals the naive full-rescan loop") {
+    val rnd = new scala.util.Random(42)
+    val types = Array.tabulate(5000) { _ =>
+      val len = 3 + rnd.nextInt(10)
+      (Array.fill(len)(('a' + rnd.nextInt(6)).toChar).mkString,
+        (rnd.nextInt(50) + 1).toLong)
+    }
+    assert(Bpe.trainFromTypes(types, 64) == naiveTrain(types, 64))
+    // exhaustion: more merges requested than pairs exist
+    val tiny = Array(("ab", 3L), ("ba", 2L))
+    assert(Bpe.trainFromTypes(tiny, 100) == naiveTrain(tiny, 100))
+  }
+
+  test("incremental training: 512 merges over a 120k-type histogram in seconds") {
+    val rnd = new scala.util.Random(7)
+    val types = Array.tabulate(120000) { _ =>
+      val len = 4 + rnd.nextInt(12)
+      (Array.fill(len)(('a' + rnd.nextInt(12)).toChar).mkString,
+        (rnd.nextInt(1000) + 1).toLong)
+    }
+    val t0 = System.nanoTime()
+    val merges = Bpe.trainFromTypes(types, 512)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.length == 512)
+    assert(merges.distinct.length == 512, "merges must be distinct")
+    assert(secs < 60.0, f"incremental training took $secs%.1f s — not 'in seconds'")
+    info(f"512 merges over 120k types in $secs%.2f s")
   }
 }
