@@ -1593,7 +1593,112 @@ object GraftQueries {
         |    [len(string_split(trim($chain), '  ')) for w in ws]), 0) AS INT)
         |    AS n_bpe_tokens
         |FROM w""".stripMargin
-      })
+      }),
+
+    // Template + wrapped layout round-trip as pure columns (reference
+    // layout/template.py, layout/wrapped.py): format each coord through
+    // a printf template whose placeholders are deliberately NOT in
+    // z/x/y order (proves group-order handling in the derived parse
+    // regex), and through a wrapped prefix+osm+suffix form, then parse
+    // both back. The oracle formats the same strings and asserts the
+    // parses are the identity — ground truth by construction.
+    ("q60_layout_roundtrip",
+      (s: SparkSession, dir: String) => {
+        val tpl = graft.core.TemplateTileLayout("tiles/%(y)d-%(x)d/%(z)d.png")
+        val wrapPat = """cache/layer_a/(\d+)/(\d+)/(\d+)\.jpeg"""
+        val base = coords(s, dir).select("z", "x", "y").distinct()
+        base
+          .withColumn("turl", templateUrl(tpl, col("z"), col("x"), col("y")))
+          .withColumn("__tp", templateParse(tpl, col("turl")))
+          .withColumn(
+            "wurl",
+            concat(
+              lit("cache/layer_a/"),
+              osmPath(col("z"), col("x"), col("y")),
+              lit(".jpeg")))
+          .select(
+            col("z"), col("x"), col("y"), col("turl"),
+            col("__tp.z").as("tz"), col("__tp.x").as("tx"),
+            col("__tp.y").as("ty"), col("wurl"),
+            regexp_extract(col("wurl"), wrapPat, 1).cast("int").as("wz"),
+            regexp_extract(col("wurl"), wrapPat, 2).cast("long").as("wx"),
+            regexp_extract(col("wurl"), wrapPat, 3).cast("long").as("wy"))
+      },
+      Some(s"""WITH $CoordsCte,
+        |d AS (SELECT DISTINCT z, x, y FROM coords)
+        |SELECT z, x, y,
+        |  'tiles/' || CAST(y AS VARCHAR) || '-' || CAST(x AS VARCHAR) ||
+        |    '/' || CAST(z AS VARCHAR) || '.png' AS turl,
+        |  z AS tz, x AS tx, y AS ty,
+        |  'cache/layer_a/' || CAST(z AS VARCHAR) || '/' ||
+        |    CAST(x AS VARCHAR) || '/' || CAST(y AS VARCHAR) || '.jpeg'
+        |    AS wurl,
+        |  z AS wz, x AS wx, y AS wy
+        |FROM d""".stripMargin)),
+
+    // Content-type magic sniff (reference filter/contenttype.py:17-27):
+    // payload bytes synthesized deterministically per doc_id (PNG /
+    // JPEG / JSON / unknown by id % 4), sniffed by the pure-column
+    // magic test. Oracle = the id arithmetic that planted the bytes.
+    ("q61_contenttype_sniff",
+      (s: SparkSession, dir: String) => {
+        val m = pmod(col("doc_id"), lit(4L))
+        val data = when(
+          m === 0,
+          concat(
+            lit(graft.image.ImageCodec.PngMagic),
+            lit("IHDRpayload".getBytes("UTF-8"))))
+          .when(
+            m === 1,
+            concat(
+              lit(graft.image.ImageCodec.JpegMagic),
+              lit("JFIFpayload".getBytes("UTF-8"))))
+          .when(m === 2, lit("""{"k":1}""".getBytes("UTF-8")))
+          .otherwise(lit("plain text".getBytes("UTF-8")))
+        table(s, dir, "documents")
+          .select(
+            col("doc_id"),
+            graft.engine.Filters.contentTypeColumn(data).as("content_type"))
+      },
+      Some("""SELECT doc_id,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'image/png'
+        |    WHEN 1 THEN 'image/jpeg'
+        |    WHEN 2 THEN 'application/json'
+        |  END AS content_type
+        |FROM documents""".stripMargin)),
+
+    // Queue message codec round-trip (reference store/queue.py:8-31):
+    // encode each coord as base64(JSON{z,x,y,n,metadata}) — the queue
+    // stores' wire format — and decode it back, all as columns. The
+    // oracle builds the identical JSON text and base64 in DuckDB and
+    // asserts the decode is the identity.
+    ("q62_queue_codec",
+      (s: SparkSession, dir: String) => {
+        val base = coords(s, dir).select("z", "x", "y").distinct()
+        val dec = graft.engine.Stores.decodeQueueMessage(col("msg"))
+        base
+          .withColumn(
+            "msg",
+            graft.engine.Stores.encodeQueueMessage(
+              col("z"), col("x"), col("y"), lit(1),
+              map(lit("layer"), lit("osm"))))
+          .withColumn("__d", dec)
+          .select(
+            col("z"), col("x"), col("y"), col("msg"),
+            col("__d.z").as("dz"), col("__d.x").as("dx"),
+            col("__d.y").as("dy"), col("__d.n").as("dn"),
+            col("__d.metadata")(lit("layer")).as("dlayer"))
+      },
+      Some(s"""WITH $CoordsCte,
+        |d AS (SELECT DISTINCT z, x, y FROM coords)
+        |SELECT z, x, y,
+        |  to_base64(encode(
+        |    '{"z":' || CAST(z AS VARCHAR) || ',"x":' || CAST(x AS VARCHAR)
+        |    || ',"y":' || CAST(y AS VARCHAR)
+        |    || ',"n":1,"metadata":{"layer":"osm"}}')) AS msg,
+        |  z AS dz, x AS dx, y AS dy, 1 AS dn, 'osm' AS dlayer
+        |FROM d""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

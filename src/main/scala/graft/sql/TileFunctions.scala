@@ -226,6 +226,39 @@ object TileFunctions {
     concat(parts.result(): _*)
   }
 
+  /** Inverse of [[templateUrl]] as pure column math (reference
+    * layout/template.py:24-37 derives the parse regex from the same
+    * template): the capture-group pattern is built once driver-side in
+    * placeholder order, per row only three `regexp_extract`s run.
+    * Returns a struct(z INT, x LONG, y LONG). */
+  def templateParse(
+      layout: graft.core.TemplateTileLayout,
+      url: Column): Column = {
+    val Placeholder = """%\(([xyz])\)d""".r
+    val sb = new StringBuilder
+    val order = Seq.newBuilder[String]
+    var idx = 0
+    for (m <- Placeholder.findAllMatchIn(layout.template)) {
+      sb.append(java.util.regex.Pattern.quote(
+        layout.template.substring(idx, m.start)))
+      sb.append("""(\d+)""")
+      order += m.group(1)
+      idx = m.end
+    }
+    sb.append(java.util.regex.Pattern.quote(layout.template.substring(idx)))
+    val pattern = sb.toString
+    val groups = order.result()
+    def grp(name: String): Int = {
+      val i = groups.indexOf(name)
+      require(i >= 0, s"template lacks %($name)d: ${layout.template}")
+      i + 1
+    }
+    struct(
+      regexp_extract(url, pattern, grp("z")).cast("int").as("z"),
+      regexp_extract(url, pattern, grp("x")).cast("long").as("x"),
+      regexp_extract(url, pattern, grp("y")).cast("long").as("y"))
+  }
+
   /** Mirror-layout URL chooser (reference store/url.py:34 picks one of
     * several equivalent tile-server layouts per coord): deterministic
     * selection by the engine's consistent tile hash — same spreading
