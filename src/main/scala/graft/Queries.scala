@@ -1698,7 +1698,39 @@ object GraftQueries {
         |    || ',"y":' || CAST(y AS VARCHAR)
         |    || ',"n":1,"metadata":{"layer":"osm"}}')) AS msg,
         |  z AS dz, x AS dx, y AS dy, 1 AS dn, 'osm' AS dlayer
-        |FROM d""".stripMargin))
+        |FROM d""".stripMargin)),
+
+    // hammingPairsAuto end-to-end (collapse + stats-sized cap +
+    // multi-index auto factor) over 60-bit md5 content signatures: at
+    // document scale the only pairs within hamming 3 of an md5-derived
+    // signature are the EXACT-dup groups at distance 0 (a non-identical
+    // md5 pair landing within 3 bits is ~2^-45 per pair), so the oracle
+    // is the identical-signature self-join. The collapse path is what's
+    // under test: identical-signature groups expand to all member
+    // pairs and can never be capped away.
+    ("q63_hamming_dedup_pairs",
+      (s: SparkSession, dir: String) => {
+        val base = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        val dupped = base.unionByName(
+          base.where(pmod(col("doc_id"), lit(50L)) === 3)
+            .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+        val sigs = dupped.select(
+          col("doc_id"),
+          graft.dedup.Dedup.hash60(col("text")).as("sig"))
+        graft.dedup.Dedup.hammingPairsAuto(sigs, "doc_id", "sig", 60, 3)
+          .orderBy("da", "db")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 50 = 3),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS sig
+        |  FROM d)
+        |SELECT a.doc_id AS da, b.doc_id AS db, 0 AS dist
+        |FROM h a JOIN h b ON a.sig = b.sig AND a.doc_id < b.doc_id
+        |ORDER BY da, db""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

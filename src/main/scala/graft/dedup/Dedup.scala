@@ -273,11 +273,10 @@ object Dedup {
     * [[bandBucketSizes]] for observing what a cap drops) — without the
     * cap a single degenerate band key with f members yields f^2/2
     * pairs, the classic LSH production fire at corpus scale. */
-  def minhashCandidates(
-      sigs: DataFrame,
-      k: Int = 16,
-      bands: Int = 4,
-      maxBucketSize: Long = 1000L): DataFrame = {
+  /** The (id, band, key) explode of [[minhashCandidates]]'s banding,
+    * exposed so bucket-size distributions are observable (feed to
+    * [[bandBucketSizes]]). */
+  def minhashBandExplode(sigs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
     val rows = k / bands
     val bandCols = (0 until bands).map { b =>
       struct(
@@ -285,16 +284,22 @@ object Dedup {
         concat_ws("-", (0 until rows).map(r => col(s"s${b * rows + r}")): _*)
           .as("key"))
     }
+    sigs
+      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  def minhashCandidates(
+      sigs: DataFrame,
+      k: Int = 16,
+      bands: Int = 4,
+      maxBucketSize: Long = 1000L): DataFrame = {
     // no cache needed: capBuckets' window puts a (band, key) exchange
     // directly under both self-join sides; Spark's exchange reuse runs
     // the shingle->minhash pipeline once and replays the shuffle files
     // for the second side (cheaper than a cache at corpus scale — no
     // storage-memory pin, no unpersist contract)
-    val exploded = capBuckets(
-      sigs
-        .select(col("id"), explode(array(bandCols: _*)).as("bk"))
-        .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key")),
-      maxBucketSize)
+    val exploded = capBuckets(minhashBandExplode(sigs, k, bands), maxBucketSize)
     exploded.as("a")
       .join(
         exploded.as("b"),
@@ -471,44 +476,244 @@ object Dedup {
     * lower `maxHamming` (wider keys, e.g. 3 → 16-bit bands on 64-bit
     * signatures) or accept the cap dropping the hottest buckets; sizes
     * are observable via the same `bandBucketSizes` pattern, nothing is
-    * truncated silently. */
+    * truncated silently.
+    *
+    * `collapseIdentical = true` bands over DISTINCT signatures and
+    * expands matches back to member ids — same output contract, but the
+    * cap then counts signature diversity instead of row multiplicity:
+    * identical-signature groups (the dominant hot-bucket cause at
+    * corpus scale) can never be capped away, and banding volume drops
+    * to distinct-signatures × bands.
+    *
+    * `combine = r > 1` switches to the multi-index layout: `maxHamming
+    * + r` base bands, one packed key per r-subset (C(maxHamming+r, r)
+    * keys/row). The pigeonhole guarantee survives (≤ maxHamming bands
+    * carry errors ⇒ ≥ r clean bands ⇒ some subset matches exactly)
+    * while the key space widens from 2^(bits/(h+1)) to ~2^(r·bits/(h+r))
+    * — the lever when plain bands saturate (measured: 100M 64-bit sigs
+    * at maxHamming=3 give 1526-deep 16-bit buckets and a ~10^11-pair
+    * self-join; r=2's 24-bit subset keys hold expected buckets at ~6).
+    * See [[hammingPairsAuto]] for the stats-sized composition of both
+    * levers. */
   def hammingPairs(
       sigs: DataFrame,
       idCol: String,
       sigCol: String,
       bits: Int,
       maxHamming: Int,
-      maxBucketSize: Long): DataFrame = {
-    val bands = maxHamming + 1
+      maxBucketSize: Long,
+      collapseIdentical: Boolean = false,
+      combine: Int = 1): DataFrame = {
+    val rows = sigs.select(col(idCol).as("id"), col(sigCol).as("__sig"))
+    if (!collapseIdentical) {
+      val banded = capBuckets(
+        hammingBandExplode(rows, bits, maxHamming, combine = combine),
+        maxBucketSize)
+      banded.as("a")
+        .join(
+          banded.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.id") < col("b.id"))
+        .select(
+          col("a.id").as("da"), col("b.id").as("db"),
+          hamming(col("a.__sig"), col("b.__sig")).as("dist"))
+        .distinct()
+        .where(col("dist") <= maxHamming)
+    } else {
+      // Collapse identical signatures BEFORE banding: the dominant
+      // hot-bucket cause at corpus scale is massive identical-signature
+      // groups (exact dups, boilerplate, constant images), which under
+      // raw banding either blow the self-join up quadratically or get
+      // capped away (silent recall loss for exactly the easiest dups).
+      // Banding over DISTINCT signatures makes the cap count signature
+      // diversity, not row multiplicity: identical-content pairs can
+      // never be lost to the cap, and banding volume drops from
+      // n×bands to u×bands rows (u = distinct signatures). The
+      // signature value doubles as its own join id.
+      val uniq = rows.select(col("__sig").as("id"), col("__sig")).distinct()
+      val banded = capBuckets(
+        hammingBandExplode(uniq, bits, maxHamming, combine = combine),
+        maxBucketSize)
+      val sigPairs = banded.as("a")
+        .join(
+          banded.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.id") < col("b.id"))
+        .select(
+          col("a.__sig").as("sa"), col("b.__sig").as("sb"),
+          hamming(col("a.__sig"), col("b.__sig")).as("dist"))
+        .distinct()
+        .where(col("dist") <= maxHamming)
+      // distance-0 pairs: expand each identical-signature group
+      // directly (output-bound, no banding involved)
+      val intra = rows.as("a")
+        .join(
+          rows.as("b"),
+          col("a.__sig") === col("b.__sig") && col("a.id") < col("b.id"))
+        .select(
+          col("a.id").as("da"), col("b.id").as("db"),
+          lit(0).cast("int").as("dist"))
+      // cross-signature pairs: expand the distinct-signature matches
+      // back to member ids
+      val cross = sigPairs
+        .join(rows.as("ma"), col("sa") === col("ma.__sig"))
+        .join(rows.as("mb"), col("sb") === col("mb.__sig"))
+        .select(
+          least(col("ma.id"), col("mb.id")).as("da"),
+          greatest(col("ma.id"), col("mb.id")).as("db"),
+          col("dist"))
+      intra.unionByName(cross)
+    }
+  }
+
+  /** The (id, band, key) explode shared by both [[hammingPairs]] modes:
+    * `maxHamming + 1` disjoint bit bands, remainder folded into the
+    * last band. Exposed for bucket-size observation via
+    * [[bandBucketSizes]]. */
+  def hammingBandExplode(
+      sigs: DataFrame,
+      bits: Int,
+      maxHamming: Int,
+      idCol: String = "id",
+      sigCol: String = "__sig",
+      combine: Int = 1): DataFrame = {
+    val rows = sigs.select(col(idCol).as("id"), col(sigCol).as("__sig"))
+    val bands = maxHamming + combine
     val width = bits / bands
     require(width >= 1, s"maxHamming=$maxHamming too large for $bits-bit signatures")
-    val bandKeys = (0 until bands).map { b =>
-      val start = b * width
-      val w = if (b == bands - 1) bits - start else width
-      // mask makes the arithmetic shiftright safe for negative (full
-      // 64-bit) signatures
+    require(combine >= 1, "combine must be >= 1")
+    def widthOf(b: Int): Int = if (b == bands - 1) bits - b * width else width
+    // value of base band b, masked so the arithmetic shiftright is safe
+    // for negative (full 64-bit) signatures
+    def bandVal(b: Int): Column = {
+      val w = widthOf(b)
       val mask = if (w >= 64) -1L else (1L << w) - 1L
-      struct(lit(b).as("band"),
-        shiftright(col(sigCol), start).bitwiseAND(mask).as("key"))
+      shiftright(col("__sig"), b * width).bitwiseAND(mask)
     }
-    val banded = capBuckets(
-      sigs.select(
-        col(idCol).as("id"), col(sigCol).as("__sig"),
-        explode(array(bandKeys: _*)).as("bk"))
-        .select(
-          col("id"), col("__sig"),
-          col("bk.band").as("band"), col("bk.key").as("key")),
-      maxBucketSize)
-    banded.as("a")
-      .join(
-        banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
+    val bandKeys =
+      if (combine == 1)
+        (0 until bands).map(b =>
+          struct(lit(b).as("band"), bandVal(b).as("key")))
+      else {
+        // multi-index form (Norouzi et al., "Fast Search in Hamming
+        // Space with Multi-Index Hashing"): every `combine`-subset of
+        // the maxHamming+combine bands becomes one packed wide key. At
+        // most maxHamming bands can carry an error, so >= combine bands
+        // are clean and SOME subset matches exactly — the recall
+        // guarantee survives, with key space 2^(combine*width) instead
+        // of 2^width.
+        val subsets = (0 until bands).combinations(combine).toSeq
+        subsets.zipWithIndex.map { case (s, i) =>
+          val keyBits = s.map(widthOf).sum
+          require(keyBits <= 62, s"combined key of $keyBits bits overflows a long")
+          val packed = s.foldLeft(lit(0L): Column) { (acc, b) =>
+            shiftleft(acc, widthOf(b)).bitwiseOR(bandVal(b))
+          }
+          struct(lit(i).as("band"), packed.as("key"))
+        }
+      }
+    rows
+      .select(col("id"), col("__sig"), explode(array(bandKeys: _*)).as("bk"))
       .select(
-        col("a.id").as("da"), col("b.id").as("db"),
-        hamming(col("a.__sig"), col("b.__sig")).as("dist"))
-      .distinct()
-      .where(col("dist") <= maxHamming)
+        col("id"), col("__sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Pick the multi-index `combine` factor for [[hammingPairs]] from a
+    * row estimate: the smallest r whose combined key space keeps the
+    * expected random-collision bucket at or under `targetBucket`. Keys
+    * per row grow as C(maxHamming+r, r), so r stops where either the
+    * expectation is met, the key overflows a long, or the per-row key
+    * count exceeds `maxKeysPerRow`. r=1 is the plain disjoint-band
+    * layout.
+    *
+    * The default crossover is deliberately late (2048): stepping r up
+    * multiplies the exploded banding volume by C(h+r, r)/(h+1) rows
+    * through the exchange's shuffle AND sort, while moderate buckets
+    * are cheap — candidate pairs are generated and filtered inside the
+    * codegen'd merge join at ~25M pairs/s/core. Measured on the
+    * DedupScale ladder (64-bit sigs, maxHamming=3, local[32]): λ=153
+    * buckets at 10M rows run FASTER under r=1 (14.5 s) than r=2's
+    * 2.5x explode (53 s), and even λ=1526 at 100M rows — a ~3x10^11
+    * candidate join — still favors r=1 (392 s vs r=2's 687 s): sorted
+    * exchange volume, not the in-join hamming filter, is the cost
+    * driver on both a single box and a network-shuffling cluster. The
+    * multi-index escape hatch is for the truly quadratic regime
+    * (λ ≳ several thousand, e.g. 10^9+ rows at 16-bit keys). */
+  def combineForCount(
+      rows: Long,
+      bits: Int,
+      maxHamming: Int,
+      targetBucket: Long = 2048L,
+      maxKeysPerRow: Long = 64L): Int = {
+    def keysPerRow(r: Int): Long =
+      (1 to r).foldLeft(1L)((a, i) => a * (maxHamming + r - i + 1) / i)
+    var r = 1
+    while ({
+      val width = bits / (maxHamming + r)
+      val keyBits = math.min(62, r * width)
+      val expected = rows.toDouble / math.pow(2.0, keyBits)
+      val widthNext = bits / (maxHamming + r + 1)
+      expected > targetBucket && widthNext >= 1 &&
+      (r + 1).toLong * widthNext <= 62 && keysPerRow(r + 1) <= maxKeysPerRow
+    }) r += 1
+    r
+  }
+
+  /** Bucket cap sized from a row estimate, the [[graft.ann.Ann.planesForCount]]
+    * counterpart for hamming banding: `headroom ×` the expected
+    * random-collision bucket size `rows / 2^width` (floor 64). Buckets
+    * within `headroom` of the uniform expectation are data, buckets
+    * beyond it are degenerate signature mass the cap should drop. */
+  def autoBucketCap(
+      rows: Long, bits: Int, maxHamming: Int, headroom: Long = 32L): Long = {
+    val width = bits / (maxHamming + 1)
+    val expected =
+      if (width >= 63) 1L
+      else math.max(1L, math.ceil(rows.toDouble / (1L << width)).toLong)
+    math.max(64L, headroom * expected)
+  }
+
+  /** [[hammingPairs]] with the bucket cap derived from the optimizer's
+    * row estimate (CBO row count when available, else a bytes/row
+    * heuristic — the same stats-driven sizing as
+    * [[graft.ann.Ann.nearDupPairs]]'s auto plane mode) and identical
+    * signatures collapsed before banding. Only the COST hangs on the
+    * estimate, never the recall guarantee: the cap counts distinct
+    * signatures per bucket, so identical-content pairs survive any cap,
+    * and the estimate only moves which degenerate diverse buckets get
+    * dropped.
+    *
+    * Lineage note: the collapse path scans `sigs` up to three times
+    * (distinct, intra-group join, expansion) — materialize the
+    * signature relation first (cache/localCheckpoint, as q57 does for
+    * pHash) when its lineage is expensive (image decode, shingling). */
+  def hammingPairsAuto(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      bits: Int,
+      maxHamming: Int,
+      headroom: Long = 32L): DataFrame = {
+    val plan = sigs.select(idCol, sigCol).queryExecution.optimizedPlan
+    val est = plan.stats.rowCount
+      .map(_.min(BigInt(Long.MaxValue)).toLong)
+      .getOrElse(
+        (plan.stats.sizeInBytes / 16L).max(BigInt(1))
+          .min(BigInt(Long.MaxValue)).toLong)
+    // multi-index factor first (keeps EXPECTED buckets small — the
+    // key-space lever), then the cap sized to the chosen layout (drops
+    // DEGENERATE buckets only)
+    val r = combineForCount(est, bits, maxHamming)
+    val width = bits / (maxHamming + r)
+    val keyBits = math.min(62, r * width)
+    val expected =
+      math.max(1L, math.ceil(est.toDouble / math.pow(2.0, keyBits)).toLong)
+    hammingPairs(
+      sigs, idCol, sigCol, bits, maxHamming,
+      math.max(64L, headroom * expected),
+      collapseIdentical = true,
+      combine = r)
   }
 
   /** SimHash near-dup pairs: 60-bit signatures blocked on 15-bit bands

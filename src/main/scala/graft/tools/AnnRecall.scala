@@ -115,6 +115,25 @@ object AnnRecall {
       rows += ((s"PQ-ADC + rerank C=$c (trained)", recall(got, exactL2), c.toDouble / n))
       codes.unpersist()
     }
+    // the production composition claim for sample-bounded training:
+    // codebooks trained on the hash-sample NOMINATE, exact rerank
+    // re-scores — book variance washes out at the rerank stage, so a
+    // 100 TB corpus never needs full-scan Lloyd iterations
+    {
+      val codes = Ann.pqEncode(vecs, "vec_id", "embedding", trainedSampled).cache()
+      codes.count()
+      val got = queries.map { q =>
+        val qv = vecs.where(col("vec_id") === q)
+          .select(col("embedding").cast("array<double>")).as[Seq[Double]]
+          .head().toArray
+        q -> Ann.pqAdcRerank(vecs.where(col("vec_id") =!= q), "vec_id", "embedding",
+          codes.where(col("id") =!= q), trainedSampled, qv, k, candidates = 200)
+          .select("id").as[Long].collect().toSeq
+      }.toMap
+      rows += (("PQ-ADC + rerank C=200 (2k-sample books)",
+        recall(got, exactL2), 200.0 / n))
+      codes.unpersist()
+    }
     // full IVF-PQ (approximate distance, probed lists only)
     for (np <- Seq(2, 4)) {
       val got = queries.map { q =>

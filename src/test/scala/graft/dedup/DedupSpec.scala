@@ -525,6 +525,94 @@ class DedupSpec extends SparkTestBase {
     assert(info7.samplesPerChunk.sum == 45)
     assert(info7.samplesPerChunk.toSeq == Seq(7, 7, 7, 6, 6, 6, 6))
   }
+  test("multi-index hamming: combine=2 keeps the pigeonhole recall guarantee") {
+    // adversarial placement: spread the <=3 flipped bits across 3
+    // DIFFERENT base bands (of the 5 bands at combine=2) so only
+    // subsets avoiding all three match — the tightest case the
+    // guarantee covers
+    val masks = Seq(
+      (1L << 2) | (1L << 14) | (1L << 27),   // bands 0,1,2
+      (1L << 0) | (1L << 63),                // bands 0,4 (dist 2)
+      (1L << 12) | (1L << 25) | (1L << 60),  // bands 1,2,4
+      1L << 38,                              // band 3 (dist 1)
+      0L)                                    // dist 0 (identical)
+    val base = spark.range(1000L)
+      .select(col("id"), xxhash64(col("id")).as("sig"))
+    val planted = spark.range(1000L)
+      .where(pmod(col("id"), lit(200L)) < 5)
+      .select(
+        (col("id") + 1000L).as("id"),
+        masks.zipWithIndex.foldLeft(xxhash64(col("id"))) { case (c, (m, i)) =>
+          when(pmod(col("id"), lit(200L)) === i, c.bitwiseXOR(lit(m))).otherwise(c)
+        }.as("sig"))
+    val all = base.unionByName(planted)
+    for (collapse <- Seq(false, true)) {
+      val got = Dedup
+        .hammingPairs(all, "id", "sig", 64, 3, 0L,
+          collapseIdentical = collapse, combine = 2)
+        .where(col("db") === col("da") + 1000L)
+        .count()
+      assert(got == 25L, s"all planted pairs at combine=2, collapse=$collapse")
+    }
+    // auto factor: plain bands while they hold (the measured-fast
+    // regime through at least lambda ~1500), multi-index once the join
+    // turns truly quadratic; key count and width guards respected
+    assert(Dedup.combineForCount(100000000L, 64, 3) == 1)
+    assert(Dedup.combineForCount(1000000000L, 64, 3) == 2)
+    assert(Dedup.combineForCount(Long.MaxValue / 4, 64, 3) <= 5)
+  }
+
+  test("hammingPairsAuto: collapse keeps identical-sig recall under the cap, buckets bounded at 10x") {
+    // corpus at n and 10n from the SAME deterministic generator:
+    // xxhash64 base signatures, planted near-dups at exactly hamming 3
+    // (fixed 3-bit flip mask), plus a 500-member identical-signature
+    // hot group — the case raw banding's cap silently drops.
+    val flipMask = (1L << 5) | (1L << 23) | (1L << 47)
+    def corpus(n: Long) = {
+      val base = spark.range(n)
+        .select(col("id"), xxhash64(col("id")).as("sig"))
+      val planted = spark.range(n)
+        .where(pmod(col("id"), lit(1000L)) === 7)
+        .select(
+          (col("id") + n).as("id"),
+          xxhash64(col("id")).bitwiseXOR(lit(flipMask)).as("sig"))
+      val hot = spark.range(500)
+        .select(
+          (col("id") + 10L * n).as("id"),
+          lit(0x5a5a1234abcd9876L).as("sig"))
+      base.unionByName(planted).unionByName(hot)
+    }
+    for (n <- Seq(20000L, 200000L)) {
+      val all = corpus(n)
+      val cap = Dedup.autoBucketCap(n + n / 1000 + 500, 64, 3)
+      val pairs = Dedup.hammingPairsAuto(all, "id", "sig", 64, 3).cache()
+      // every planted pair recovered at its exact distance
+      val planted = pairs
+        .where(col("db") === col("da") + n && col("dist") === 3)
+        .count()
+      assert(planted == n / 1000, s"planted near-dups at n=$n")
+      // the identical-signature group survives in FULL despite being
+      // 500 >> per-bucket expectation: 500*499/2 distance-0 pairs
+      val hotPairs = pairs
+        .where(col("da") >= 10L * n && col("dist") === 0)
+        .count()
+      assert(hotPairs == 500L * 499L / 2L, s"hot-group pairs at n=$n")
+      pairs.unpersist()
+      // raw (row-level) banding with the same cap CAPS the group away —
+      // the silent recall loss collapse mode exists to prevent
+      val rawHot = Dedup
+        .hammingPairs(all, "id", "sig", 64, 3, cap)
+        .where(col("da") >= 10L * n)
+        .count()
+      assert(rawHot == 0L, "raw banding drops the hot group at this cap")
+      // observed distinct-signature bucket sizes stay within the
+      // stats-derived cap at both rungs (same shift/mask as band 0)
+      val maxBucket = all.select(col("sig")).distinct()
+        .groupBy(shiftright(col("sig"), 0).bitwiseAND((1L << 16) - 1L))
+        .count().agg(max("count")).head().getLong(0)
+      assert(maxBucket <= cap, s"band-0 bucket max $maxBucket <= cap $cap at n=$n")
+    }
+  }
 }
 
 /** small indirection so the zh test reuses the column fn. */

@@ -148,6 +148,47 @@ class StreamingSpec extends SparkTestBase {
     assert(batch == Set(1L, 2L))
   }
 
+  test("dedupDocStream state-store size is bounded by the watermark (measured)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val deduped = StreamOps.dedupDocStream(
+      mem.toDF().toDF("doc_id", "ts", "text"), watermark = "30 minutes")
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName("dedup_state_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    def stateRows: Long =
+      q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.head.numRowsTotal)
+        .getOrElse(-1L)
+    try {
+      // late-heavy input: 200 distinct fingerprints, then 200 duplicate
+      // arrivals still inside the watermark — state must hold exactly
+      // one row per LIVE fingerprint, not per arrival
+      mem.addData((1L to 200L).map(i => (i, ts(i % 20), s"doc$i")))
+      q.processAllAvailable()
+      mem.addData((1L to 200L).map(i => (1000L + i, ts(i % 20 + 1), s"doc$i")))
+      q.processAllAvailable()
+      assert(stateRows == 200L, s"one state row per live fingerprint, got $stateRows")
+
+      // watermark advance evicts aged fingerprints: state collapses to
+      // the survivors inside the window, not the stream's history —
+      // the measured form of the bounded-state contract
+      mem.addData(Seq((5000L, ts(10000), "fresh")))
+      q.processAllAvailable()
+      mem.addData(Seq((5001L, ts(10001), "fresh2")))
+      q.processAllAvailable()
+      val afterEvict = stateRows
+      assert(afterEvict >= 1L && afterEvict <= 2L,
+        s"state bounded by the watermark window after eviction, got $afterEvict")
+    } finally q.stop()
+  }
+
   test("sessionizeStream is incremental: state carries sessions across batches") {
     val s = spark
     import s.implicits._
