@@ -1730,7 +1730,57 @@ object GraftQueries {
         |  FROM d)
         |SELECT a.doc_id AS da, b.doc_id AS db, 0 AS dist
         |FROM h a JOIN h b ON a.sig = b.sig AND a.doc_id < b.doc_id
-        |ORDER BY da, db""".stripMargin))
+        |ORDER BY da, db""".stripMargin)),
+
+    // The "keep" policy of a production dedup sweep: near-dup pairs
+    // (the exact PPJoin jaccard operator of q24) -> connected-component
+    // clusters -> keep the best-quality member per cluster (token
+    // count, ties to smallest id); unpaired docs keep themselves. The
+    // oracle replays the q24 jaccard chain, min-label CC via the q32
+    // recursive CTE, and the same ranked window.
+    ("q64_dedup_keep_best",
+      (s: SparkSession, dir: String) => {
+        val docs = table(s, dir, "documents")
+        val pairs = graft.dedup.Dedup.jaccardPairs(docs, "doc_id", "text")
+        graft.dedup.Dedup.keepRepresentatives(
+          docs.withColumn(
+            "tok_cnt", graft.text.TextOps.tokenCount(col("text"))),
+          pairs, "doc_id", "tok_cnt")
+          .orderBy("id")
+      },
+      Some(s"""WITH RECURSIVE $ShingleCtes,
+        |u AS (SELECT doc_id, unnest(sl) AS s0 FROM sh),
+        |ds0 AS (SELECT DISTINCT doc_id,
+        |          CAST(('0x' || substr(md5(s0), 1, 8)) AS BIGINT) AS s FROM u),
+        |ds AS (SELECT ds0.* FROM ds0
+        |       JOIN (SELECT s FROM ds0 GROUP BY s HAVING count(*) <= 1000) r USING (s)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+        |common AS (
+        |  SELECT a.doc_id da, b.doc_id db, count(*) AS common
+        |  FROM ds a JOIN ds b USING (s) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT da, db FROM common
+        |  JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+        |  WHERE 1000000.0 * common / (sa.n + sb.n - common) >= 500000),
+        |edges AS (SELECT da AS a, db AS b FROM p UNION SELECT db, da FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |cl AS (SELECT a AS id, least(a, min(b)) AS cluster_id
+        |       FROM reach GROUP BY a),
+        |scored AS (SELECT doc_id AS id,
+        |             len(regexp_extract_all(text, '\\S+')) AS score
+        |           FROM documents),
+        |lab AS (SELECT s.id, coalesce(cl.cluster_id, s.id) AS cluster_id,
+        |          s.score
+        |        FROM scored s LEFT JOIN cl ON cl.id = s.id),
+        |rk AS (SELECT id, cluster_id,
+        |         row_number() OVER (
+        |           PARTITION BY cluster_id ORDER BY score DESC, id) AS rk
+        |       FROM lab)
+        |SELECT id, cluster_id, rk = 1 AS keep FROM rk ORDER BY id""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

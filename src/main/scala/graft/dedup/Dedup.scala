@@ -716,6 +716,36 @@ object Dedup {
       combine = r)
   }
 
+  /** Canonical-representative selection — the "keep" policy of a
+    * production dedup sweep: given near-dup `pairs` (da, db) over
+    * `docs`, cluster them (connected-component min label via
+    * [[clusters]]) and keep exactly one member per cluster — the
+    * highest `scoreCol`, ties to the smallest id. Docs in no pair form
+    * their own singleton cluster and keep themselves. Returns one row
+    * per input doc: (id, cluster_id, keep).
+    *
+    * Scale: one left join on id plus one window partitioned by
+    * cluster_id; a cluster is a near-dup group, so the window's
+    * partitions are bounded by the largest dup group, never the corpus.
+    */
+  def keepRepresentatives(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      scoreCol: String): DataFrame = {
+    val cl = clusters(pairs)
+    val labeled = docs
+      .select(col(idCol).as("id"), col(scoreCol).as("__score"))
+      .join(cl, Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+    val w = Window
+      .partitionBy("cluster_id")
+      .orderBy(col("__score").desc, col("id"))
+    labeled
+      .withColumn("__rk", row_number().over(w))
+      .select(col("id"), col("cluster_id"), (col("__rk") === 1).as("keep"))
+  }
+
   /** SimHash near-dup pairs: 60-bit signatures blocked on 15-bit bands
     * (a pair within hamming distance 3 shares at least one of 4 bands),
     * verified by hamming distance — the `maxHamming = 3` instance of

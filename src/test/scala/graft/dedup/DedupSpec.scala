@@ -525,6 +525,25 @@ class DedupSpec extends SparkTestBase {
     assert(info7.samplesPerChunk.sum == 45)
     assert(info7.samplesPerChunk.toSeq == Seq(7, 7, 7, 6, 6, 6, 6))
   }
+  test("keepRepresentatives: best score wins, ties to min id, singletons keep themselves") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, 5L), (2L, 9L), (3L, 9L), // cluster {1,2,3}: 2 wins (score 9, tie vs 3 -> min id)
+      (4L, 1L), (5L, 7L),           // cluster {4,5}: 5 wins
+      (6L, 0L))                     // singleton: keeps itself
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("da", "db")
+    val out = Dedup.keepRepresentatives(docs, pairs, "doc_id", "score")
+      .collect().map(r =>
+        r.getAs[Long]("id") -> (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep")))
+      .toMap
+    assert(out == Map(
+      1L -> (1L, false), 2L -> (1L, true), 3L -> (1L, false),
+      4L -> (4L, false), 5L -> (4L, true),
+      6L -> (6L, true)))
+  }
+
   test("multi-index hamming: combine=2 keeps the pigeonhole recall guarantee") {
     // adversarial placement: spread the <=3 flipped bits across 3
     // DIFFERENT base bands (of the 5 bands at combine=2) so only
