@@ -581,6 +581,42 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.combineForCount(Long.MaxValue / 4, 64, 3) <= 5)
   }
 
+  test("multi-index hamming: property — random sigs, random <=3-bit flips, every pair recovered") {
+    val s = spark
+    import s.implicits._
+    // 500 seeded-random cases (same direct-Gen sampler as PropertySpec):
+    // any signature, any 0..3 flipped bit positions — the full space the
+    // pigeonhole guarantee covers at maxHamming=3, driven through the
+    // real column implementation in one job
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      sig <- Gen.long
+      k <- Gen.choose(0, 3)
+      bits <- Gen.listOfN(k, Gen.choose(0, 63))
+    } yield (sig, bits.distinct.foldLeft(0L)((m, b) => m | (1L << b)))
+    var seed = Seed(4242L)
+    val cases = Vector.newBuilder[(Long, Long)]
+    var i = 0
+    while (i < 500) {
+      gen.apply(Gen.Parameters.default, seed).foreach { c => cases += c; i += 1 }
+      seed = seed.next
+    }
+    val rows = cases.result().zipWithIndex.flatMap { case ((sig, mask), idx) =>
+      Seq((idx.toLong * 2, sig), (idx.toLong * 2 + 1, sig ^ mask))
+    }
+    val df = rows.toDF("id", "sig")
+    for (combine <- Seq(1, 2)) {
+      val found = Dedup
+        .hammingPairs(df, "id", "sig", 64, 3, 0L, combine = combine)
+        .where(col("db") === col("da") + 1 && pmod(col("da"), lit(2L)) === 0)
+        .count()
+      // every planted pair is within distance 3 (mask has <=3 bits), so
+      // the guarantee demands all 500 regardless of where the bits land
+      assert(found == 500L, s"all planted pairs at combine=$combine")
+    }
+  }
+
   test("hammingPairsAuto: collapse keeps identical-sig recall under the cap, buckets bounded at 10x") {
     // corpus at n and 10n from the SAME deterministic generator:
     // xxhash64 base signatures, planted near-dups at exactly hamming 3
