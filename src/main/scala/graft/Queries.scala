@@ -1780,7 +1780,51 @@ object GraftQueries {
         |         row_number() OVER (
         |           PARTITION BY cluster_id ORDER BY score DESC, id) AS rk
         |       FROM lab)
-        |SELECT id, cluster_id, rk = 1 AS keep FROM rk ORDER BY id""".stripMargin))
+        |SELECT id, cluster_id, rk = 1 AS keep FROM rk ORDER BY id""".stripMargin)),
+
+    // MergeFilter (reference filter/merge.py paste semantics) as a
+    // pixel-level value check: 300 deterministic base tiles at z5, an
+    // OPAQUE different-content overlay on every 3rd coord. An opaque
+    // overlay must exactly replace the base raster (pixel-for-pixel vs
+    // the decoded overlay, across PNG and JPEG bases), and coords with
+    // no overlay must pass the base bytes through UNTOUCHED (md5
+    // equality). The oracle pins the planted arithmetic: which coords
+    // have overlays, and ok = TRUE everywhere.
+    ("q65_merge_tiles",
+      (s: SparkSession, dir: String) => {
+        val pixEq = udf((a: Array[Byte], b: Array[Byte]) =>
+          graft.image.ImageCodec.pixelsEqual(a, b))
+        val imgs = graft.engine.Corpus.generate(s, 1300).toDF()
+          .withColumn("__i", substring(col("image_id"), 4, 12).cast("long"))
+        val base = imgs.where(col("__i") < 300).select(
+          lit(5).as("z"),
+          pmod(col("__i"), lit(32L)).as("x"),
+          floor(col("__i") / 32).cast("long").as("y"),
+          col("bytes").as("data"),
+          col("bytes").as("__orig"))
+        val overlay = imgs
+          .where(col("__i") >= 1000 && pmod(col("__i") - 1000, lit(3L)) === 0)
+          .select(
+            lit(5).as("z"),
+            pmod(col("__i") - 1000, lit(32L)).as("x"),
+            floor((col("__i") - 1000) / 32).cast("long").as("y"),
+            col("bytes").as("data"))
+        graft.engine.Filters.mergeStores(base, Seq(overlay))
+          .join(
+            overlay.select(
+              col("z"), col("x"), col("y"), col("data").as("__ov")),
+            Seq("z", "x", "y"), "left")
+          .select(
+            concat_ws("/", col("z"), col("x"), col("y")).as("media_id"),
+            col("__ov").isNotNull.as("overlay_applied"),
+            when(col("__ov").isNull, md5(col("data")) === md5(col("__orig")))
+              .otherwise(pixEq(col("data"), col("__ov"))).as("ok"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT printf('5/%d/%d', g.i % 32, g.i // 32) AS media_id,
+        |  (g.i % 3 = 0) AS overlay_applied, TRUE AS ok
+        |FROM generate_series(0, 299) g(i)
+        |ORDER BY media_id""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

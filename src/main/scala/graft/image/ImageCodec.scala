@@ -170,6 +170,20 @@ object ImageCodec {
     g.dispose()
   }
 
+  /** Exact pixel equality: decode both payloads and compare full ARGB
+    * rasters (dimensions must match too). The strict form of [[psnr]]
+    * = +inf, format-independent (a JPEG and the PNG re-encode of its
+    * decoded pixels compare equal). */
+  def pixelsEqual(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val ia = decode(a)
+    val ib = decode(b)
+    ia.getWidth == ib.getWidth && ia.getHeight == ib.getHeight && {
+      val pa = ia.getRGB(0, 0, ia.getWidth, ia.getHeight, null, 0, ia.getWidth)
+      val pb = ib.getRGB(0, 0, ib.getWidth, ib.getHeight, null, 0, ib.getWidth)
+      java.util.Arrays.equals(pa, pb)
+    }
+  }
+
   /** Peak signal-to-noise ratio over RGB channels in dB;
     * Double.PositiveInfinity for identical images. */
   def psnr(a: BufferedImage, b: BufferedImage): Double = {
