@@ -1824,7 +1824,57 @@ object GraftQueries {
       Some("""SELECT printf('5/%d/%d', g.i % 32, g.i // 32) AS media_id,
         |  (g.i % 3 = 0) AS overlay_applied, TRUE AS ok
         |FROM generate_series(0, 299) g(i)
-        |ORDER BY media_id""".stripMargin))
+        |ORDER BY media_id""".stripMargin)),
+
+    // BPE tokenization to ids — the form a training pipeline feeds a
+    // model: encode every doc with the learned q58 merge chain, assign
+    // each distinct token a dense id (sorted-token rank; the vocab
+    // table is bounded by vocabulary size, so its global window is a
+    // deliberate small-relation sort, not a corpus-scale one), emit
+    // one (doc_id, pos, token, token_id) row per token. The oracle
+    // replays the identical chain and ranking in DuckDB.
+    ("q66_bpe_token_ids",
+      (s: SparkSession, dir: String) => {
+        val toks = graft.text.Bpe.encode(
+          table(s, dir, "documents"), "doc_id", "text", BpeMerges)
+          .select(
+            col("id").as("doc_id"),
+            posexplode(col("tokens")).as(Seq("pos", "token")))
+        val vocab = toks.select("token").distinct()
+          .withColumn(
+            "token_id",
+            (row_number().over(
+              org.apache.spark.sql.expressions.Window.orderBy("token")) - 1)
+              .cast("long"))
+        toks.join(vocab, "token")
+          .select(col("doc_id"), col("pos"), col("token"), col("token_id"))
+          .orderBy("doc_id", "pos")
+      },
+      Some {
+        val chain = BpeMerges.foldLeft(
+          "regexp_replace(w, '(.)', ' \\1 ', 'g')") {
+          case (c, (a, b)) => s"replace($c, ' $a  $b ', ' $a$b ')"
+        }
+        s"""WITH w AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        |  FROM documents),
+        |flat AS (
+        |  SELECT doc_id,
+        |    flatten([string_split(trim($chain), '  ') for w in ws]) AS toks
+        |  FROM w),
+        |tok AS (
+        |  SELECT doc_id,
+        |    CAST(unnest(generate_series(1, len(toks))) - 1 AS INT) AS pos,
+        |    unnest(toks) AS token
+        |  FROM flat),
+        |vocab AS (
+        |  SELECT token,
+        |    CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id
+        |  FROM (SELECT DISTINCT token FROM tok))
+        |SELECT t.doc_id, t.pos, t.token, v.token_id
+        |FROM tok t JOIN vocab v USING (token)
+        |ORDER BY doc_id, pos""".stripMargin
+      })
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
