@@ -50,16 +50,31 @@ final case class TemplateTileLayout(template: String) extends TileLayout {
     (sb.toString, pfx.getOrElse(template))
   }
 
-  private val filenameRe: Regex = {
+  /** The parse regex with one `(\d+)` capture group per placeholder,
+    * plus the placeholder names in capture order — the SINGLE
+    * derivation both the core parser below and the column-form
+    * `TileFunctions.templateParse` consume (indexed groups work for
+    * both java.util.regex and Catalyst's regexp_extract). */
+  val (captureRe: String, captureGroups: Seq[String]) = {
     val sb = new StringBuilder
+    val order = Seq.newBuilder[String]
     var index = 0
     for (m <- Placeholder.findAllMatchIn(template)) {
       sb.append(Regex.quote(template.substring(index, m.start)))
-      sb.append(s"(?<${m.group(1)}>\\d+)")
+      sb.append("""(\d+)""")
+      order += m.group(1)
       index = m.end
     }
     sb.append(Regex.quote(template.substring(index)))
-    sb.toString.r
+    (sb.toString, order.result())
+  }
+
+  private val filenameRe: Regex = captureRe.r
+
+  private def groupIdx(name: String): Int = {
+    val i = captureGroups.indexOf(name)
+    require(i >= 0, s"template lacks %($name)d: $template")
+    i + 1
   }
 
   override def filename(tc: TileCoord, metadata: Map[String, String]): String =
@@ -75,9 +90,15 @@ final case class TemplateTileLayout(template: String) extends TileLayout {
   override def tilecoord(filename: String): TileCoord =
     filenameRe.findPrefixMatchOf(filename) match {
       case Some(m) =>
-        TileCoord(m.group("z").toInt, m.group("x").toLong, m.group("y").toLong)
+        TileCoord(
+          m.group(groupIdx("z")).toInt,
+          m.group(groupIdx("x")).toLong,
+          m.group(groupIdx("y")).toLong)
       case None => parseError(filename)
     }
+
+  /** 1-based capture-group index of a placeholder in [[captureRe]]. */
+  def captureGroup(name: String): Int = groupIdx(name)
 }
 
 /** prefix + inner layout + suffix (reference layout/wrapped.py:8-28). */

@@ -266,13 +266,6 @@ object Dedup {
     minhashSigArray(df, idCol, textCol, k, n).select(
       (col("id") +: (0 until k).map(j => element_at(col("sig"), j + 1).as(s"s$j"))): _*)
 
-  /** LSH banding: split the signature into `bands` bands of
-    * `k / bands` rows; docs sharing any full band become candidates.
-    * Only (band_idx, band_key) shuffles. Buckets larger than
-    * `maxBucketSize` are dropped before the self-join (see
-    * [[bandBucketSizes]] for observing what a cap drops) — without the
-    * cap a single degenerate band key with f members yields f^2/2
-    * pairs, the classic LSH production fire at corpus scale. */
   /** The (id, band, key) explode of [[minhashCandidates]]'s banding,
     * exposed so bucket-size distributions are observable (feed to
     * [[bandBucketSizes]]). */
@@ -289,6 +282,13 @@ object Dedup {
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
+  /** LSH banding: split the signature into `bands` bands of
+    * `k / bands` rows; docs sharing any full band become candidates.
+    * Only (band_idx, band_key) shuffles. Buckets larger than
+    * `maxBucketSize` are dropped before the self-join (see
+    * [[bandBucketSizes]] for observing what a cap drops) — without the
+    * cap a single degenerate band key with f members yields f^2/2
+    * pairs, the classic LSH production fire at corpus scale. */
   def minhashCandidates(
       sigs: DataFrame,
       k: Int = 16,
@@ -662,15 +662,23 @@ object Dedup {
 
   /** Bucket cap sized from a row estimate, the [[graft.ann.Ann.planesForCount]]
     * counterpart for hamming banding: `headroom ×` the expected
-    * random-collision bucket size `rows / 2^width` (floor 64). Buckets
-    * within `headroom` of the uniform expectation are data, buckets
-    * beyond it are degenerate signature mass the cap should drop. */
+    * random-collision bucket size `rows / 2^keyBits` (floor 64), where
+    * the key width follows the band layout (`combine` mirrors
+    * [[hammingPairs]]' multi-index factor). Buckets within `headroom`
+    * of the uniform expectation are data, buckets beyond it are
+    * degenerate signature mass the cap should drop. The single source
+    * of the cap formula — [[hammingPairsAuto]] and the DedupScale
+    * diagnostics both call it. */
   def autoBucketCap(
-      rows: Long, bits: Int, maxHamming: Int, headroom: Long = 32L): Long = {
-    val width = bits / (maxHamming + 1)
+      rows: Long,
+      bits: Int,
+      maxHamming: Int,
+      headroom: Long = 32L,
+      combine: Int = 1): Long = {
+    val width = bits / (maxHamming + combine)
+    val keyBits = math.min(62, combine * width)
     val expected =
-      if (width >= 63) 1L
-      else math.max(1L, math.ceil(rows.toDouble / (1L << width)).toLong)
+      math.max(1L, math.ceil(rows.toDouble / math.pow(2.0, keyBits)).toLong)
     math.max(64L, headroom * expected)
   }
 
@@ -705,13 +713,9 @@ object Dedup {
     // key-space lever), then the cap sized to the chosen layout (drops
     // DEGENERATE buckets only)
     val r = combineForCount(est, bits, maxHamming)
-    val width = bits / (maxHamming + r)
-    val keyBits = math.min(62, r * width)
-    val expected =
-      math.max(1L, math.ceil(est.toDouble / math.pow(2.0, keyBits)).toLong)
     hammingPairs(
       sigs, idCol, sigCol, bits, maxHamming,
-      math.max(64L, headroom * expected),
+      autoBucketCap(est, bits, maxHamming, headroom, r),
       collapseIdentical = true,
       combine = r)
   }

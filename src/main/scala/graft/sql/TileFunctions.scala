@@ -234,29 +234,14 @@ object TileFunctions {
   def templateParse(
       layout: graft.core.TemplateTileLayout,
       url: Column): Column = {
-    val Placeholder = """%\(([xyz])\)d""".r
-    val sb = new StringBuilder
-    val order = Seq.newBuilder[String]
-    var idx = 0
-    for (m <- Placeholder.findAllMatchIn(layout.template)) {
-      sb.append(java.util.regex.Pattern.quote(
-        layout.template.substring(idx, m.start)))
-      sb.append("""(\d+)""")
-      order += m.group(1)
-      idx = m.end
-    }
-    sb.append(java.util.regex.Pattern.quote(layout.template.substring(idx)))
-    val pattern = sb.toString
-    val groups = order.result()
-    def grp(name: String): Int = {
-      val i = groups.indexOf(name)
-      require(i >= 0, s"template lacks %($name)d: ${layout.template}")
-      i + 1
-    }
+    // the pattern and group order come from the layout's OWN derivation
+    // (core/TileLayout.scala captureRe) — core-side and column-side
+    // parsing can never diverge
+    val pattern = layout.captureRe
     struct(
-      regexp_extract(url, pattern, grp("z")).cast("int").as("z"),
-      regexp_extract(url, pattern, grp("x")).cast("long").as("x"),
-      regexp_extract(url, pattern, grp("y")).cast("long").as("y"))
+      regexp_extract(url, pattern, layout.captureGroup("z")).cast("int").as("z"),
+      regexp_extract(url, pattern, layout.captureGroup("x")).cast("long").as("x"),
+      regexp_extract(url, pattern, layout.captureGroup("y")).cast("long").as("y"))
   }
 
   /** Mirror-layout URL chooser (reference store/url.py:34 picks one of

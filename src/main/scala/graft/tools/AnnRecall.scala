@@ -100,38 +100,26 @@ object AnnRecall {
       codes.unpersist()
     }
     // PQ-ADC + exact rerank: codes nominate C candidates, raw vectors
-    // re-score only those
-    for (c <- Seq(50, 100, 200)) {
-      val codes = Ann.pqEncode(vecs, "vec_id", "embedding", trained).cache()
+    // re-score only those. The 2k-sample row is the production
+    // composition claim for sample-bounded training: book variance
+    // washes out at the rerank stage, so a 100 TB corpus never needs
+    // full-scan Lloyd iterations.
+    for ((label, bk, c) <- Seq(
+        ("trained", trained, 50),
+        ("trained", trained, 100),
+        ("trained", trained, 200),
+        ("2k-sample books", trainedSampled, 200))) {
+      val codes = Ann.pqEncode(vecs, "vec_id", "embedding", bk).cache()
       codes.count()
       val got = queries.map { q =>
         val qv = vecs.where(col("vec_id") === q)
           .select(col("embedding").cast("array<double>")).as[Seq[Double]]
           .head().toArray
         q -> Ann.pqAdcRerank(vecs.where(col("vec_id") =!= q), "vec_id", "embedding",
-          codes.where(col("id") =!= q), trained, qv, k, candidates = c)
+          codes.where(col("id") =!= q), bk, qv, k, candidates = c)
           .select("id").as[Long].collect().toSeq
       }.toMap
-      rows += ((s"PQ-ADC + rerank C=$c (trained)", recall(got, exactL2), c.toDouble / n))
-      codes.unpersist()
-    }
-    // the production composition claim for sample-bounded training:
-    // codebooks trained on the hash-sample NOMINATE, exact rerank
-    // re-scores — book variance washes out at the rerank stage, so a
-    // 100 TB corpus never needs full-scan Lloyd iterations
-    {
-      val codes = Ann.pqEncode(vecs, "vec_id", "embedding", trainedSampled).cache()
-      codes.count()
-      val got = queries.map { q =>
-        val qv = vecs.where(col("vec_id") === q)
-          .select(col("embedding").cast("array<double>")).as[Seq[Double]]
-          .head().toArray
-        q -> Ann.pqAdcRerank(vecs.where(col("vec_id") =!= q), "vec_id", "embedding",
-          codes.where(col("id") =!= q), trainedSampled, qv, k, candidates = 200)
-          .select("id").as[Long].collect().toSeq
-      }.toMap
-      rows += (("PQ-ADC + rerank C=200 (2k-sample books)",
-        recall(got, exactL2), 200.0 / n))
+      rows += ((s"PQ-ADC + rerank C=$c ($label)", recall(got, exactL2), c.toDouble / n))
       codes.unpersist()
     }
     // full IVF-PQ (approximate distance, probed lists only)

@@ -95,7 +95,11 @@ object CopySinkDiag {
     val writeM = perPid("diag-pass2")
     val noopM = perPid("diag-noop")
 
-    println(f"[sinkdiag] cpus=$cpus rows=$rows  write wall=$writeWall%.2f s  noop wall=$noopWall%.2f s")
+    // NOTE: writeWall covers the whole copyJob INCLUDING its post-write
+    // verification scan of the full sink (Pipeline.copyJob's read-back
+    // count), which the noop leg does not perform — compare the legs by
+    // the per-partition task seconds below, never by these walls.
+    println(f"[sinkdiag] cpus=$cpus rows=$rows  write wall=$writeWall%.2f s (incl. post-write sink count)  noop wall=$noopWall%.2f s")
     println("pid | rows | MB | write_s | noop_s")
     val pids = writeM.keys.toSeq.sorted
     for (pid <- pids) {
