@@ -184,6 +184,14 @@ Reading the ladder:
   keys, not payloads, shuffle, and `capBuckets` bounds any single
   bucket's pair contribution; PPJoin stays near-linear because only
   rarest-prefix tokens enter the inverted-index join.
+- hamming_auto's 100M rung is the deliberate exception to the linear
+  read: at that size the 16-bit buckets average lambda=1526, so the
+  in-join candidate filter evaluates ~3x10^11 pairs (the lambda^2
+  term dominates the 576 s) — still the fastest measured layout for
+  this size (the r=2 alternative measured 687 s, crossover note
+  below), and exactly the regime where a 10^9-row corpus would
+  auto-switch to r=2's wide keys. The 1M -> 10M decade (2.6x) is the
+  linear regime the claim covers.
 - **planted found**: ground-truth near-dup pairs recovered at every
   rung — the caps bound cost without losing the planted recall.
   minhash/jaccard/hamming recover (nearly) all planted pairs; simhash
