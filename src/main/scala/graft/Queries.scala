@@ -1874,7 +1874,48 @@ object GraftQueries {
         |SELECT t.doc_id, t.pos, t.token, v.token_id
         |FROM tok t JOIN vocab v USING (token)
         |ORDER BY doc_id, pos""".stripMargin
-      })
+      }),
+
+    // Wide (256-bit, array<long>) hamming near-dup pairs — the
+    // production signature width once 64-bit band keys saturate
+    // (BENCH/DEDUP_SCALE.md's measured 100M quadratic regime): four
+    // md5-derived 60-bit-per-long chunks per doc, one planted copy per
+    // doc_id%50==3 with doc_id%4 bits flipped (one flip per long k at
+    // position (doc_id*(k+1))%64, so flips are distinct by
+    // construction and the true distance is exactly doc_id%4).
+    // Random 240-bit signatures put every NON-planted pair at distance
+    // ~120 (P(dist<=3) ~ 2^-218), so the exact output — pairs AND
+    // distances — is closed-form in doc_id: recall and precision are
+    // both pinned without the oracle re-deriving hamming math.
+    ("q67_hamming_wide_pairs",
+      (s: SparkSession, dir: String) => {
+        val base = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        def chunk(c: Column, off: Int): Column =
+          conv(substring(md5(c.cast("binary")), off, 15), 16, 10).cast("long")
+        val chunks = Seq(
+          chunk(col("text"), 1), chunk(col("text"), 16),
+          chunk(concat(col("text"), lit("#")), 1),
+          chunk(concat(col("text"), lit("#")), 16))
+        val orig = base.select(col("doc_id"), array(chunks: _*).as("sig"))
+        def mask(k: Int): Column =
+          when(
+            pmod(col("doc_id"), lit(4L)) > k,
+            expr(s"shiftleft(CAST(1 AS BIGINT), CAST((doc_id * ${k + 1}) % 64 AS INT))"))
+            .otherwise(lit(0L))
+        val planted = base.where(pmod(col("doc_id"), lit(50L)) === 3)
+          .select(
+            (col("doc_id") + 10000000L).as("doc_id"),
+            array(chunks.zipWithIndex.map { case (c, k) =>
+              c.bitwiseXOR(mask(k))
+            }: _*).as("sig"))
+        graft.dedup.Dedup.hammingPairsAuto(
+          orig.unionByName(planted), "doc_id", "sig", 256, 3)
+          .orderBy("da", "db")
+      },
+      Some("""SELECT doc_id AS da, doc_id + 10000000 AS db,
+        |  CAST(doc_id % 4 AS INT) AS dist
+        |FROM documents WHERE doc_id % 50 = 3
+        |ORDER BY da, db""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -458,8 +458,55 @@ object Dedup {
   /** Hamming distance between two 60-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Hamming distance between two equal-length `array<long>` wide
+    * signatures (bit k lives in element k/64 at position k%64):
+    * per-element xor popcounts summed — pure codegen column math, no
+    * UDF. */
+  def hammingWide(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0),
+      (acc, x) => acc + x)
+
+  /** Per-band bit widths of the [[hammingBandExplode]] layout:
+    * `maxHamming + combine` bands of `bits / bands` bits each, the
+    * division remainder folded into the LAST band. The single source of
+    * the layout — the explode, [[combineForCount]] and
+    * [[autoBucketCap]] all derive subset key widths from it, so the
+    * sizers' feasibility/expectation math can never diverge from the
+    * keys the explode actually packs. */
+  def bandWidths(bits: Int, maxHamming: Int, combine: Int): IndexedSeq[Int] = {
+    val bands = maxHamming + combine
+    val width = bits / bands
+    require(width >= 1, s"maxHamming=$maxHamming too large for $bits-bit signatures")
+    (0 until bands).map(b => if (b == bands - 1) bits - b * width else width)
+  }
+
+  /** Narrowest possible `combine`-subset key of the layout (sum of the
+    * `combine` smallest band widths) — the conservative width for
+    * expected-bucket math: the widest random-collision buckets live
+    * under the narrowest keys. */
+  private def minSubsetBits(bits: Int, maxHamming: Int, combine: Int): Int =
+    bandWidths(bits, maxHamming, combine).sorted.take(combine).sum
+
+  /** Widest possible `combine`-subset key (includes the
+    * remainder-widened last band) — the width the narrow-signature
+    * explode's `require(keyBits <= 62)` actually sees. */
+  private def maxSubsetBits(bits: Int, maxHamming: Int, combine: Int): Int =
+    bandWidths(bits, maxHamming, combine).sorted.takeRight(combine).sum
+
   /** Generic hamming-banded near-dup pair join over an integer
-    * signature column: block on `maxHamming + 1` disjoint bit bands (by
+    * signature column — a single `long` (bits <= 64) or an
+    * `array<long>` WIDE signature (bit k in element k/64 at position
+    * k%64; e.g. 256-bit PDQ-style perceptual hashes as 4 longs, the
+    * production layout once 64-bit keys saturate: at 10^8+ rows the
+    * 16-bit bands of a 64-bit/maxHamming=3 signature go
+    * candidate-quadratic — measured in BENCH/DEDUP_SCALE.md — while a
+    * 256-bit signature's 64-bit bands keep expected buckets O(1) out to
+    * 10^12 rows). Wide band keys are xxhash64 over the band's bit
+    * slices: equal bands hash equal so the recall guarantee below is
+    * untouched, and hash collisions only add candidates that the exact
+    * distance verify removes. Blocks on `maxHamming + 1` disjoint bit bands (by
     * pigeonhole, a pair within hamming distance `maxHamming` agrees
     * exactly on at least one band — guaranteed recall, no probabilistic
     * miss), verify candidates by `bit_count(xor)`. Shuffles (id, long)
@@ -505,6 +552,8 @@ object Dedup {
       collapseIdentical: Boolean = false,
       combine: Int = 1): DataFrame = {
     val rows = sigs.select(col(idCol).as("id"), col(sigCol).as("__sig"))
+    val dist: (Column, Column) => Column =
+      if (isWideSig(rows, "__sig")) hammingWide else hamming
     if (!collapseIdentical) {
       val banded = capBuckets(
         hammingBandExplode(rows, bits, maxHamming, combine = combine),
@@ -516,7 +565,7 @@ object Dedup {
             col("a.id") < col("b.id"))
         .select(
           col("a.id").as("da"), col("b.id").as("db"),
-          hamming(col("a.__sig"), col("b.__sig")).as("dist"))
+          dist(col("a.__sig"), col("b.__sig")).as("dist"))
         .distinct()
         .where(col("dist") <= maxHamming)
     } else {
@@ -541,7 +590,7 @@ object Dedup {
             col("a.id") < col("b.id"))
         .select(
           col("a.__sig").as("sa"), col("b.__sig").as("sb"),
-          hamming(col("a.__sig"), col("b.__sig")).as("dist"))
+          dist(col("a.__sig"), col("b.__sig")).as("dist"))
         .distinct()
         .where(col("dist") <= maxHamming)
       // distance-0 pairs: expand each identical-signature group
@@ -578,22 +627,51 @@ object Dedup {
       sigCol: String = "__sig",
       combine: Int = 1): DataFrame = {
     val rows = sigs.select(col(idCol).as("id"), col(sigCol).as("__sig"))
-    val bands = maxHamming + combine
-    val width = bits / bands
-    require(width >= 1, s"maxHamming=$maxHamming too large for $bits-bit signatures")
     require(combine >= 1, "combine must be >= 1")
-    def widthOf(b: Int): Int = if (b == bands - 1) bits - b * width else width
-    // value of base band b, masked so the arithmetic shiftright is safe
-    // for negative (full 64-bit) signatures
+    val wide = isWideSig(rows, "__sig")
+    val widths = bandWidths(bits, maxHamming, combine)
+    val bands = widths.length
+    val starts = widths.scanLeft(0)(_ + _)
+    // value of base band b of a single-long signature, masked so the
+    // arithmetic shiftright is safe for negative (full 64-bit) values
     def bandVal(b: Int): Column = {
-      val w = widthOf(b)
+      val w = widths(b)
       val mask = if (w >= 64) -1L else (1L << w) - 1L
-      shiftright(col("__sig"), b * width).bitwiseAND(mask)
+      shiftright(col("__sig"), starts(b)).bitwiseAND(mask)
     }
+    // 64-bit-aligned slices of wide-signature bit range
+    // [lo, lo + w): bit k of the signature is bit k%64 of element
+    // k/64 (1-based element_at). A band wider than a long, or one
+    // straddling an element boundary, simply yields several slice
+    // columns — the key hashes them together, so nothing ever has to
+    // fit in one long.
+    def wideSlices(lo: Int, w: Int): Seq[Column] = {
+      val out = Seq.newBuilder[Column]
+      var pos = lo
+      val end = lo + w
+      while (pos < end) {
+        val off = pos % 64
+        val take = math.min(64 - off, end - pos)
+        val mask = if (take >= 64) -1L else (1L << take) - 1L
+        out += shiftrightunsigned(element_at(col("__sig"), pos / 64 + 1), off)
+          .bitwiseAND(mask)
+        pos += take
+      }
+      out.result()
+    }
+    // Wide keys are xxhash64 over the band's raw slices: equal band
+    // values hash equal, so the pigeonhole recall guarantee is
+    // untouched; a 64-bit hash collision only ADDS a candidate pair,
+    // which the exact distance verify removes. This sidesteps the
+    // narrow path's 62-bit packed-key ceiling entirely.
+    def wideKey(bandIdxs: Seq[Int]): Column =
+      xxhash64(bandIdxs.flatMap(b => wideSlices(starts(b), widths(b))): _*)
     val bandKeys =
       if (combine == 1)
-        (0 until bands).map(b =>
-          struct(lit(b).as("band"), bandVal(b).as("key")))
+        (0 until bands).map { b =>
+          val key = if (wide) wideKey(Seq(b)) else bandVal(b)
+          struct(lit(b).as("band"), key.as("key"))
+        }
       else {
         // multi-index form (Norouzi et al., "Fast Search in Hamming
         // Space with Multi-Index Hashing"): every `combine`-subset of
@@ -604,12 +682,16 @@ object Dedup {
         // of 2^width.
         val subsets = (0 until bands).combinations(combine).toSeq
         subsets.zipWithIndex.map { case (s, i) =>
-          val keyBits = s.map(widthOf).sum
-          require(keyBits <= 62, s"combined key of $keyBits bits overflows a long")
-          val packed = s.foldLeft(lit(0L): Column) { (acc, b) =>
-            shiftleft(acc, widthOf(b)).bitwiseOR(bandVal(b))
-          }
-          struct(lit(i).as("band"), packed.as("key"))
+          val key =
+            if (wide) wideKey(s)
+            else {
+              val keyBits = s.map(widths).sum
+              require(keyBits <= 62, s"combined key of $keyBits bits overflows a long")
+              s.foldLeft(lit(0L): Column) { (acc, b) =>
+                shiftleft(acc, widths(b)).bitwiseOR(bandVal(b))
+              }
+            }
+          struct(lit(i).as("band"), key.as("key"))
         }
       }
     rows
@@ -618,6 +700,11 @@ object Dedup {
         col("id"), col("__sig"),
         col("bk.band").as("band"), col("bk.key").as("key"))
   }
+
+  /** True when the signature column is an `array<long>` wide signature
+    * rather than a single long. */
+  private def isWideSig(rows: DataFrame, sigCol: String): Boolean =
+    rows.schema(sigCol).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
 
   /** Pick the multi-index `combine` factor for [[hammingPairs]] from a
     * row estimate: the smallest r whose combined key space keeps the
@@ -645,17 +732,25 @@ object Dedup {
       bits: Int,
       maxHamming: Int,
       targetBucket: Long = 2048L,
-      maxKeysPerRow: Long = 64L): Int = {
+      maxKeysPerRow: Long = 64L,
+      wide: Boolean = false): Int = {
     def keysPerRow(r: Int): Long =
       (1 to r).foldLeft(1L)((a, i) => a * (maxHamming + r - i + 1) / i)
     var r = 1
     while ({
-      val width = bits / (maxHamming + r)
-      val keyBits = math.min(62, r * width)
+      // expectation from the NARROWEST subset key the layout packs
+      // (the widest random buckets live there); feasibility from the
+      // WIDEST (the remainder-widened last band) — both via the same
+      // bandWidths the explode uses. Wide (array<long>) signatures
+      // hash their keys, so the 62-bit packing ceiling vanishes and
+      // key entropy tops out at the 64-bit hash.
+      val keyBits =
+        math.min(if (wide) 64 else 62, minSubsetBits(bits, maxHamming, r))
       val expected = rows.toDouble / math.pow(2.0, keyBits)
       val widthNext = bits / (maxHamming + r + 1)
       expected > targetBucket && widthNext >= 1 &&
-      (r + 1).toLong * widthNext <= 62 && keysPerRow(r + 1) <= maxKeysPerRow
+      (wide || maxSubsetBits(bits, maxHamming, r + 1) <= 62) &&
+      keysPerRow(r + 1) <= maxKeysPerRow
     }) r += 1
     r
   }
@@ -674,9 +769,10 @@ object Dedup {
       bits: Int,
       maxHamming: Int,
       headroom: Long = 32L,
-      combine: Int = 1): Long = {
-    val width = bits / (maxHamming + combine)
-    val keyBits = math.min(62, combine * width)
+      combine: Int = 1,
+      wide: Boolean = false): Long = {
+    val keyBits =
+      math.min(if (wide) 64 else 62, minSubsetBits(bits, maxHamming, combine))
     val expected =
       math.max(1L, math.ceil(rows.toDouble / math.pow(2.0, keyBits)).toLong)
     math.max(64L, headroom * expected)
@@ -703,19 +799,25 @@ object Dedup {
       bits: Int,
       maxHamming: Int,
       headroom: Long = 32L): DataFrame = {
-    val plan = sigs.select(idCol, sigCol).queryExecution.optimizedPlan
+    val sel = sigs.select(idCol, sigCol)
+    val wide = isWideSig(sel, sigCol)
+    val plan = sel.queryExecution.optimizedPlan
+    // bytes/row heuristic: a (long id, long sig) row is ~16 bytes; a
+    // wide array<long> signature adds 8 bytes per element plus array
+    // overhead — only the COST sizing hangs on this, never recall
+    val bytesPerRow = if (wide) 16L + 8L * ((bits + 63) / 64) else 16L
     val est = plan.stats.rowCount
       .map(_.min(BigInt(Long.MaxValue)).toLong)
       .getOrElse(
-        (plan.stats.sizeInBytes / 16L).max(BigInt(1))
+        (plan.stats.sizeInBytes / bytesPerRow).max(BigInt(1))
           .min(BigInt(Long.MaxValue)).toLong)
     // multi-index factor first (keeps EXPECTED buckets small — the
     // key-space lever), then the cap sized to the chosen layout (drops
     // DEGENERATE buckets only)
-    val r = combineForCount(est, bits, maxHamming)
+    val r = combineForCount(est, bits, maxHamming, wide = wide)
     hammingPairs(
       sigs, idCol, sigCol, bits, maxHamming,
-      autoBucketCap(est, bits, maxHamming, headroom, r),
+      autoBucketCap(est, bits, maxHamming, headroom, r, wide),
       collapseIdentical = true,
       combine = r)
   }

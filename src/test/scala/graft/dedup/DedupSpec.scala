@@ -617,6 +617,61 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("wide hamming (256-bit array<long>): property — random sigs, random <=3-bit flips, every pair recovered") {
+    val s = spark
+    import s.implicits._
+    // the bits=256 counterpart of the 64-bit property above: any 4-long
+    // signature, any 0..3 flipped positions across the full 256-bit
+    // range (flips may straddle longs and land in the remainder-widened
+    // last band), driven through the real wide column implementation —
+    // hashed band keys at combine=1 and hashed subset keys at combine=2
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      sig <- Gen.listOfN(4, Gen.long)
+      k <- Gen.choose(0, 3)
+      bits <- Gen.listOfN(k, Gen.choose(0, 255))
+    } yield (sig.toVector, bits.distinct)
+    var seed = Seed(56789L)
+    val cases = Vector.newBuilder[(Vector[Long], List[Int])]
+    var i = 0
+    while (i < 500) {
+      gen.apply(Gen.Parameters.default, seed).foreach { c => cases += c; i += 1 }
+      seed = seed.next
+    }
+    val rows = cases.result().zipWithIndex.flatMap { case ((sig, flips), idx) =>
+      val flipped = flips.foldLeft(sig)((v, b) =>
+        v.updated(b / 64, v(b / 64) ^ (1L << (b % 64))))
+      Seq((idx.toLong * 2, sig.toArray), (idx.toLong * 2 + 1, flipped.toArray))
+    }
+    val df = rows.toDF("id", "sig")
+    for (combine <- Seq(1, 2); collapse <- Seq(false, true)) {
+      val found = Dedup
+        .hammingPairs(df, "id", "sig", 256, 3, 0L,
+          collapseIdentical = collapse, combine = combine)
+        .where(col("db") === col("da") + 1 && pmod(col("da"), lit(2L)) === 0)
+        .count()
+      assert(found == 500L, s"all planted wide pairs at combine=$combine, collapse=$collapse")
+    }
+    // wide distances are exact: a planted 3-flip pair reports dist=3
+    val three = cases.result().zipWithIndex.collect {
+      case ((_, flips), idx) if flips.size == 3 => idx.toLong * 2
+    }.toSet
+    if (three.nonEmpty) {
+      val d3 = Dedup
+        .hammingPairs(df, "id", "sig", 256, 3, 0L)
+        .where(col("db") === col("da") + 1 && col("dist") === 3)
+        .select("da").as[Long].collect().toSet
+      assert(three.subsetOf(d3), "every 3-flip pair verified at exact distance 3")
+    }
+    // the wide sizers: 64-bit bands keep r=1 far beyond the narrow
+    // saturation point, and feasibility no longer hits the 62-bit
+    // packed-key ceiling
+    assert(Dedup.combineForCount(1000000000L, 256, 3, wide = true) == 1)
+    assert(Dedup.combineForCount(Long.MaxValue / 4, 256, 3, wide = true) == 1)
+    assert(Dedup.combineForCount(1000000000L, 64, 3, wide = false) == 2)
+  }
+
   test("hammingPairsAuto: collapse keeps identical-sig recall under the cap, buckets bounded at 10x") {
     // corpus at n and 10n from the SAME deterministic generator:
     // xxhash64 base signatures, planted near-dups at exactly hamming 3
