@@ -1,0 +1,135 @@
+package graft.sources
+
+import java.io.{ByteArrayOutputStream, InputStream}
+import java.net.{HttpURLConnection, URI}
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
+
+/** HTTP tile fetch — the Spark-native URLTileStore / WMTSTileStore
+  * (reference store/url.py:29-70, store/wmts.py:9-26). URL
+  * construction is the column forms in [[graft.sql.TileFunctions]]
+  * (`templateUrl` / `mirrorUrl` / `wmtsUrl` — mirrorUrl IS the
+  * reference's hash(tilecoord)-based layout rotation, url.py:34); this
+  * operator adds the fetch leg as per-partition imperative I/O
+  * (mapPartitions: JDK HttpURLConnection, keep-alive pooled per
+  * executor JVM — network I/O has no declarative Spark form, the one
+  * case the build plan reserves mapPartitions for).
+  *
+  * get_one semantics (url.py:44-66), faithfully:
+  *   - 404 / 204 → the row is DROPPED (the reference returns None)
+  *   - status < 300: content_type / content_encoding copied from the
+  *     response headers; a 2xx-but-not-200 status records an error;
+  *     image-typed bodies land in `data`; non-image bodies become the
+  *     error text; a missing Content-Type is an error unless
+  *     `allowsNoContentType`
+  *   - status >= 300 → error with status, reason and body text
+  *   - connect/read failures → error column, never a task failure (a
+  *     100 TB fetch sweep must not die on one bad endpoint; compose
+  *     with engine/Filters MaximumErrorRate / MaximumConsecutiveErrors
+  *     for circuit breaking, exactly like the reference pipelines)
+  *
+  * Scale: input rows carry only the URL + passthrough columns; tile
+  * payloads are born ON the executors, so the fetch adds no shuffle.
+  * Request concurrency = partition count — repartition upstream to the
+  * politeness level the endpoint allows; RateLimit composes upstream.
+  */
+object UrlStore {
+
+  private val fetchFields = Seq(
+    StructField("data", BinaryType),
+    StructField("content_type", StringType),
+    StructField("content_encoding", StringType),
+    StructField("error", StringType))
+
+  /** Fetch `urlCol` for every row, appending (data, content_type,
+    * content_encoding, error) and dropping 404/204 rows. All input
+    * columns pass through untouched. */
+  def fetch(
+      df: DataFrame,
+      urlCol: String = "url",
+      headers: Map[String, String] = Map.empty,
+      allowsNoContentType: Boolean = false,
+      timeoutMs: Int = 30000): DataFrame = {
+    val urlIdx = df.schema.fieldIndex(urlCol)
+    val outSchema = StructType(df.schema.fields.toSeq ++ fetchFields)
+    val hdrs = headers.toSeq
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val url = r.getString(urlIdx)
+        fetchOne(url, hdrs, allowsNoContentType, timeoutMs).map {
+          case (data, ct, ce, err) => Row.fromSeq(r.toSeq ++ Seq(data, ct, ce, err))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** One GET with the reference's exact error-channel contract.
+    * Returns None for the drop statuses (404/204), else
+    * Some((data, content_type, content_encoding, error)). */
+  private[sources] def fetchOne(
+      url: String,
+      headers: Seq[(String, String)],
+      allowsNoContentType: Boolean,
+      timeoutMs: Int): Option[(Array[Byte], String, String, String)] = {
+    try {
+      val conn = URI.create(url).toURL.openConnection()
+        .asInstanceOf[HttpURLConnection]
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      try {
+        val status = conn.getResponseCode
+        if (status == 404 || status == 204) None
+        else {
+          val ct = conn.getHeaderField("Content-Type")
+          val ce = conn.getHeaderField("Content-Encoding")
+          val reason = Option(conn.getResponseMessage).getOrElse("")
+          if (status < 300) {
+            val body = readAll(conn.getInputStream)
+            val statusErr =
+              if (status != 200)
+                s"URL: $url\nUnsupported status code $status: $reason"
+              else null
+            if (ct != null && ct.nonEmpty) {
+              if (ct.startsWith("image/")) Some((body, ct, ce, statusErr))
+              else Some((null, ct, ce, s"URL: $url\n${new String(body, "UTF-8")}"))
+            } else if (allowsNoContentType) Some((body, ct, ce, statusErr))
+            else Some((null, ct, ce, s"URL: $url\nThe Content-Type header is missing"))
+          } else {
+            val body = Option(conn.getErrorStream).map(readAll).getOrElse(Array[Byte]())
+            Some((null, ct, ce,
+              s"URL: $url\n$status: $reason\n${new String(body, "UTF-8")}"))
+          }
+        }
+      } finally conn.disconnect()
+    } catch {
+      case e: Exception => Some((null, null, null, s"URL: $url\n$e"))
+    }
+  }
+
+  private def readAll(in: InputStream): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    try {
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    out.toByteArray
+  }
+
+  /** The WMTS store composition (store/wmts.py:9-26): the KVP/REST URL
+    * column from the core layout, then the identical fetch path. */
+  def fetchWmts(
+      tiles: DataFrame,
+      layout: graft.core.WMTSTileLayout,
+      headers: Map[String, String] = Map.empty,
+      allowsNoContentType: Boolean = false,
+      timeoutMs: Int = 30000): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val withUrl = tiles.withColumn(
+      "url",
+      graft.sql.TileFunctions.wmtsUrl(layout, col("z"), col("x"), col("y")))
+    fetch(withUrl, "url", headers, allowsNoContentType, timeoutMs)
+  }
+}

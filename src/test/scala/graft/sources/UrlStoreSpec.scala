@@ -1,0 +1,142 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.image.ImageCodec
+
+/** URLTileStore / WMTSTileStore fetch semantics (reference
+  * store/url.py:44-66, store/wmts.py:9-26) against a loopback
+  * com.sun.net.httpserver fixture — the full error-channel contract
+  * without egress: drop statuses, image pass-through, non-image body
+  * -> error, missing Content-Type, header capture, connect failure. */
+class UrlStoreSpec extends SparkTestBase {
+
+  private def withServer(f: (HttpServer, Int) => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(null)
+    server.start()
+    try f(server, server.getAddress.getPort)
+    finally server.stop(0)
+  }
+
+  private def reply(
+      ex: HttpExchange,
+      status: Int,
+      body: Array[Byte],
+      headers: Seq[(String, String)]): Unit = {
+    headers.foreach { case (k, v) => ex.getResponseHeaders.add(k, v) }
+    if (status == 204) ex.sendResponseHeaders(status, -1)
+    else {
+      ex.sendResponseHeaders(status, if (body.isEmpty) -1 else body.length.toLong)
+      if (body.nonEmpty) ex.getResponseBody.write(body)
+    }
+    ex.close()
+  }
+
+  test("url store: round-trip, drop statuses, and every error channel of url.py") {
+    val s = spark
+    import s.implicits._
+    val png = (i: Long) => ImageCodec.encode(ImageCodec.gradientImage(8, i), "png")
+    withServer { (server, port) =>
+      server.createContext("/tiles/", (ex: HttpExchange) => {
+        // /tiles/z/x/y.png from the deterministic dict; x==7 is a hole
+        val Array(z, x, y) =
+          ex.getRequestURI.getPath.stripPrefix("/tiles/").stripSuffix(".png").split("/")
+        if (x.toLong == 7L) reply(ex, 404, Array.empty, Nil)
+        else reply(ex, 200, png(z.toLong * 100 + x.toLong * 10 + y.toLong),
+          Seq("Content-Type" -> "image/png"))
+      })
+      server.createContext("/empty", (ex: HttpExchange) => reply(ex, 204, Array.empty, Nil))
+      server.createContext("/text", (ex: HttpExchange) =>
+        reply(ex, 200, "not a tile".getBytes("UTF-8"),
+          Seq("Content-Type" -> "text/plain")))
+      server.createContext("/noct", (ex: HttpExchange) =>
+        reply(ex, 200, Array[Byte](1, 2, 3), Nil))
+      server.createContext("/gzipped", (ex: HttpExchange) =>
+        reply(ex, 200, Array[Byte](9, 9),
+          Seq("Content-Type" -> "image/png", "Content-Encoding" -> "gzip")))
+      server.createContext("/boom", (ex: HttpExchange) =>
+        reply(ex, 500, "kaboom".getBytes("UTF-8"),
+          Seq("Content-Type" -> "text/plain")))
+
+      // round-trip through the real template layout column + fetch;
+      // x==7 rows are 404 -> dropped, like the reference's None
+      val layout = graft.core.TemplateTileLayout(
+        s"http://127.0.0.1:$port/tiles/%(z)d/%(x)d/%(y)d.png")
+      val tiles = (0 until 16).map(i => (3, i % 8, i / 8)).toDF("z", "x", "y")
+        .withColumn("url",
+          graft.sql.TileFunctions.templateUrl(layout, col("z"), col("x"), col("y")))
+      val got = UrlStore.fetch(tiles).cache()
+      assert(got.count() == 14, "two x==7 tiles dropped on 404")
+      assert(got.where(col("error").isNotNull).count() == 0)
+      val one = got.where(col("x") === 2 && col("y") === 1).head()
+      assert(one.getAs[Array[Byte]]("data").sameElements(png(321)))
+      assert(one.getAs[String]("content_type") == "image/png")
+      got.unpersist()
+
+      def single(path: String, allow: Boolean = false) =
+        UrlStore.fetch(
+          Seq(s"http://127.0.0.1:$port$path").toDF("url"),
+          allowsNoContentType = allow)
+
+      // 204 -> dropped
+      assert(single("/empty").count() == 0)
+      // 200 non-image -> error carries the body, no data
+      val txt = single("/text").head()
+      assert(txt.getAs[Array[Byte]]("data") == null)
+      assert(txt.getAs[String]("error").endsWith("not a tile"))
+      assert(txt.getAs[String]("content_type") == "text/plain")
+      // missing Content-Type: error by default, data when allowed
+      val noct = single("/noct").head()
+      assert(noct.getAs[Array[Byte]]("data") == null)
+      assert(noct.getAs[String]("error").contains("Content-Type header is missing"))
+      val allowed = single("/noct", allow = true).head()
+      assert(allowed.getAs[Array[Byte]]("data").sameElements(Array[Byte](1, 2, 3)))
+      assert(allowed.getAs[String]("error") == null)
+      // content-encoding header captured
+      val gz = single("/gzipped").head()
+      assert(gz.getAs[String]("content_encoding") == "gzip")
+      assert(gz.getAs[Array[Byte]]("data").sameElements(Array[Byte](9, 9)))
+      // >= 300 -> error with status + body
+      val boom = single("/boom").head()
+      assert(boom.getAs[String]("error").contains("500"))
+      assert(boom.getAs[String]("error").contains("kaboom"))
+      // connect failure -> error column, not a task failure
+      val dead = UrlStore.fetch(
+        Seq("http://127.0.0.1:1/never").toDF("url")).head()
+      assert(dead.getAs[String]("error") != null)
+    }
+  }
+
+  test("wmts store: layout composition fetches through the same path") {
+    val s = spark
+    import s.implicits._
+    val png = ImageCodec.encode(ImageCodec.gradientImage(8, 5L), "png")
+    withServer { (server, port) =>
+      server.createContext("/wmts", (ex: HttpExchange) => {
+        val q = ex.getRequestURI.getQuery
+        // the KVP query the core layout builds, verified server-side
+        if (q.contains("Service=WMTS") && q.contains("Request=GetTile") &&
+          q.contains("Layer=osm") && q.contains("TileMatrix=3") &&
+          q.contains("TileRow=1") && q.contains("TileCol=2"))
+          reply(ex, 200, png, Seq("Content-Type" -> "image/png"))
+        else reply(ex, 404, Array.empty, Nil)
+      })
+      val layout = graft.core.WMTSTileLayout(
+        url = s"http://127.0.0.1:$port/wmts",
+        layer = "osm", style = "default", format = ".png",
+        tileMatrixSet = "g")
+      val got = UrlStore.fetchWmts(
+        Seq((3, 2L, 1L), (3, 5L, 5L)).toDF("z", "x", "y"), layout)
+      val rows = got.collect()
+      // the mismatched coord 404s away; the matching one round-trips
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("x") == 2L)
+      assert(rows.head.getAs[Array[Byte]]("data").sameElements(png))
+    }
+  }
+}
