@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Compare two WMTS GetCapabilities documents as element trees.
+
+Usage: wmts_caps_check.py REF.xml OURS.xml
+
+Structural equality: same tag sequence, same attributes, same text —
+with numeric text nodes (ScaleDenominator) compared as parsed floats so
+Python str(float) vs Java Double.toString rendering differences (both
+shortest-repr of the SAME double) don't produce false diffs. Attribute
+values and everything else compare as exact strings.
+"""
+
+import sys
+import xml.etree.ElementTree as ET
+
+NUMERIC_TAGS = {"ScaleDenominator"}
+
+
+def local(tag):
+    return tag.split("}")[-1]
+
+
+def norm_text(t):
+    return (t or "").strip()
+
+
+def cmp_node(a, b, path, errs):
+    if local(a.tag) != local(b.tag):
+        errs.append(f"{path}: tag {local(a.tag)} != {local(b.tag)}")
+        return
+    p = f"{path}/{local(a.tag)}"
+    aa = {local(k): v for k, v in a.attrib.items()}
+    bb = {local(k): v for k, v in b.attrib.items()}
+    if aa != bb:
+        errs.append(f"{p}: attrs {aa} != {bb}")
+    ta, tb = norm_text(a.text), norm_text(b.text)
+    if local(a.tag) in NUMERIC_TAGS:
+        try:
+            if float(ta) != float(tb):
+                errs.append(f"{p}: numeric text {ta} != {tb}")
+        except ValueError:
+            errs.append(f"{p}: non-numeric text {ta!r} vs {tb!r}")
+    elif ta != tb:
+        errs.append(f"{p}: text {ta!r} != {tb!r}")
+    ca, cb = list(a), list(b)
+    if len(ca) != len(cb):
+        errs.append(
+            f"{p}: child count {len(ca)} != {len(cb)} "
+            f"({[local(c.tag) for c in ca]} vs {[local(c.tag) for c in cb]})"
+        )
+        return
+    for i, (x, y) in enumerate(zip(ca, cb)):
+        cmp_node(x, y, f"{p}[{i}]", errs)
+
+
+def main():
+    ref, ours = sys.argv[1], sys.argv[2]
+    ra = ET.parse(ref).getroot()
+    rb = ET.parse(ours).getroot()
+    errs = []
+    cmp_node(ra, rb, "", errs)
+    if errs:
+        print(f"[wmts_caps_check] {len(errs)} differences:")
+        for e in errs[:20]:
+            print("  " + e)
+        sys.exit(1)
+    print("[wmts_caps_check] element trees identical")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Render the REFERENCE WMTS GetCapabilities (tilecloud/lib/wmts.py) for
+a fixed config, for golden comparison against graft.core.WmtsCapabilities.
+
+The reference module imports bottle (for jinja2_template) and pyproj
+(unused by _get_capabilities); both are stubbed so the reference's own
+code and template run verbatim. One patch, applied transparently: the
+template's `layers["dimension_values"]` is a latent bug (string index
+into a list -> renders zero <Value> elements); the golden patches it to
+the clearly intended `layer["dimension_values"]`, matching the Scala
+port's documented divergence.
+
+Usage: wmts_caps_golden.py OUT.xml
+"""
+
+import sys
+import types
+
+import jinja2
+
+# --- stub bottle.jinja2_template + pyproj before importing the reference
+bottle = types.ModuleType("bottle")
+
+
+def jinja2_template(tpl, **kwargs):
+    return jinja2.Template(tpl).render(**kwargs)
+
+
+bottle.jinja2_template = jinja2_template
+sys.modules["bottle"] = bottle
+
+pyproj = types.ModuleType("pyproj")
+pyproj.Proj = lambda *a, **k: None
+pyproj.transform = lambda *a, **k: (0.0, 0.0)
+sys.modules["pyproj"] = pyproj
+
+sys.path.insert(0, "/root/reference")
+
+import tilecloud.lib.wmts as ref_wmts  # noqa: E402
+import tilecloud.lib.wmts_get_capabilities_template as ref_tpl  # noqa: E402
+
+# patch the template's layers/layer dimension_values bug (see docstring)
+ref_tpl.WMTS_GET_CAPABILITIES_TEMPLATE = ref_tpl.WMTS_GET_CAPABILITIES_TEMPLATE.replace(
+    'layers["dimension_values"]', 'layer["dimension_values"]'
+)
+ref_wmts.WMTS_GET_CAPABILITIES_TEMPLATE = ref_tpl.WMTS_GET_CAPABILITIES_TEMPLATE
+
+LAYERS = [
+    {
+        "name": "roads",
+        "format": "image/png",
+        "mime_type": "image/png",
+        "extension": "png",
+        "dimension_key": "DATE",
+        "dimension_default": "2012",
+        "dimension_values": ["2011", "2012"],
+        "metadata_matrix_set": "swissgrid",
+    },
+    {
+        "name": "water",
+        "format": "image/jpeg",
+        "mime_type": "image/jpeg",
+        "extension": "jpeg",
+        "dimension_key": "ELEV",
+        "dimension_default": "0",
+        "dimension_values": ["0"],
+        "metadata_matrix_set": "swissgrid",
+    },
+]
+
+TMS = {
+    "name": "swissgrid",
+    "srs": "EPSG:21781",
+    "units": "meters",
+    "resolutions": [4000.0, 2000.0, 1000.0, 500.0],
+    "bbox": (420000.0, 30000.0, 900000.0, 350000.0),
+    "tile_size": 256,
+    "yorigin": "bottom",
+}
+
+
+def main():
+    out = sys.argv[1]
+    xml = ref_wmts._get_capabilities(LAYERS, TMS, "http://wmts.example.org/wmts")
+    with open(out, "w") as f:
+        f.write(xml)
+    print(f"[wmts_caps_golden] wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
