@@ -378,12 +378,14 @@ object Ann {
     * `rerank > 0` adds the production finish ([[pqAdcRerank]]'s
     * structure composed with the probe): ADC nominates `rerank`
     * candidates from the probed lists' CODES, then exact elementwise
-    * L2 re-scores just those rows against the raw vectors via a
-    * broadcast semi-join — raw-vector I/O stays `rerank` rows per
-    * query regardless of corpus size, and recall recovers the ADC
-    * quantization loss (measured in BENCH/ANN_RECALL.md). Output is
-    * `(id, list_id, adc)` without rerank, `(id, list_id, dist2)`
-    * with. */
+    * L2 re-scores just those rows via a broadcast join with the
+    * distance computed ABOVE the join — exact-distance arithmetic is
+    * `rerank` rows per query regardless of corpus size (an id-keyed
+    * vector table additionally bounds the raw-vector READS to the
+    * nominees; a flat scan still reads the column), and recall
+    * recovers the ADC quantization loss (measured in
+    * BENCH/ANN_RECALL.md). Output is `(id, list_id, adc)` without
+    * rerank, `(id, dist2, list_id)` with. */
   def ivfPqSearch(
       df: DataFrame,
       idCol: String,
@@ -413,11 +415,17 @@ object Ann {
       codebooks, query, if (rerank > 0) math.max(rerank, k) else k)
     if (rerank <= 0) adc
     else {
+      // the exact L2 sits ABOVE the broadcast join so the executed
+      // plan computes it only for the nominated ids — the stream side
+      // still scans the vector column (storage I/O; a production
+      // layout points nominees at an id-keyed table), but the
+      // per-row distance arithmetic is nominees-only
       val exact = aggregate(
-        zip_with(asDouble(col(vecCol)), lit(query), (a, b) => (a - b) * (a - b)),
+        zip_with(col("__v"), lit(query), (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, d) => acc + d)
-      df.select(col(idCol).as("id"), exact.as("dist2"))
+      df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
         .join(broadcast(adc.select("id", "list_id")), "id")
+        .select(col("id"), exact.as("dist2"), col("list_id"))
         .orderBy(col("dist2"), col("id"))
         .limit(k)
     }
@@ -455,9 +463,11 @@ object Ann {
   /** ADC + exact rerank — the standard production finish for PQ
     * search: the lookup-table scan nominates `candidates` ids (codes
     * only, no raw vectors), then exact elementwise L2 re-scores JUST
-    * those rows via a broadcast semi-join against the vector table.
-    * Raw-vector I/O is `candidates` rows per query regardless of
-    * corpus size, and recall approaches exact as `candidates` grows —
+    * those rows via a broadcast join against the vector table, the
+    * distance computed above the join. Exact-distance arithmetic is
+    * `candidates` rows per query regardless of corpus size (reads too,
+    * given an id-keyed vector table; a flat scan still reads the
+    * column), and recall approaches exact as `candidates` grows —
     * the knob that buys back the quantization error (measured in
     * BENCH/ANN_RECALL.md). */
   def pqAdcRerank(
@@ -470,11 +480,14 @@ object Ann {
       k: Int = 10,
       candidates: Int = 100): DataFrame = {
     val cand = pqAdcSearch(codes, codebooks, query, candidates).select("id")
+    // exact L2 above the broadcast join: distance arithmetic runs for
+    // nominated ids only (see ivfPqSearch rerank note)
     val exact = aggregate(
-      zip_with(asDouble(col(vecCol)), lit(query), (a, b) => (a - b) * (a - b)),
+      zip_with(col("__v"), lit(query), (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, d) => acc + d)
-    df.select(col(idCol).as("id"), exact.as("dist2"))
+    df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
       .join(broadcast(cand), "id")
+      .select(col("id"), exact.as("dist2"))
       .orderBy(col("dist2"), col("id"))
       .limit(k)
   }

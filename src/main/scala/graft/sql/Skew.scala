@@ -33,23 +33,36 @@ object Skew {
 
   /** Skew-aware inner equi-join of a large fact side with a dimension
     * side on `keys`. Rows of hot keys are salted over `saltFactor`
-    * reducers; the dimension side replicates only for hot keys. */
+    * reducers; the dimension side replicates only for hot keys.
+    *
+    * The salt must VARY within a hot key to spread it, so it hashes
+    * the key columns plus a disambiguator: pass `saltCols` (one cheap
+    * high-cardinality column — a row id — is ideal) to avoid hashing
+    * every payload byte of a wide fact row just to pick a reducer;
+    * with `saltCols` empty it falls back to hashing all columns.
+    * Fully identical rows co-locate under any deterministic salt —
+    * that's inherent, not a flaw (a deterministic function of the row
+    * cannot split indistinguishable rows). */
   def saltedJoin(
       big: DataFrame,
       dim: DataFrame,
       keys: Seq[String],
       hotThreshold: Long,
-      saltFactor: Int = 16): DataFrame = {
+      saltFactor: Int = 16,
+      saltCols: Seq[String] = Nil): DataFrame = {
     val hot = broadcast(
       hotKeys(big, keys, hotThreshold).withColumn("__hot", lit(true)))
     val keyCols = keys.map(col)
 
     val bigTagged = big.join(hot, keys, "left")
     val bigCold = bigTagged.where(col("__hot").isNull).drop("__hot")
+    val saltSrc =
+      if (saltCols.nonEmpty) (keys ++ saltCols).map(col)
+      else bigTagged.columns.filterNot(_ == "__hot").map(col).toSeq
     val bigHot = bigTagged
       .where(col("__hot") === true)
       .drop("__hot")
-      .withColumn("__salt", salt(saltFactor, bigTagged.columns.filterNot(_ == "__hot").map(col).toSeq: _*))
+      .withColumn("__salt", salt(saltFactor, saltSrc: _*))
 
     val dimTagged = dim.join(hot, keys, "left")
     val dimCold = dimTagged.where(col("__hot").isNull).drop("__hot")

@@ -185,7 +185,16 @@ object Bpe {
         .as("n_bpe_tokens"))
   }
 
-  /** Full token array per document (flattened across words). */
+  /** Full token array per document (flattened across words).
+    *
+    * Vocabulary boundedness (why a global sort over DISTINCT tokens of
+    * this output — e.g. a dense-id window, q66 — is safe at corpus
+    * scale): every emitted token is either a single character or the
+    * concatenation of one of the `merges` pairs, so distinct tokens
+    * number at most |alphabet| + |merges| — vocabulary-sized,
+    * independent of corpus rows. A `row_number` window over them is a
+    * deliberate small-relation single-task sort, not a corpus-scale
+    * one. */
   def encode(
       df: DataFrame,
       idCol: String,
