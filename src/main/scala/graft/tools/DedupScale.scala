@@ -12,8 +12,9 @@ import graft.dedup.Dedup
   * measured form of the operators' linearity claims (banding shuffles
   * keys not payloads; caps keep candidate volume bounded).
   *
-  * Writes BENCH/DEDUP_SCALE.md. Args: [baseDocs] [baseSigs]
-  * (defaults 5000 docs, 1000000 signatures).
+  * Writes BENCH/DEDUP_SCALE.md. Args: [baseDocs] [baseSigs] [families]
+  * (defaults 5000 docs, 1000000 signatures, all of
+  * docs,sigs,wide,keep).
   */
 object DedupScale {
 
@@ -53,6 +54,31 @@ object DedupScale {
     base.unionByName(planted).unionByName(hot)
   }
 
+  /** Deterministic 256-bit (array<long>) signature corpus — the wide
+    * production layout (PDQ-style perceptual hashes): 4 independent
+    * xxhash lanes per id; every 1000th id gets a planted near-dup at
+    * exactly hamming 3 (one flipped bit in each of lanes 0..2, id+n);
+    * plus the same 500-member identical-signature hot group. */
+  def wideSigs(spark: SparkSession, n: Long): DataFrame = {
+    def lane(k: Int) = xxhash64(col("id"), lit(k))
+    def flip(k: Int, mul: Int) =
+      lane(k).bitwiseXOR(
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST((id * $mul) % 64 AS INT))"))
+    val base = spark.range(n)
+      .select(col("id"), array((0 until 4).map(lane): _*).as("sig"))
+    val planted = spark.range(n)
+      .where(pmod(col("id"), lit(1000L)) === 7L)
+      .select(
+        (col("id") + n).as("id"),
+        array(flip(0, 1), flip(1, 7), flip(2, 13), lane(3)).as("sig"))
+    val hot = spark.range(500)
+      .select(
+        (col("id") + 10L * n).as("id"),
+        array((0 until 4).map(k =>
+          lit(0x5a5a1234abcd9876L ^ (k.toLong * 0x9e3779b97f4a7c15L))): _*).as("sig"))
+    base.unionByName(planted).unionByName(hot)
+  }
+
   private def loadavg(): String =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").head
     catch { case _: Exception => "?" }
@@ -66,7 +92,7 @@ object DedupScale {
     val baseSigs = if (args.length > 1) args(1).toLong else 1000000L
     // optional family filter ("docs", "sigs", or "docs,sigs") — partial
     // reruns print their rows for hand-merging into the md table
-    val families = (if (args.length > 2) args(2) else "docs,sigs")
+    val families = (if (args.length > 2) args(2) else "docs,sigs,wide,keep")
       .split(",").map(_.trim).toSet
     val spark = graft.Bench.mkSession(32)
     spark.sparkContext.setLogLevel("WARN")
@@ -158,6 +184,71 @@ object DedupScale {
       }
     }
 
+    for (mult <- Seq(1L, 10L, 100L) if families("wide")) {
+      val n = baseSigs * mult
+      val sg = wideSigs(spark, n)
+      val r = Dedup.combineForCount(n, 256, 3, wide = true)
+      val cap = Dedup.autoBucketCap(n, 256, 3, combine = r, wide = true)
+      // exploded wide rows carry the 4-long signature (~2x a narrow
+      // row), so halve the per-partition row target
+      val parts = math.min(512L, math.max(32L, n * 4L / 4000000L)).toInt
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      println(s"[dedupscale] hamming_wide256 n=$n r=$r cap=$cap shufflePartitions=$parts")
+      run("hamming_wide256", n, n / 1000L) {
+        Dedup.hammingPairsAuto(sg, "id", "sig", 256, 3)
+      }(_.where(col("db") === col("da") + n).count()) {
+        Dedup.bandBucketSizes(
+          Dedup.hammingBandExplode(
+            sg.select(col("sig").as("id"), col("sig")).distinct(),
+            256, 3, "id", "sig", combine = r))
+          .where(col("bucket_size") > cap).count()
+      }
+    }
+
+    if (families("keep")) {
+      // keep policy at ladder scale: near-dup pairs (the 10x hamming
+      // rung's corpus, 500-member hot group included) -> CC clusters ->
+      // one keeper per cluster. The timed window covers the FULL policy
+      // (pair generation + clustering + keeper window), the end-to-end
+      // shape of a production "keep" sweep.
+      val n = baseSigs * 10L
+      val sg = sigs(spark, n)
+      val parts = math.min(512L, math.max(32L, n / 8000000L)).toInt
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      val docsDf = sg.select(
+        col("id"), pmod(xxhash64(col("id"), lit(99L)), lit(1000000L)).as("score"))
+      run("keep_policy", n, 1L) {
+        Dedup.keepRepresentatives(
+          docsDf, Dedup.hammingPairsAuto(sg, "id", "sig", 64, 3), "id", "score")
+      } { keep =>
+        // planted check: the 500-member hot group forms ONE cluster
+        // with EXACTLY one keeper, and it is the max-score member
+        // (ties min id) — computed independently of the operator's
+        // window
+        val hot = keep.where(col("id") >= 10L * n)
+        val keepers = hot.where(col("keep")).select("id")
+          .collect().map(_.getLong(0))
+        val expected = docsDf.where(col("id") >= 10L * n)
+          .orderBy(col("score").desc, col("id"))
+          .select("id").head().getLong(0)
+        val clusters = hot.select("cluster_id").distinct().count()
+        if (keepers.toSeq == Seq(expected) && clusters == 1L) 1L else 0L
+      } {
+        0L
+      }
+      // group-boundedness of the keeper window: the largest cluster is
+      // the planted hot group, never the corpus
+      val keep = Dedup.keepRepresentatives(
+        docsDf, Dedup.hammingPairsAuto(sg, "id", "sig", 64, 3), "id", "score")
+      val sizes = keep.groupBy("cluster_id")
+        .agg(count(lit(1)).as("sz"), sum(when(col("keep"), 1L).otherwise(0L)).as("k"))
+      val maxSz = sizes.agg(max("sz")).head().getLong(0)
+      val badKeep = sizes.where(col("k") =!= 1L).count()
+      println(s"[dedupscale] keep_policy max cluster=$maxSz (hot group 500), clusters with !=1 keeper: $badKeep")
+      require(maxSz == 500L && badKeep == 0L,
+        s"keep policy invariant violated: maxCluster=$maxSz badKeep=$badKeep")
+    }
+
     val sb = new StringBuilder
     sb.append("# Dedup / near-dup scale ladder\n\n")
     sb.append(s"Generated by `sbt \"runMain graft.tools.DedupScale\"` on local[32]\n")
@@ -187,11 +278,33 @@ Reading the ladder:
 - hamming_auto's 100M rung is the deliberate exception to the linear
   read: at that size the 16-bit buckets average lambda=1526, so the
   in-join candidate filter evaluates ~3x10^11 pairs (the lambda^2
-  term dominates the 576 s) — still the fastest measured layout for
-  this size (the r=2 alternative measured 687 s, crossover note
-  below), and exactly the regime where a 10^9-row corpus would
-  auto-switch to r=2's wide keys. The 1M -> 10M decade (2.6x) is the
-  linear regime the claim covers.
+  term dominates the ~500 s wall; 392-580 s across ambient windows) —
+  still the fastest measured NARROW layout for this size (the r=2
+  alternative measured 687 s, crossover note below). The 1M -> 10M
+  decade is the linear regime the narrow claim covers; past it, the
+  production move is hamming_wide256 below, not more multi-index.
+- **hamming_wide256 is the production answer to that cliff**: the same
+  corpus shape at 256-bit `array<long>` signatures (PDQ-width) bands
+  into 64-bit keys (xxhash64 over each band's bit slices), so the
+  expected random-collision bucket is n/2^64 ~ 0 out to 10^12 rows —
+  the 100M rung stays linear instead of going candidate-quadratic.
+  Recall is still pigeonhole-exact: equal bands hash equal, and a hash
+  collision only ADDS a candidate the exact wide-hamming verify
+  removes. Measured in this session's shared window: 280 s at 100M
+  wide vs 505 s for the 64-bit layout on the same corpus shape —
+  despite carrying 4x the signature bytes and the same 4 band keys,
+  because buckets stay O(1) instead of lambda=1526 (and the wide
+  output has ZERO random birthday pairs where 64-bit shows its
+  expected ~13). Escaping the 64-bit saturation is a signature-width
+  decision, not a banding trick.
+- **keep_policy** is the end-to-end production sweep at the 10M rung:
+  pair generation -> connected-component clusters -> one keeper per
+  cluster (best score, ties min id) in ONE timed window. The untimed
+  checks verify the 500-member hot group forms exactly one cluster
+  whose single keeper equals the independently computed max-score
+  member, every cluster has exactly one keeper, and the largest keeper
+  window partition is the hot group (500) — group-bounded, never
+  corpus-bounded.
 - **planted found**: ground-truth near-dup pairs recovered at every
   rung — the caps bound cost without losing the planted recall.
   minhash/jaccard/hamming recover (nearly) all planted pairs; simhash
@@ -228,7 +341,7 @@ Reading the ladder:
   pipeline (scan-speed column math, identical per-row cost at every
   rung), matching how a real scan would feed the operators.
 """)
-    if (families("docs") && families("sigs")) {
+    if (families("docs") && families("sigs") && families("wide") && families("keep")) {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH/DEDUP_SCALE.md"),
         sb.toString.getBytes("UTF-8"))
