@@ -1,0 +1,237 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
+
+/** Memcached tile cache — the Spark-native MemcachedTileStore
+  * (reference store/memcached.py:7-44 over the from-scratch text
+  * protocol client lib/memcached.py:9-71).
+  *
+  * The wire protocol is the public memcached ASCII protocol
+  * (`get` / `set` / `delete`, VALUE/END/STORED/DELETED/NOT_FOUND
+  * replies, optional cas id on VALUE). The client below is written
+  * from the protocol, not from a driver library: one pooled socket per
+  * executor-partition, length-delimited value reads, CRLF framing.
+  *
+  * Semantics, faithfully to the reference:
+  *   - get_one (memcached.py:28-33) NEVER drops a row: a missing key
+  *     yields data=null, flags=null, cas=null (the reference sets
+  *     tile.data=None and returns the tile — unlike url.py's 404 drop)
+  *   - put_one (memcached.py:35-40) sets (flags, exptime, data) under
+  *     the layout filename; a non-STORED reply is an error
+  *   - delete_one (memcached.py:42-44) issues `delete`; DELETED vs
+  *     NOT_FOUND is surfaced as a boolean column
+  *   - `__contains__` == `flags IS NOT NULL` after a fetch
+  *   - any socket/protocol failure lands in the `error` column, never
+  *     a task failure (same error-channel posture as [[UrlStore]]:
+  *     a 100 TB cache sweep must not die on one bad shard; compose
+  *     with engine/Filters circuit breakers)
+  *
+  * Scale: input rows carry only the cache key (a layout filename
+  * column from [[graft.sql.TileFunctions]]); payloads are born on the
+  * executors, so fetch adds no shuffle. Connection count = partition
+  * count — repartition upstream to the connection budget the cache
+  * tier allows. A real deployment shards by key hash across hosts;
+  * `hostFor` below picks the shard with the same consistent
+  * xxhash-mod-N rule the engine uses for mirrorUrl rotation, so a
+  * multi-host cache tier needs no code change, only a longer host
+  * list.
+  */
+object MemcachedStore {
+
+  /** Minimal ASCII-protocol client (protocol-faithful port surface of
+    * lib/memcached.py:9-71, re-implemented from the public protocol).
+    * Not thread-safe; one per partition. */
+  final class Client(host: String, port: Int, timeoutMs: Int = 30000) extends AutoCloseable {
+    private val socket = new Socket()
+    socket.connect(new InetSocketAddress(host, port), timeoutMs)
+    socket.setSoTimeout(timeoutMs)
+    private val in = new BufferedInputStream(socket.getInputStream)
+    private val out = new BufferedOutputStream(socket.getOutputStream)
+
+    private val ValueRe =
+      """VALUE\s+(\S+)\s+(\d+)\s+(\d+)(?:\s+(\d+))?""".r
+
+    /** (flags, value, cas) — all None when the key is absent. */
+    def get(key: String): (Option[Int], Option[Array[Byte]], Option[Long]) = {
+      writeLine(s"get $key")
+      val line = readLine()
+      if (line == "END") (None, None, None)
+      else line match {
+        case ValueRe(k, flags, nBytes, cas) =>
+          require(k == key, s"memcached VALUE for wrong key: $k")
+          val value = readValue(nBytes.toInt)
+          val end = readLine()
+          if (end != "END") throw new RuntimeException(s"memcached: $end")
+          (Some(flags.toInt), Some(value), Option(cas).map(_.toLong))
+        case other => throw new RuntimeException(s"memcached: $other")
+      }
+    }
+
+    def set(key: String, flags: Int, exptime: Int, value: Array[Byte]): Unit = {
+      writeLine(s"set $key $flags $exptime ${value.length}")
+      out.write(value); out.write('\r'); out.write('\n'); out.flush()
+      val line = readLine()
+      if (line != "STORED") throw new RuntimeException(s"memcached: $line")
+    }
+
+    /** true = DELETED, false = NOT_FOUND. */
+    def delete(key: String): Boolean = {
+      writeLine(s"delete $key")
+      readLine() match {
+        case "DELETED"   => true
+        case "NOT_FOUND" => false
+        case other       => throw new RuntimeException(s"memcached: $other")
+      }
+    }
+
+    private def writeLine(s: String): Unit = {
+      out.write(s.getBytes(UTF_8)); out.write('\r'); out.write('\n'); out.flush()
+    }
+
+    private def readValue(n: Int): Array[Byte] = {
+      val buf = new Array[Byte](n)
+      var off = 0
+      while (off < n) {
+        val r = in.read(buf, off, n - off)
+        if (r < 0) throw new RuntimeException("memcached: EOF in value")
+        off += r
+      }
+      if (in.read() != '\r' || in.read() != '\n')
+        throw new RuntimeException("memcached: bad value framing")
+      buf
+    }
+
+    private def readLine(): String = {
+      val sb = new java.lang.StringBuilder()
+      var c = in.read()
+      while (c != '\r') {
+        if (c < 0) throw new RuntimeException("memcached: EOF in line")
+        sb.append(c.toChar)
+        c = in.read()
+      }
+      if (in.read() != '\n') throw new RuntimeException("memcached: bad line framing")
+      sb.toString
+    }
+
+    override def close(): Unit = socket.close()
+  }
+
+  /** Consistent shard pick over a host list — same spread rule as the
+    * engine's mirrorUrl layout rotation (deterministic per key). */
+  def hostFor(key: String, hosts: Seq[(String, Int)]): (String, Int) =
+    hosts(math.floorMod(scala.util.hashing.MurmurHash3.stringHash(key), hosts.size))
+
+  private val getFields = Seq(
+    StructField("data", BinaryType),
+    StructField("mc_flags", IntegerType),
+    StructField("mc_cas", LongType),
+    StructField("error", StringType))
+
+  /** get_one for every row: appends (data, mc_flags, mc_cas, error).
+    * Missing keys keep the row with nulls (memcached.py:28-33). */
+  def fetch(
+      df: DataFrame,
+      hosts: Seq[(String, Int)],
+      keyCol: String = "key",
+      timeoutMs: Int = 30000): DataFrame =
+    perPartition(df, hosts, keyCol, timeoutMs, getFields) { (client, key) =>
+      val (flags, value, cas) = client.get(key)
+      Seq(value.orNull, flags.map(Int.box).orNull, cas.map(Long.box).orNull, null)
+    } { (e, _) => Seq(null, null, null, e) }
+
+  private val putFields = Seq(StructField("error", StringType))
+
+  /** put_one for every row (memcached.py:35-40): sets dataCol bytes
+    * under keyCol; appends an `error` column (null on STORED). */
+  def put(
+      df: DataFrame,
+      hosts: Seq[(String, Int)],
+      keyCol: String = "key",
+      dataCol: String = "data",
+      flags: Int = 0,
+      exptime: Int = 0,
+      timeoutMs: Int = 30000): DataFrame = {
+    require(hosts.nonEmpty, "memcached: at least one host")
+    val dataIdx = df.schema.fieldIndex(dataCol)
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val outSchema = StructType(df.schema.fields.toSeq ++ putFields)
+    df.mapPartitions { it =>
+      withClients(hosts, timeoutMs) { clientFor =>
+        it.map { r =>
+          val key = r.getString(keyIdx)
+          val res =
+            try { clientFor(key).set(key, flags, exptime, r.getAs[Array[Byte]](dataIdx)); null }
+            catch { case e: Exception => s"memcached: $key\n$e" }
+          Row.fromSeq(r.toSeq :+ res)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  private val delFields = Seq(
+    StructField("deleted", BooleanType),
+    StructField("error", StringType))
+
+  /** delete_one for every row: appends (deleted, error). */
+  def delete(
+      df: DataFrame,
+      hosts: Seq[(String, Int)],
+      keyCol: String = "key",
+      timeoutMs: Int = 30000): DataFrame =
+    perPartition(df, hosts, keyCol, timeoutMs, delFields) { (client, key) =>
+      Seq(Boolean.box(client.delete(key)), null)
+    } { (e, _) => Seq(null, e) }
+
+  /** Shared per-partition client pool + error-channel wrapper. One
+    * lazily-opened connection per distinct shard host per partition;
+    * closed when the partition iterator drains. */
+  private def perPartition(
+      df: DataFrame,
+      hosts: Seq[(String, Int)],
+      keyCol: String,
+      timeoutMs: Int,
+      extraFields: Seq[StructField])(
+      body: (Client, String) => Seq[Any])(
+      onError: (String, String) => Seq[Any]): DataFrame = {
+    require(hosts.nonEmpty, "memcached: at least one host")
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val outSchema = StructType(df.schema.fields.toSeq ++ extraFields)
+    df.mapPartitions { it =>
+      withClients(hosts, timeoutMs) { clientFor =>
+        it.map { r =>
+          val key = r.getString(keyIdx)
+          val extra =
+            try body(clientFor(key), key)
+            catch { case e: Exception => onError(s"memcached: $key\n$e", key) }
+          Row.fromSeq(r.toSeq ++ extra)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Lazy per-shard connections for one partition; the iterator is
+    * wrapped so the sockets close exactly when the partition drains
+    * (Spark fully consumes mapPartitions iterators). */
+  private def withClients[T](hosts: Seq[(String, Int)], timeoutMs: Int)(
+      f: (String => Client) => Iterator[T]): Iterator[T] = {
+    val open = scala.collection.mutable.Map.empty[(String, Int), Client]
+    def clientFor(key: String): Client = {
+      val hp = hostFor(key, hosts)
+      open.getOrElseUpdate(hp, new Client(hp._1, hp._2, timeoutMs))
+    }
+    val inner = f(clientFor)
+    new Iterator[T] {
+      def hasNext: Boolean = {
+        val h = inner.hasNext
+        if (!h) { open.values.foreach(c => try c.close() catch { case _: Exception => () }); open.clear() }
+        h
+      }
+      def next(): T = inner.next()
+    }
+  }
+}

@@ -1,0 +1,160 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, BufferedOutputStream}
+import java.net.ServerSocket
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** MemcachedTileStore semantics (reference store/memcached.py:7-44,
+  * lib/memcached.py:9-71) against a loopback ASCII-protocol fixture
+  * server — round-trip, missing-key nulls (no drop), delete replies,
+  * cas capture, shard spread, and the connect-failure error channel,
+  * all without an external memcached service. */
+class MemcachedSpec extends SparkTestBase {
+
+  /** Just enough of the memcached text protocol for the spec: get /
+    * set / delete over a shared map, cas ids incremented per set,
+    * one thread per connection. */
+  private final class FixtureServer {
+    val store = new ConcurrentHashMap[String, (Int, Long, Array[Byte])]()
+    private val cas = new AtomicLong(0)
+    private val server = new ServerSocket(0, 16, java.net.InetAddress.getByName("127.0.0.1"))
+    val port: Int = server.getLocalPort
+    @volatile private var running = true
+
+    private val acceptor = new Thread(() => {
+      while (running) {
+        try {
+          val sock = server.accept()
+          new Thread(() => handle(sock)).start()
+        } catch { case _: Exception => () }
+      }
+    })
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    private def handle(sock: java.net.Socket): Unit = {
+      val in = new BufferedInputStream(sock.getInputStream)
+      val out = new BufferedOutputStream(sock.getOutputStream)
+      def line(): String = {
+        val sb = new java.lang.StringBuilder()
+        var c = in.read()
+        if (c < 0) return null
+        while (c != '\r') { sb.append(c.toChar); c = in.read() }
+        in.read() // \n
+        sb.toString
+      }
+      def reply(s: String): Unit = { out.write((s + "\r\n").getBytes(UTF_8)); out.flush() }
+      try {
+        var cmd = line()
+        while (cmd != null) {
+          val parts = cmd.split("\\s+")
+          parts(0) match {
+            case "get" =>
+              val v = store.get(parts(1))
+              if (v == null) reply("END")
+              else {
+                reply(s"VALUE ${parts(1)} ${v._1} ${v._3.length} ${v._2}")
+                out.write(v._3); out.write("\r\nEND\r\n".getBytes(UTF_8)); out.flush()
+              }
+            case "set" =>
+              val n = parts(4).toInt
+              val buf = new Array[Byte](n)
+              var off = 0
+              while (off < n) off += in.read(buf, off, n - off)
+              in.read(); in.read() // trailing \r\n
+              store.put(parts(1), (parts(2).toInt, cas.incrementAndGet(), buf))
+              reply("STORED")
+            case "delete" =>
+              if (store.remove(parts(1)) != null) reply("DELETED") else reply("NOT_FOUND")
+            case _ => reply("ERROR")
+          }
+          cmd = line()
+        }
+      } catch { case _: Exception => () }
+      finally sock.close()
+    }
+
+    def close(): Unit = { running = false; server.close() }
+  }
+
+  private def withServers(n: Int)(f: Seq[FixtureServer] => Unit): Unit = {
+    val servers = Seq.fill(n)(new FixtureServer)
+    try f(servers)
+    finally servers.foreach(_.close())
+  }
+
+  test("memcached store: put/get/delete round-trip with layout keys") {
+    val s = spark
+    import s.implicits._
+    withServers(1) { case Seq(srv) =>
+      val hosts = Seq(("127.0.0.1", srv.port))
+      val tiles = (0 until 20).map(i => (3, i % 5, i / 5)).toDF("z", "x", "y")
+        .withColumn("key", concat_ws("/", col("z"), col("x"), col("y")))
+        .withColumn("data", concat(lit("tile-"), col("key")).cast("binary"))
+
+      val put = MemcachedStore.put(tiles, hosts, flags = 7).cache()
+      assert(put.where(col("error").isNotNull).count() == 0)
+      assert(put.count() == 20)
+      assert(srv.store.size() == 20)
+      put.unpersist()
+
+      // fetch: every row kept, data + flags + cas round-trip
+      val got = MemcachedStore.fetch(tiles.select("z", "x", "y", "key"), hosts).cache()
+      assert(got.count() == 20)
+      assert(got.where(col("error").isNotNull).count() == 0)
+      val one = got.where(col("key") === "3/2/1").head()
+      assert(new String(one.getAs[Array[Byte]]("data"), UTF_8) == "tile-3/2/1")
+      assert(one.getAs[Int]("mc_flags") == 7)
+      assert(one.getAs[Long]("mc_cas") > 0)
+      got.unpersist()
+
+      // missing key: row KEPT with nulls (memcached.py:28-33 — unlike url.py's 404 drop)
+      val miss = MemcachedStore.fetch(Seq("9/9/9").toDF("key"), hosts).head()
+      assert(miss.getAs[Array[Byte]]("data") == null)
+      assert(miss.isNullAt(miss.fieldIndex("mc_flags")), "contains == flags non-null")
+      assert(miss.getAs[String]("error") == null)
+
+      // delete: DELETED then NOT_FOUND
+      val del1 = MemcachedStore.delete(Seq("3/2/1").toDF("key"), hosts).head()
+      assert(del1.getAs[Boolean]("deleted"))
+      val del2 = MemcachedStore.delete(Seq("3/2/1").toDF("key"), hosts).head()
+      assert(!del2.getAs[Boolean]("deleted"))
+    }
+  }
+
+  test("memcached store: consistent shard spread over multiple hosts") {
+    val s = spark
+    import s.implicits._
+    withServers(2) { case servers =>
+      val hosts = servers.map(sv => ("127.0.0.1", sv.port))
+      val keys = (0 until 64).map(i => s"k/$i")
+      val df = keys.toDF("key").withColumn("data", col("key").cast("binary"))
+      assert(MemcachedStore.put(df, hosts).where(col("error").isNotNull).count() == 0)
+      // both shards hold data, split exactly by the hostFor rule
+      val expected = keys.groupBy(k => MemcachedStore.hostFor(k, hosts)._2).view.mapValues(_.size).toMap
+      servers.foreach(sv => assert(sv.store.size() == expected(sv.port)))
+      assert(servers.map(_.store.size()).sum == 64)
+      // every key reads back from the shard the rule picked
+      val got = MemcachedStore.fetch(keys.toDF("key"), hosts)
+      assert(got.where(col("data").isNull || col("error").isNotNull).count() == 0)
+    }
+  }
+
+  test("memcached store: connect failure is an error column, not a task failure") {
+    val s = spark
+    import s.implicits._
+    // a port nothing listens on
+    val dead = { val ss = new ServerSocket(0); val p = ss.getLocalPort; ss.close(); p }
+    val got = MemcachedStore.fetch(Seq("a", "b").toDF("key"), Seq(("127.0.0.1", dead)), timeoutMs = 500)
+    val rows = got.collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[String]("error") != null))
+    assert(rows.forall(_.getAs[Array[Byte]]("data") == null))
+  }
+}
