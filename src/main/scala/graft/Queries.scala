@@ -1965,7 +1965,59 @@ object GraftQueries {
       Some("""SELECT doc_id AS da, doc_id + 10000000 AS db,
         |  CAST(doc_id % 4 AS INT) AS dist
         |FROM documents WHERE doc_id % 50 = 3
-        |ORDER BY da, db""".stripMargin))
+        |ORDER BY da, db""".stripMargin)),
+
+    // Point-in-polygon spatial join (engine/Spatial): lineitem-derived
+    // points vs three literal polygons (a pentagon, a CONCAVE L whose
+    // notch defeats any convex shortcut, and an overlapping triangle)
+    // over a 1000x1000 planar extent. The Spark side runs the scale
+    // shape — cell-index equi-join at zoom 4, then the HOF ray-cast
+    // refine; the oracle runs the naive cross join with the identical
+    // even-odd crossing arithmetic in DuckDB list lambdas (same IEEE
+    // expression order, so the two engines agree bit-for-bit on every
+    // crossing test). Vertices carry non-dyadic decimals so no edge
+    // passes exactly through a point.
+    ("q68_point_in_polygon",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val pts = table(s, dir, "lineitem").select(
+          ((col("l_orderkey") % 1000) + 0.5).as("px"),
+          ((col("l_partkey") % 1000) + 0.5).as("py"),
+          col("l_orderkey").as("k"))
+        val polys = Seq(
+          (1L, Seq((100.3, 100.7), (400.1, 80.9), (500.7, 300.3), (300.9, 450.1), (80.3, 300.9))),
+          (2L, Seq((550.1, 550.7), (950.3, 550.9), (950.7, 950.1), (790.9, 950.3), (790.1, 710.7), (550.9, 710.1))),
+          (3L, Seq((200.7, 50.3), (600.9, 200.1), (250.3, 400.7))))
+          .toDF("polygon_id", "vraw")
+          .select(col("polygon_id"),
+            transform(col("vraw"), v => struct(
+              v.getField("_1").as("x"), v.getField("_2").as("y"))).as("vertices"))
+        graft.engine.Spatial.polygonJoin(pts, polys, 4, 0, 0, 1000, 1000)
+          .groupBy("polygon_id")
+          .agg(count(lit(1)).as("n_pts"), sum("k").as("sum_key"))
+          .orderBy("polygon_id")
+      },
+      Some("""WITH polys AS (
+        |  SELECT * FROM (VALUES
+        |    (CAST(1 AS BIGINT), [{'x': 100.3, 'y': 100.7}, {'x': 400.1, 'y': 80.9}, {'x': 500.7, 'y': 300.3}, {'x': 300.9, 'y': 450.1}, {'x': 80.3, 'y': 300.9}]),
+        |    (CAST(2 AS BIGINT), [{'x': 550.1, 'y': 550.7}, {'x': 950.3, 'y': 550.9}, {'x': 950.7, 'y': 950.1}, {'x': 790.9, 'y': 950.3}, {'x': 790.1, 'y': 710.7}, {'x': 550.9, 'y': 710.1}]),
+        |    (CAST(3 AS BIGINT), [{'x': 200.7, 'y': 50.3}, {'x': 600.9, 'y': 200.1}, {'x': 250.3, 'y': 400.7}])
+        |  ) AS t(polygon_id, vs)),
+        |pts AS (
+        |  SELECT (l_orderkey % 1000) + 0.5 AS px,
+        |         (l_partkey % 1000) + 0.5 AS py,
+        |         l_orderkey AS k
+        |  FROM lineitem),
+        |hits AS (
+        |  SELECT p.polygon_id, q.k
+        |  FROM pts q, polys p
+        |  WHERE len(list_filter(
+        |      list_zip(p.vs, list_concat(p.vs[2:], p.vs[1:1])),
+        |      e -> ((e[1].y > q.py) != (e[2].y > q.py))
+        |        AND q.px < (e[2].x - e[1].x) * (q.py - e[1].y) / (e[2].y - e[1].y) + e[1].x
+        |    )) % 2 = 1)
+        |SELECT polygon_id, count(*) AS n_pts, CAST(sum(k) AS BIGINT) AS sum_key
+        |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

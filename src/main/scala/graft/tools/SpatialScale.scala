@@ -1,0 +1,137 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Spatial
+
+/** Scale-ladder evidence for the point-in-polygon join
+  * (engine/Spatial.polygonJoin): runs the q68-shaped job at 1x / 10x /
+  * (optionally) 100x points over the SAME deterministic generator and
+  * records wall time, candidate volume (the cell equi-join's output
+  * BEFORE the exact refine), matched pairs, and planted recall.
+  *
+  * The sizing law this measures: candidate volume for a cell-indexed
+  * spatial join is
+  *
+  *   candidates ≈ points × (total polygon area / extent area)
+  *
+  * independent of the zoom choice (finer cells → more cells per
+  * polygon but fewer points per cell, and the product cancels) — zoom
+  * only tunes constant factors (explode size vs per-cell fan-out). So
+  * the scene holds total polygon AREA constant as polygon COUNT grows
+  * (the real-world shape: more polygons partition the same map), and
+  * the ladder's candidate column should scale with points, not
+  * points × polygons — the difference between a shuffle that survives
+  * 10^12 rows and a cartesian that dies at 10^7.
+  *
+  * Scene (pure column math, fully deterministic):
+  *  - n points uniform-hashed over the 1000x1000 extent
+  *  - m = n/1000 convex pentagon "stars" at hashed centers, radius
+  *    r = sqrt(50000/(pi*m)) → total polygon area ≈ 5% of the extent
+  *  - one planted point at each polygon's center (ids n..n+m-1):
+  *    recall must be m/m at every rung
+  *  - zoom per rung ≈ log2(1000/(2r)): cells track polygon diameter,
+  *    keeping the bbox cover a small constant per polygon
+  *
+  * Writes BENCH/SPATIAL_SCALE.md. Args: [basePoints] [rungs]
+  * (defaults 1000000 and "1,10"; pass "1,10,100" for the 100M rung).
+  */
+object SpatialScale {
+
+  def points(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("pid"),
+      (pmod(xxhash64(col("id"), lit(1)), lit(1000000L)) / 1000.0).as("px"),
+      (pmod(xxhash64(col("id"), lit(2)), lit(1000000L)) / 1000.0).as("py"))
+
+  /** m pentagons + their planted center points. */
+  def polygons(spark: SparkSession, m: Long, r: Double): (DataFrame, DataFrame) = {
+    val cx = lit(r) + (pmod(xxhash64(col("id"), lit(3)), lit(1000000L)) / 1000000.0) * (1000.0 - 2 * r)
+    val cy = lit(r) + (pmod(xxhash64(col("id"), lit(4)), lit(1000000L)) / 1000000.0) * (1000.0 - 2 * r)
+    val phase = (pmod(xxhash64(col("id"), lit(5)), lit(628L)) / 100.0)
+    val centers = spark.range(m).select(col("id"), cx.as("cx"), cy.as("cy"), phase.as("ph"))
+    val polys = centers.select(
+      col("id").as("polygon_id"),
+      transform(sequence(lit(0), lit(4)), i => struct(
+        (col("cx") + lit(r) * cos(col("ph") + i.cast("double") * (2 * math.Pi / 5))).as("x"),
+        (col("cy") + lit(r) * sin(col("ph") + i.cast("double") * (2 * math.Pi / 5))).as("y"))).as("vertices"))
+    val planted = centers.select(col("id").as("pid"), col("cx").as("px"), col("cy").as("py"))
+    (polys, planted)
+  }
+
+  final case class Rung(n: Long, m: Long, zoom: Int, secs: Double,
+      candidates: Long, matches: Long, planted: Long, load: String)
+
+  private def loadavg(): String =
+    scala.util.Try(scala.io.Source.fromFile("/proc/loadavg").getLines().next()
+      .split(" ").head).getOrElse("?")
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.length > 0) args(0).toLong else 1000000L
+    val mults = (if (args.length > 1) args(1) else "1,10").split(",").map(_.trim.toLong)
+    val spark = graft.Bench.mkSession(32)
+    spark.sparkContext.setLogLevel("WARN")
+    val rungs = scala.collection.mutable.ArrayBuffer[Rung]()
+
+    // warmup (codegen + HOF eval caches), unrecorded
+    {
+      val (polys, _) = polygons(spark, 100L, 10.0)
+      Spatial.polygonJoin(points(spark, 10000L), polys, 5, 0, 0, 1000, 1000).count()
+    }
+
+    for (mult <- mults) {
+      val n = base * mult
+      val m = math.max(100L, n / 1000L)
+      val r = math.sqrt(50000.0 / (math.Pi * m))
+      val zoom = math.max(2, math.min(12, math.round(math.log(1000.0 / (2 * r)) / math.log(2)).toInt))
+      val (polys, planted) = polygons(spark, m, r)
+      val pts = points(spark, n)
+        .unionByName(planted.select((col("pid") + n).as("pid"), col("px"), col("py")))
+
+      spark.sharedState.cacheManager.clearCache()
+      val load = loadavg()
+      val t0 = System.nanoTime()
+      val joined = Spatial.polygonJoin(pts, polys, zoom, 0, 0, 1000, 1000).cache()
+      val matches = joined.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+
+      // untimed diagnostics: planted recall + raw candidate volume
+      val plantedHits = joined
+        .where(col("pid") >= n && col("polygon_id") === col("pid") - n).count()
+      joined.unpersist()
+      val p = pts.withColumn("_cell", Spatial.cellOfPoint(col("px"), col("py"), zoom, 0, 0, 1000, 1000))
+      val g = polys.withColumn("_cell",
+        explode(Spatial.polygonCells(col("vertices"), zoom, 0, 0, 1000, 1000)))
+      val candidates = p.join(g, "_cell").count()
+
+      rungs += Rung(n, m, zoom, secs, candidates, matches, plantedHits, load)
+      println(f"[spatialscale] n=$n%10d m=$m%7d z=$zoom%2d ${secs}%8.2fs cand=$candidates%12d matches=$matches%10d planted=$plantedHits/$m load=$load")
+    }
+
+    val sb = new StringBuilder
+    sb.append("# SPATIAL_SCALE — point-in-polygon join ladder (tools/SpatialScale)\n\n")
+    sb.append("q68-shaped cell-indexed spatial join (engine/Spatial.polygonJoin) at\n")
+    sb.append("1x/10x/100x points, m = n/1000 polygons, total polygon area pinned at\n")
+    sb.append("~5% of the extent (the real-world shape: more polygons partition the\n")
+    sb.append("same map). Single cold run per rung after one warmup; the timed window\n")
+    sb.append("covers the full join (cell assign + bbox-cover explode + equi-join +\n")
+    sb.append("exact ray-cast refine); candidate volume and planted recall measured\n")
+    sb.append("untimed afterwards. The sizing law under test: candidates ≈ points ×\n")
+    sb.append("area-fraction — LINEAR in points, zoom-independent; a cartesian would\n")
+    sb.append("be points × polygons. 1-min loadavg recorded per rung (shared box).\n\n")
+    sb.append("| points | polygons | zoom | wall (s) | candidates | cand/point | matches | planted recall | loadavg |\n")
+    sb.append("|---|---|---|---|---|---|---|---|---|\n")
+    rungs.foreach { r =>
+      sb.append(f"| ${r.n}%,d | ${r.m}%,d | ${r.zoom} | ${r.secs}%.2f | ${r.candidates}%,d | ${r.candidates.toDouble / r.n}%.2f | ${r.matches}%,d | ${r.planted}/${r.m} | ${r.load} |\n")
+    }
+    sb.append("\ncand/point ≈ constant across rungs = the linear regime: candidate\n")
+    sb.append("volume tracks the 5% area fraction (plus bbox-vs-pentagon slack),\n")
+    sb.append("not the polygon count. Planted recall m/m at every rung = no point\n")
+    sb.append("lost to cell-boundary handling at any scale.\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH/SPATIAL_SCALE.md"), sb.toString)
+    println("[spatialscale] wrote BENCH/SPATIAL_SCALE.md")
+    spark.stop()
+  }
+}

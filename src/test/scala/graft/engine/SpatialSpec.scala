@@ -1,0 +1,114 @@
+package graft.engine
+
+import java.awt.geom.Path2D
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkTestBase
+
+/** Point-in-polygon: the HOF ray-cast column vs the JDK's own even-odd
+  * winding test (java.awt.geom.Path2D — an independent, widely-used
+  * implementation), on goldens (incl. concave + per-row polygons) and
+  * on 2,000 random polygon/point draws; plus the cell-prefilter join's
+  * equivalence to the naive cross-join on a planted scene. */
+class SpatialSpec extends SparkTestBase {
+
+  private val vertexType = ArrayType(StructType(Seq(
+    StructField("x", DoubleType), StructField("y", DoubleType))))
+
+  private def awtContains(vs: Seq[(Double, Double)], px: Double, py: Double): Boolean = {
+    val p = new Path2D.Double(Path2D.WIND_EVEN_ODD)
+    p.moveTo(vs.head._1, vs.head._2)
+    vs.tail.foreach { case (x, y) => p.lineTo(x, y) }
+    p.closePath()
+    p.contains(px, py)
+  }
+
+  private def sparkContains(cases: Seq[(Seq[(Double, Double)], Double, Double)]): Seq[Boolean] = {
+    val rows = cases.zipWithIndex.map { case ((vs, px, py), i) =>
+      Row(i, px, py, vs.map { case (x, y) => Row(x, y) })
+    }
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("px", DoubleType),
+      StructField("py", DoubleType), StructField("vertices", vertexType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .withColumn("inside", Spatial.pointInPolygon(col("px"), col("py"), col("vertices")))
+      .orderBy("id").select("inside").collect().map(_.getBoolean(0)).toSeq
+  }
+
+  private val concaveL = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (6.0, 10.0), (6.0, 4.0), (0.0, 4.0))
+
+  test("ray cast matches hand goldens including the concave notch") {
+    val pentagon = Seq((1.0, 1.0), (4.0, 0.8), (5.0, 3.0), (3.0, 4.5), (0.8, 3.0))
+    val cases = Seq(
+      (pentagon, 2.5, 2.5, true), // centroid-ish
+      (pentagon, 0.0, 0.0, false), // outside
+      (pentagon, 4.9, 2.9, true), // near a vertex, inside
+      (concaveL, 3.0, 2.0, true), // in the foot of the L
+      (concaveL, 3.0, 7.0, false), // in the NOTCH — convex tests get this wrong
+      (concaveL, 8.0, 7.0, true), // in the stem
+      (concaveL, 11.0, 5.0, false))
+    val got = sparkContains(cases.map(c => (c._1, c._2, c._3)))
+    cases.zip(got).foreach { case ((vs, px, py, want), g) =>
+      assert(g == want, s"($px,$py) in $vs")
+      assert(awtContains(vs, px, py) == want, "golden agrees with the JDK oracle")
+    }
+  }
+
+  test("ray cast agrees with java.awt Path2D on 2000 random draws") {
+    val rnd = new scala.util.Random(42)
+    // random star-shaped-ish polygons: random radii around a center,
+    // sorted angles (may still be concave); random probe points
+    val cases = (0 until 2000).map { _ =>
+      val n = 3 + rnd.nextInt(8)
+      val cx = rnd.nextDouble() * 100
+      val cy = rnd.nextDouble() * 100
+      val angles = Seq.fill(n)(rnd.nextDouble() * 2 * math.Pi).sorted
+      val vs = angles.map { a =>
+        val r = 1.0 + rnd.nextDouble() * 20
+        (cx + r * math.cos(a), cy + r * math.sin(a))
+      }
+      (vs, rnd.nextDouble() * 100, rnd.nextDouble() * 100)
+    }
+    val got = sparkContains(cases)
+    val disagreements = cases.zip(got).count { case ((vs, px, py), g) =>
+      g != awtContains(vs, px, py)
+    }
+    assert(disagreements == 0, s"$disagreements/2000 disagree with Path2D")
+  }
+
+  test("cell-prefilter polygonJoin equals the naive cross join, zoom-invariant") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val points = (0 until 500).map(i => (i.toLong, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+      .toDF("pid", "px", "py")
+    val polys = Seq(
+      (1L, Seq((10.0, 10.0), (40.0, 8.0), (50.0, 30.0), (30.0, 45.0), (8.0, 30.0))),
+      (2L, concaveL.map { case (x, y) => (x * 8, y * 8) }), // big concave L
+      (3L, Seq((60.0, 60.0), (90.0, 60.0), (75.0, 90.0))))
+    val polyRows = polys.map { case (id, vs) => Row(id, vs.map { case (x, y) => Row(x, y) }) }
+    val polyDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(polyRows, 1),
+      StructType(Seq(StructField("polygon_id", LongType), StructField("vertices", vertexType))))
+
+    val naive = points.crossJoin(polyDf)
+      .where(Spatial.pointInPolygon(col("px"), col("py"), col("vertices")))
+      .select("pid", "polygon_id").as[(Long, Long)].collect().toSet
+    assert(naive.nonEmpty && naive.size < 500 * 3, "scene is non-trivial")
+
+    for (zoom <- Seq(2, 4, 6)) {
+      val joined = Spatial.polygonJoin(points, polyDf, zoom, 0, 0, 100, 100)
+        .select("pid", "polygon_id").as[(Long, Long)].collect().toSet
+      assert(joined == naive, s"zoom=$zoom cell prefilter is lossless")
+    }
+
+    // points in the L's notch must be excluded even though the notch
+    // is inside the bbox cover
+    val notch = Seq((1000L, 30.0, 60.0)).toDF("pid", "px", "py")
+    assert(Spatial.polygonJoin(notch, polyDf, 4, 0, 0, 100, 100)
+      .where(col("polygon_id") === 2).count() == 0)
+  }
+}
