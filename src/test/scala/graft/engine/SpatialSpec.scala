@@ -110,5 +110,14 @@ class SpatialSpec extends SparkTestBase {
     val notch = Seq((1000L, 30.0, 60.0)).toDF("pid", "px", "py")
     assert(Spatial.polygonJoin(notch, polyDf, 4, 0, 0, 100, 100)
       .where(col("polygon_id") === 2).count() == 0)
+
+    // plan shape: an equi-join (hash/sort-merge/broadcast-HASH on the
+    // cell key), NEVER a cartesian / nested-loop — the property that
+    // keeps 10^12 x 10^6 feasible
+    val plan = Spatial.polygonJoin(points, polyDf, 4, 0, 0, 100, 100)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"cartesian-free plan, got:\n$plan")
+    assert(plan.contains("_cell"), "join keyed on the cell id")
   }
 }
