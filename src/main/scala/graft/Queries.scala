@@ -2017,7 +2017,30 @@ object GraftQueries {
         |        AND q.px < (e[2].x - e[1].x) * (q.py - e[1].y) / (e[2].y - e[1].y) + e[1].x
         |    )) % 2 = 1)
         |SELECT polygon_id, count(*) AS n_pts, CAST(sum(k) AS BIGINT) AS sum_key
-        |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin))
+        |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // 256-bit pHash near-dup from PIXELS (the production image-dedup
+    // layout end-to-end): decode → 64×64 luma → DCT → 16×16 median
+    // block → array<long> sig → wide hamming-banded pairs. Threshold
+    // 56 sits in the measured margin of this exact corpus
+    // (tools/PhashProbe: planted JPEG-q0.7 re-encode pairs ≤ 38 bits
+    // apart, EVERY other pair — including dup-vs-unrelated cross
+    // pairs, where the triangle bound is loosest — ≥ 82), so output =
+    // exactly the planted (dup_i, img_i) pairs, closed-form in i.
+    ("q69_phash256_neardup",
+      (s: SparkSession, dir: String) => {
+        val media = graft.engine.Corpus.generateNearDupMedia(s, 400).toDF()
+        val hashes = graft.multimodal.Multimodal.imagePhash256(media)
+          .where(col("error").isNull)
+        graft.dedup.Dedup.hammingPairsAuto(hashes, "media_id", "sig", 256, 56)
+          .select(col("da"), col("db"))
+          .orderBy("da")
+      },
+      Some("""SELECT printf('dup%012d', g.i) AS da,
+        |  printf('img%012d', g.i) AS db
+        |FROM generate_series(0, 399) g(i)
+        |WHERE g.i % 5 = 2
+        |ORDER BY da""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -32,21 +32,26 @@ object Phash {
   private val N = 32
   private val Block = 8
 
-  /** DCT-II basis, basis(k)(x) = c(k)·cos(π(2x+1)k / 2N). */
-  private val basis: Array[Array[Double]] = {
-    val m = Array.ofDim[Double](N, N)
+  /** DCT-II basis, basis(k)(x) = c(k)·cos(π(2x+1)k / 2n). */
+  private def mkBasis(n: Int): Array[Array[Double]] = {
+    val m = Array.ofDim[Double](n, n)
     var k = 0
-    while (k < N) {
-      val c = if (k == 0) math.sqrt(1.0 / N) else math.sqrt(2.0 / N)
+    while (k < n) {
+      val c = if (k == 0) math.sqrt(1.0 / n) else math.sqrt(2.0 / n)
       var x = 0
-      while (x < N) {
-        m(k)(x) = c * math.cos(math.Pi * (2 * x + 1) * k / (2.0 * N))
+      while (x < n) {
+        m(k)(x) = c * math.cos(math.Pi * (2 * x + 1) * k / (2.0 * n))
         x += 1
       }
       k += 1
     }
     m
   }
+
+  private val basis: Array[Array[Double]] = mkBasis(N)
+  // 64×64 basis for the wide (256-bit) hash; lazy — only image
+  // pipelines that opt into wide signatures pay for it
+  private lazy val basis64: Array[Array[Double]] = mkBasis(64)
 
   /** Luma plane area-averaged to 32×32. */
   private[image] def luma32(img: BufferedImage): Array[Double] =
@@ -99,34 +104,39 @@ object Phash {
     out
   }
 
-  /** Top-left `Block`×`Block` of the 2-D DCT of a 32×32 plane.
-    * Separable: rows first (only the first `Block` output frequencies
+  /** Top-left `Block`×`Block` of the 2-D DCT of a 32×32 plane. */
+  private[image] def dctBlock(plane: Array[Double]): Array[Double] =
+    dctBlockN(plane, N, Block, basis)
+
+  /** Top-left `block`×`block` of the 2-D DCT of an `n`×`n` plane.
+    * Separable: rows first (only the first `block` output frequencies
     * are ever used, so only those are computed), then columns. */
-  private[image] def dctBlock(plane: Array[Double]): Array[Double] = {
-    // rows: tmp(y)(u) = Σ_x plane(y,x)·basis(u)(x), u < Block
-    val tmp = Array.ofDim[Double](N, Block)
+  private[image] def dctBlockN(
+      plane: Array[Double], n: Int, block: Int, b: Array[Array[Double]]): Array[Double] = {
+    // rows: tmp(y)(u) = Σ_x plane(y,x)·b(u)(x), u < block
+    val tmp = Array.ofDim[Double](n, block)
     var y = 0
-    while (y < N) {
+    while (y < n) {
       var u = 0
-      while (u < Block) {
+      while (u < block) {
         var s = 0.0
         var x = 0
-        while (x < N) { s += plane(y * N + x) * basis(u)(x); x += 1 }
+        while (x < n) { s += plane(y * n + x) * b(u)(x); x += 1 }
         tmp(y)(u) = s
         u += 1
       }
       y += 1
     }
-    // cols: out(v,u) = Σ_y tmp(y)(u)·basis(v)(y)
-    val out = new Array[Double](Block * Block)
+    // cols: out(v,u) = Σ_y tmp(y)(u)·b(v)(y)
+    val out = new Array[Double](block * block)
     var v = 0
-    while (v < Block) {
+    while (v < block) {
       var u = 0
-      while (u < Block) {
+      while (u < block) {
         var s = 0.0
         var yy = 0
-        while (yy < N) { s += tmp(yy)(u) * basis(v)(yy); yy += 1 }
-        out(v * Block + u) = s
+        while (yy < n) { s += tmp(yy)(u) * b(v)(yy); yy += 1 }
+        out(v * block + u) = s
         u += 1
       }
       v += 1
@@ -185,9 +195,36 @@ object Phash {
     h
   }
 
+  /** 256-bit wide perceptual hash (PDQ-width): 64×64 luma plane,
+    * 2-D DCT, top-left 16×16 low-frequency block, median threshold
+    * over the 255 non-DC coefficients, packed little-endian into 4
+    * longs (bit i → word i>>6, bit i&63). Same contract as
+    * [[phash64]] at 4× the resolution: finer perceptual separation,
+    * and — the scale point — band keys of 256/(t+1) bits instead of
+    * 64/(t+1), which is what keeps hamming-band buckets O(1) at 10⁹+
+    * rows (BENCH/DEDUP_SCALE.md's wide rung; the 64-bit layout is
+    * measured candidate-quadratic at ~10⁸). Feed to
+    * [[graft.dedup.Dedup.hammingPairsAuto]] with bits=256. */
+  def phash256(img: BufferedImage): Array[Long] = {
+    val coeffs = dctBlockN(lumaGrid(img, 64, 64), 64, 16, basis64)
+    val sorted = java.util.Arrays.copyOfRange(coeffs, 1, coeffs.length)
+    java.util.Arrays.sort(sorted)
+    val median = sorted(127) // 255 non-DC coefficients, true middle
+    val sig = new Array[Long](4)
+    var i = 0
+    while (i < 256) {
+      if (coeffs(i) > median) sig(i >> 6) |= (1L << (i & 63))
+      i += 1
+    }
+    sig
+  }
+
   /** Decode-then-hash; the partition-batch column form lives in
     * [[graft.multimodal.Multimodal.imagePhash]]. */
   def phashOf(bytes: Array[Byte]): Long = phash64(ImageCodec.decode(bytes))
+
+  /** Decode-then-wide-hash ([[phash256]]). */
+  def phash256Of(bytes: Array[Byte]): Array[Long] = phash256(ImageCodec.decode(bytes))
 
   /** Decode-then-hash by algorithm name: phash | dhash | ahash. */
   def hashOf(bytes: Array[Byte], algo: String): Long = {

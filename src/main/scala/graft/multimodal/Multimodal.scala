@@ -85,6 +85,34 @@ object Multimodal {
     }(Encoders.row(imagePhashSchema))
   }
 
+  val imagePhash256Schema: StructType = StructType(Seq(
+    StructField("media_id", StringType),
+    StructField("sig", ArrayType(LongType)),
+    StructField("error", StringType)))
+
+  /** 256-bit wide perceptual hash per image
+    * ([[graft.image.Phash.phash256]]: 64×64 luma → DCT → 16×16
+    * median-threshold block, 4 longs). The production dedup layout
+    * for 10⁹+ image corpora: feed `sig` to
+    * [[graft.dedup.Dedup.hammingPairsAuto]] with bits=256, whose
+    * 256/(t+1)-bit band keys keep buckets O(1) where 64-bit keys are
+    * measured candidate-quadratic (BENCH/DEDUP_SCALE.md). Same
+    * error-column shape as [[imagePhash]]. */
+  def imagePhash256(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getString(idIdx)
+        try {
+          Row(id, graft.image.Phash.phash256Of(r.getAs[Array[Byte]](bIdx)).toSeq, null)
+        } catch {
+          case e: Exception => Row(id, null, e.toString)
+        }
+      }
+    }(Encoders.row(imagePhash256Schema))
+  }
+
   /** Real image resize (area-preserving scale to `target` max edge). */
   def resizeImages(media: DataFrame, target: Int): DataFrame = {
     val schema = StructType(Seq(

@@ -75,5 +75,58 @@ object PhashProbe {
     println("interHist(0..16)=" + interHist.take(17).mkString(","))
     val interLow = interHist.take(17).zipWithIndex.filter(_._1 > 0)
     println("inter low buckets: " + interLow.map { case (c, d) => s"d=$d:$c" }.mkString(" "))
+
+    // ---- wide (256-bit) margins: the same protocol at 4x the bits ----
+    def dist256(a: Array[Long], b: Array[Long]): Int = {
+      var d = 0; var k = 0
+      while (k < 4) { d += java.lang.Long.bitCount(a(k) ^ b(k)); k += 1 }
+      d
+    }
+    val wide = seeds.map(s => Phash.phash256(gen(64, s))).toArray
+    var wIntraMax = 0
+    seeds.take(200).zipWithIndex.foreach { case (s, i) =>
+      val img = gen(64, s)
+      for (q <- Seq(0.5f, 0.7f, 0.9f)) {
+        val re = ImageCodec.decode(ImageCodec.encodeJpeg(img, q))
+        wIntraMax = math.max(wIntraMax, dist256(wide(i), Phash.phash256(re)))
+      }
+    }
+    var wInterMin = 256
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        wInterMin = math.min(wInterMin, dist256(wide(i), wide(j)))
+        j += 1
+      }
+      i += 1
+    }
+    println(s"wide256: intraMax=$wIntraMax interMin=$wInterMin")
+
+    // ---- the exact q69 corpus (generateNearDupMedia shape): planted
+    // pair max distance vs min distance over every OTHER pair,
+    // including dup-vs-unrelated cross pairs (the triangle-bound gap) --
+    val all = (0 until n).flatMap { k =>
+      val img = gen(64, graft.engine.Corpus.splitmix64(k.toLong))
+      val base = (s"img$k", Phash.phash256(img))
+      if (k % 5 == 2)
+        Seq(base, (s"dup$k", Phash.phash256(ImageCodec.decode(ImageCodec.encodeJpeg(img, 0.7f)))))
+      else Seq(base)
+    }
+    var plantedMax = 0
+    var otherMin = 256
+    var a = 0
+    while (a < all.size) {
+      var bI = a + 1
+      while (bI < all.size) {
+        val d = dist256(all(a)._2, all(bI)._2)
+        val planted = all(a)._1.drop(3) == all(bI)._1.drop(3)
+        if (planted) plantedMax = math.max(plantedMax, d)
+        else otherMin = math.min(otherMin, d)
+        bI += 1
+      }
+      a += 1
+    }
+    println(s"wide256 q69 corpus: plantedMax=$plantedMax otherMin=$otherMin")
   }
 }

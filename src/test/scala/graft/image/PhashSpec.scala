@@ -98,6 +98,39 @@ class PhashSpec extends SparkTestBase {
     assert(pairs === expected)
   }
 
+  test("phash256: deterministic, jpeg-robust, separated, and exact planted recovery") {
+    def dist(a: Array[Long], b: Array[Long]): Int =
+      (0 until 4).map(k => java.lang.Long.bitCount(a(k) ^ b(k))).sum
+    // deterministic
+    val img42 = ImageCodec.photoImage(64, graft.engine.Corpus.splitmix64(42L))
+    assert(Phash.phash256(img42).toSeq ===
+      Phash.phash256(ImageCodec.photoImage(64, graft.engine.Corpus.splitmix64(42L))).toSeq)
+    // margins on the q69 corpus shape (tools/PhashProbe measured 38/82
+    // on 400 seeds; assert with slack on a 100-seed subset)
+    val seeds = (0 until 100).map(i => graft.engine.Corpus.splitmix64(i.toLong))
+    val hs = seeds.map(s => Phash.phash256(ImageCodec.photoImage(64, s)))
+    var intraMax = 0
+    seeds.take(40).zipWithIndex.foreach { case (s, i) =>
+      val img = ImageCodec.photoImage(64, s)
+      val re = ImageCodec.decode(ImageCodec.encodeJpeg(img, 0.7f))
+      intraMax = math.max(intraMax, dist(hs(i), Phash.phash256(re)))
+    }
+    var interMin = 256
+    for (i <- hs.indices; j <- (i + 1) until hs.size)
+      interMin = math.min(interMin, dist(hs(i), hs(j)))
+    assert(intraMax <= 56, s"jpeg drift $intraMax past the q69 threshold")
+    assert(interMin > 56, s"distinct images within the q69 threshold: $interMin")
+    // end-to-end: pixels -> wide sigs -> wide hamming-banded pairs
+    val media = graft.engine.Corpus.generateNearDupMedia(spark, 150).toDF()
+    val hashes = Multimodal.imagePhash256(media)
+    assert(hashes.where(col("error").isNotNull).count() === 0L)
+    val pairs = Dedup.hammingPairsAuto(hashes, "media_id", "sig", 256, 56)
+      .select("da", "db").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = (0 until 150).filter(_ % 5 == 2)
+      .map(i => (f"dup$i%012d", f"img$i%012d")).toSet
+    assert(pairs === expected)
+  }
+
   test("hammingPairs band layout covers all bits for non-divisible widths") {
     import spark.implicits._
     // 60-bit sigs with maxHamming 6 -> 7 bands of width 8, last band 12
