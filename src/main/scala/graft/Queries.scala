@@ -2040,7 +2040,50 @@ object GraftQueries {
         |  printf('img%012d', g.i) AS db
         |FROM generate_series(0, 399) g(i)
         |WHERE g.i % 5 = 2
-        |ORDER BY da""".stripMargin))
+        |ORDER BY da""".stripMargin)),
+
+    // Vector→raster tile assignment (the other half of q68's
+    // raster↔vector pair): burn each polygon onto the zoom-6 tile
+    // grid under the center-sample rule — every tile whose center
+    // ray-casts inside. Engine side is Spatial.rasterize: bbox cell
+    // explode + pure-column refine, NO join and NO shuffle (the spec
+    // asserts the plan). The oracle enumerates ALL 4096 cells × every
+    // polygon — deliberately ignorant of the bbox prefilter — so a
+    // hash match also proves the prefilter drops nothing.
+    ("q70_rasterize",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val polys = Seq(
+          (1L, Seq((100.3, 100.7), (400.1, 80.9), (500.7, 300.3), (300.9, 450.1), (80.3, 300.9))),
+          (2L, Seq((550.1, 550.7), (950.3, 550.9), (950.7, 950.1), (790.9, 950.3), (790.1, 710.7), (550.9, 710.1))),
+          (3L, Seq((200.7, 50.3), (600.9, 200.1), (250.3, 400.7))))
+          .toDF("polygon_id", "vraw")
+          .select(col("polygon_id"),
+            transform(col("vraw"), v => struct(
+              v.getField("_1").as("x"), v.getField("_2").as("y"))).as("vertices"))
+        graft.engine.Spatial.rasterize(polys, 6, 0, 0, 1000, 1000)
+          .select(col("polygon_id"), col("cx"), col("cy"))
+          .orderBy("polygon_id", "cy", "cx")
+      },
+      Some("""WITH polys AS (
+        |  SELECT * FROM (VALUES
+        |    (CAST(1 AS BIGINT), [{'x': 100.3, 'y': 100.7}, {'x': 400.1, 'y': 80.9}, {'x': 500.7, 'y': 300.3}, {'x': 300.9, 'y': 450.1}, {'x': 80.3, 'y': 300.9}]),
+        |    (CAST(2 AS BIGINT), [{'x': 550.1, 'y': 550.7}, {'x': 950.3, 'y': 550.9}, {'x': 950.7, 'y': 950.1}, {'x': 790.9, 'y': 950.3}, {'x': 790.1, 'y': 710.7}, {'x': 550.9, 'y': 710.1}]),
+        |    (CAST(3 AS BIGINT), [{'x': 200.7, 'y': 50.3}, {'x': 600.9, 'y': 200.1}, {'x': 250.3, 'y': 400.7}])
+        |  ) AS t(polygon_id, vs)),
+        |cells AS (
+        |  SELECT gx.i AS cx, gy.i AS cy,
+        |         (gx.i + 0.5) * (1000.0 / 64) AS px,
+        |         (gy.i + 0.5) * (1000.0 / 64) AS py
+        |  FROM generate_series(0, 63) gx(i), generate_series(0, 63) gy(i))
+        |SELECT p.polygon_id, c.cx, c.cy
+        |FROM cells c, polys p
+        |WHERE len(list_filter(
+        |    list_zip(p.vs, list_concat(p.vs[2:], p.vs[1:1])),
+        |    e -> ((e[1].y > c.py) != (e[2].y > c.py))
+        |      AND c.px < (e[2].x - e[1].x) * (c.py - e[1].y) / (e[2].y - e[1].y) + e[1].x
+        |  )) % 2 = 1
+        |ORDER BY 1, 3, 2""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -87,6 +87,49 @@ object Spatial {
     flatten(transform(sequence(y0, y1), cy => transform(sequence(x0, x1), cx => cy * n + cx)))
   }
 
+  /** Vector→raster tile assignment: the cells at `zoom` whose CENTER
+    * lies inside the polygon — the center-sample rule every raster
+    * burner defaults to, and the exact dual of [[polygonJoin]]'s
+    * point test: a point assigned to cell c by [[cellOfPoint]] and a
+    * polygon rasterized here agree on membership whenever the point
+    * sits at the cell center, so raster- and vector-side assignments
+    * compose without seams (up to the shared half-open boundary
+    * rule).
+    *
+    * Scale shape: NO join and NO shuffle — a per-polygon bbox cell
+    * explode (area-proportional; `sequence` bounds the blowup to the
+    * zoom choice) followed by the pure-column ray-cast refine, so the
+    * operator is embarrassingly parallel over polygon rows and
+    * pipelines inside one codegen stage. cx/cy are recovered from the
+    * row-major id by mask/shift (exact at any zoom; no double
+    * division). For a polygon spanning a large share of the grid at a
+    * fine zoom, the bbox explode is Θ(area/cellArea) rows — by
+    * design, since that IS the output size for a filled polygon; if
+    * only the boundary is needed, descend hierarchically instead
+    * (the [[graft.engine.Pipeline]] BFS-subdivision shape).
+    *
+    * Output: all polygon columns except the vertex array, + `cx`,
+    * `cy` (tile/cell coordinates at `zoom`). */
+  def rasterize(
+      polygons: DataFrame,
+      zoom: Int,
+      minX: Double, minY: Double, width: Double, height: Double,
+      verticesCol: String = "vertices"): DataFrame = {
+    val n = 1L << zoom
+    val cellW = width / n
+    val cellH = height / n
+    polygons
+      .withColumn("_cell",
+        explode(polygonCells(col(verticesCol), zoom, minX, minY, width, height)))
+      .withColumn("cx", col("_cell").bitwiseAND(lit(n - 1)))
+      .withColumn("cy", shiftright(col("_cell"), zoom))
+      .where(pointInPolygon(
+        lit(minX) + (col("cx") + lit(0.5)) * lit(cellW),
+        lit(minY) + (col("cy") + lit(0.5)) * lit(cellH),
+        col(verticesCol)))
+      .drop("_cell", verticesCol)
+  }
+
   /** The scalable point-in-polygon join: every (point row, polygon
     * row) pair where the point lies inside the polygon. `points`
     * needs double columns `pxCol`/`pyCol`; `polygons` needs

@@ -120,4 +120,43 @@ class SpatialSpec extends SparkTestBase {
       s"cartesian-free plan, got:\n$plan")
     assert(plan.contains("_cell"), "join keyed on the cell id")
   }
+
+  test("rasterize equals brute-force center sampling, join-free plan") {
+    val polys = Seq(
+      (1L, Seq((10.0, 10.0), (40.0, 8.0), (50.0, 30.0), (30.0, 45.0), (8.0, 30.0))),
+      (2L, concaveL.map { case (x, y) => (x * 8, y * 8) }),
+      (3L, Seq((60.0, 60.0), (90.0, 60.0), (75.0, 90.0))))
+    val polyRows = polys.map { case (id, vs) => Row(id, vs.map { case (x, y) => Row(x, y) }) }
+    val polyDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(polyRows, 2),
+      StructType(Seq(StructField("polygon_id", LongType), StructField("vertices", vertexType))))
+
+    for (zoom <- Seq(3, 5, 6)) {
+      val n = 1 << zoom
+      val cell = 100.0 / n
+      // brute force: every cell center against every polygon, via the
+      // independent JDK even-odd test
+      val want = (for {
+        (id, vs) <- polys
+        cy <- 0 until n
+        cx <- 0 until n
+        if awtContains(vs, (cx + 0.5) * cell, (cy + 0.5) * cell)
+      } yield (id, cx.toLong, cy.toLong)).toSet
+      val got = Spatial.rasterize(polyDf, zoom, 0, 0, 100, 100)
+        .select("polygon_id", "cx", "cy")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(want.nonEmpty, s"zoom=$zoom scene covers cells")
+      assert(got == want, s"zoom=$zoom center-sample rasterization exact")
+      // the L's notch cells (inside bbox, outside polygon) are dropped
+      assert(!got.contains((2L, (30.0 / cell).toLong, (60.0 / cell).toLong)),
+        s"zoom=$zoom notch cell excluded")
+    }
+
+    // plan shape: explode + filter only — no join, no exchange; the
+    // operator is embarrassingly parallel over polygon rows
+    val plan = Spatial.rasterize(polyDf, 5, 0, 0, 100, 100)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"join/shuffle-free plan, got:\n$plan")
+  }
 }
