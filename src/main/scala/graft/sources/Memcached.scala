@@ -161,12 +161,12 @@ object MemcachedStore {
     val keyIdx = df.schema.fieldIndex(keyCol)
     val outSchema = StructType(df.schema.fields.toSeq ++ putFields)
     df.mapPartitions { it =>
-      withClients(hosts, timeoutMs) { clientFor =>
+      withClients(hosts, timeoutMs) { pool =>
         it.map { r =>
           val key = r.getString(keyIdx)
           val res =
-            try { clientFor(key).set(key, flags, exptime, r.getAs[Array[Byte]](dataIdx)); null }
-            catch { case e: Exception => s"memcached: $key\n$e" }
+            try { pool.clientFor(key).set(key, flags, exptime, r.getAs[Array[Byte]](dataIdx)); null }
+            catch { case e: Exception => pool.evict(key); s"memcached: $key\n$e" }
           Row.fromSeq(r.toSeq :+ res)
         }
       }
@@ -202,33 +202,52 @@ object MemcachedStore {
     val keyIdx = df.schema.fieldIndex(keyCol)
     val outSchema = StructType(df.schema.fields.toSeq ++ extraFields)
     df.mapPartitions { it =>
-      withClients(hosts, timeoutMs) { clientFor =>
+      withClients(hosts, timeoutMs) { pool =>
         it.map { r =>
           val key = r.getString(keyIdx)
           val extra =
-            try body(clientFor(key), key)
-            catch { case e: Exception => onError(s"memcached: $key\n$e", key) }
+            try body(pool.clientFor(key), key)
+            catch {
+              case e: Exception =>
+                pool.evict(key)
+                onError(s"memcached: $key\n$e", key)
+            }
           Row.fromSeq(r.toSeq ++ extra)
         }
       }
     }(Encoders.row(outSchema))
   }
 
-  /** Lazy per-shard connections for one partition; the iterator is
-    * wrapped so the sockets close exactly when the partition drains
-    * (Spark fully consumes mapPartitions iterators). */
-  private def withClients[T](hosts: Seq[(String, Int)], timeoutMs: Int)(
-      f: (String => Client) => Iterator[T]): Iterator[T] = {
-    val open = scala.collection.mutable.Map.empty[(String, Int), Client]
+  /** Per-partition connection pool. A failed request leaves the ASCII
+    * stream in an undefined position (e.g. EOF mid-value), so callers
+    * MUST [[evict]] on error — the next row for that shard reconnects
+    * instead of misparsing a desynced reply. */
+  private final class Pool(hosts: Seq[(String, Int)], timeoutMs: Int) {
+    private val open = scala.collection.mutable.Map.empty[(String, Int), Client]
     def clientFor(key: String): Client = {
       val hp = hostFor(key, hosts)
       open.getOrElseUpdate(hp, new Client(hp._1, hp._2, timeoutMs))
     }
-    val inner = f(clientFor)
+    def evict(key: String): Unit =
+      open.remove(hostFor(key, hosts))
+        .foreach(c => try c.close() catch { case _: Exception => () })
+    def closeAll(): Unit = {
+      open.values.foreach(c => try c.close() catch { case _: Exception => () })
+      open.clear()
+    }
+  }
+
+  /** Lazy per-shard connections for one partition; the iterator is
+    * wrapped so the sockets close exactly when the partition drains
+    * (Spark fully consumes mapPartitions iterators). */
+  private def withClients[T](hosts: Seq[(String, Int)], timeoutMs: Int)(
+      f: Pool => Iterator[T]): Iterator[T] = {
+    val pool = new Pool(hosts, timeoutMs)
+    val inner = f(pool)
     new Iterator[T] {
       def hasNext: Boolean = {
         val h = inner.hasNext
-        if (!h) { open.values.foreach(c => try c.close() catch { case _: Exception => () }); open.clear() }
+        if (!h) pool.closeAll()
         h
       }
       def next(): T = inner.next()

@@ -22,6 +22,9 @@ class MemcachedSpec extends SparkTestBase {
     * one thread per connection. */
   private final class FixtureServer {
     val store = new ConcurrentHashMap[String, (Int, Long, Array[Byte])]()
+    /** get of this key sends a malformed VALUE (declared length shorter
+      * than the payload), leaving unread garbage in the stream. */
+    @volatile var poisonKey: String = null
     private val cas = new AtomicLong(0)
     private val server = new ServerSocket(0, 16, java.net.InetAddress.getByName("127.0.0.1"))
     val port: Int = server.getLocalPort
@@ -55,6 +58,12 @@ class MemcachedSpec extends SparkTestBase {
         while (cmd != null) {
           val parts = cmd.split("\\s+")
           parts(0) match {
+            case "get" if parts(1) == poisonKey =>
+              // declares 3 bytes, sends 8: the client reads "abc", then
+              // hits 'd' where \r\n should be and throws, with
+              // "fgh\r\nEND\r\n" left unread — a desynced stream
+              reply("VALUE " + parts(1) + " 0 3")
+              out.write("abcdefgh\r\nEND\r\n".getBytes(UTF_8)); out.flush()
             case "get" =>
               val v = store.get(parts(1))
               if (v == null) reply("END")
@@ -143,6 +152,28 @@ class MemcachedSpec extends SparkTestBase {
       // every key reads back from the shard the rule picked
       val got = MemcachedStore.fetch(keys.toDF("key"), hosts)
       assert(got.where(col("data").isNull || col("error").isNotNull).count() == 0)
+    }
+  }
+
+  test("memcached store: desynced reply poisons only its own row — pool reconnects") {
+    val s = spark
+    import s.implicits._
+    withServers(1) { case Seq(srv) =>
+      val hosts = Seq(("127.0.0.1", srv.port))
+      val good = Seq("p/1", "p/2", "p/3")
+      MemcachedStore.put(
+        good.toDF("key").withColumn("data", col("key").cast("binary")), hosts).collect()
+      srv.poisonKey = "p/bad"
+      // one partition, bad key in the middle: without evict-on-error the
+      // leftover "fgh\r\nEND" bytes would be parsed as the NEXT key's reply
+      val keys = Seq("p/1", "p/bad", "p/2", "p/3").toDF("key").coalesce(1)
+      val rows = MemcachedStore.fetch(keys, hosts, timeoutMs = 2000)
+        .collect().map(r => r.getAs[String]("key") -> r).toMap
+      assert(rows("p/bad").getAs[String]("error") != null, "poisoned row errors")
+      good.foreach { k =>
+        assert(rows(k).getAs[String]("error") == null, s"$k unaffected")
+        assert(new String(rows(k).getAs[Array[Byte]]("data"), UTF_8) == k)
+      }
     }
   }
 
