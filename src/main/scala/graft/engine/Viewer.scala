@@ -1,0 +1,309 @@
+package graft.engine
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentHashMap
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.TileCoord
+import graft.image.ImageCodec
+
+/** Tile viewer — the reference's serving/inspection layer
+  * (scripts/tc_viewer.py:16-41 tile route, :44-64 layersettings,
+  * :67-121 client pages) re-expressed over the engine's tile
+  * relations. A development tool, not a distributed operator: it runs
+  * on the DRIVER and answers map-client HTTP requests from a set of
+  * layers, each backed by any tile DataFrame ([[Stores.open]] URI,
+  * an MBTiles shard dir, a z-partitioned tile table, …).
+  *
+  * Route semantics, faithfully to the reference:
+  *   - `/tiles/<i>/tiles/<z>/<x>/<y>[.ext]` — get the tile from layer
+  *     i at the ROOT-OFFSET coordinate
+  *     `(z + root.z, x + root.x * 2^z, y + root.y * 2^z)`
+  *     (tc_viewer.py:21): a missing tile → 404, a present tile with
+  *     null data → 204 (:29-32), otherwise 200 with the content type
+  *     sniffed from magic bytes (the ContentTypeAdder pass, :33-35),
+  *     `Access-Control-Allow-Origin: *` (:38) and exact
+  *     content-length. Out-of-range layer index → 404 (:18-19).
+  *   - `/tiles/<i>/layersettings.json` — extent + maxlod + name +
+  *     type from the layer's cheap bounding pyramid (:44-64).
+  *   - `/`, `/leaflet`, `/openlayers` — the index page and map-client
+  *     pages, layer list templated in (the reference's views templates).
+  *   - optional memo cache (`--cache`, :22-27).
+  *
+  * Serving strategy: each request is ONE point lookup. For a
+  * Spark-backed layer that is a z/x/y-filtered job — partition- and
+  * row-group-prunable against the engine's z-partitioned, Z-order
+  * sorted tile tables, so a lookup touches one file split, and the
+  * memo cache collapses the map client's repeated fetches. For small
+  * stores [[preloadedLayer]] collects once into a driver map (the
+  * `--preload` flag; guarded by an explicit tile budget — a viewer
+  * must never accidentally `.collect()` a 10^12-tile relation).
+  */
+object Viewer {
+
+  /** Point-lookup result, mirroring the reference's three cases. */
+  sealed trait TileResult
+  case object NotFound extends TileResult
+  case object NoData extends TileResult // present, data=None → 204
+  final case class Data(bytes: Array[Byte]) extends TileResult
+
+  /** One served layer: a name, a point lookup, and a cheap bounding
+    * pyramid `(maxlod, x0, x1, y0, y1)` for layersettings.json (None
+    * → the reference's full-extent z20 fallback, tc_viewer.py:50-52). */
+  final case class Layer(
+      name: String,
+      lookup: TileCoord => TileResult,
+      pyramid: () => Option[(Int, Long, Long, Long, Long)] = () => None)
+
+  /** Layer over a tile DataFrame `(z, x, y, data, …)`: every lookup is
+    * one pruned point query; the pyramid is the cheap agg the q01
+    * report uses (max z, min/max x/y there). */
+  def sparkLayer(name: String, df: DataFrame): Layer = {
+    val cols = df.columns.toSet
+    require(Set("z", "x", "y", "data").subsetOf(cols), s"tile relation needs z,x,y,data: $cols")
+    Layer(
+      name,
+      tc => {
+        val rows = df
+          .where(col("z") === tc.z && col("x") === tc.x && col("y") === tc.y)
+          .select(col("data"))
+          .take(1)
+        if (rows.isEmpty) NotFound
+        else Option(rows(0).getAs[Array[Byte]](0)).map(Data(_)).getOrElse(NoData)
+      },
+      () => {
+        val top = df.groupBy(col("z")).agg(
+          min(col("x")).as("x0"), max(col("x")).as("x1"),
+          min(col("y")).as("y0"), max(col("y")).as("y1"))
+          .orderBy(col("z").desc).take(1)
+        top.headOption.map(r => (
+          r.getAs[Number]("z").intValue,
+          r.getAs[Number]("x0").longValue, r.getAs[Number]("x1").longValue + 1,
+          r.getAs[Number]("y0").longValue, r.getAs[Number]("y1").longValue + 1))
+      })
+  }
+
+  /** Layer fully materialized on the driver — for small stores where
+    * per-request jobs are overkill. Refuses relations above
+    * `maxTiles`: the budget makes the collect deliberate. */
+  def preloadedLayer(name: String, df: DataFrame, maxTiles: Int = 1 << 20): Layer = {
+    val n = df.count()
+    require(n <= maxTiles, s"viewer preload: $n tiles exceeds the $maxTiles budget; serve spark-backed instead")
+    val tiles = df.select(col("z"), col("x"), col("y"), col("data")).collect().map { r =>
+      (r.getAs[Number]("z").intValue, r.getAs[Number]("x").longValue,
+        r.getAs[Number]("y").longValue) -> Option(r.getAs[Array[Byte]]("data"))
+    }.toMap
+    val pyr =
+      if (tiles.isEmpty) None
+      else {
+        val maxZ = tiles.keysIterator.map(_._1).max
+        val at = tiles.keysIterator.filter(_._1 == maxZ).toSeq
+        Some((maxZ, at.map(_._2).min, at.map(_._2).max + 1, at.map(_._3).min, at.map(_._3).max + 1))
+      }
+    Layer(
+      name,
+      tc => tiles.get((tc.z, tc.x, tc.y)) match {
+        case None          => NotFound
+        case Some(None)    => NoData
+        case Some(Some(b)) => Data(b)
+      },
+      () => pyr)
+  }
+
+  private val TileRe = """/tiles/(\d+)/tiles/(\d+)/(\d+)/(\d+)(\.[A-Za-z0-9]*)?""".r
+  private val SettingsRe = """/tiles/(\d+)/layersettings\.json""".r
+
+  private def respond(ex: HttpExchange, status: Int, body: Array[Byte],
+      headers: Seq[(String, String)] = Nil): Unit = {
+    headers.foreach { case (k, v) => ex.getResponseHeaders.add(k, v) }
+    if (status == 204 || body.isEmpty) ex.sendResponseHeaders(status, -1)
+    else {
+      ex.sendResponseHeaders(status, body.length.toLong)
+      ex.getResponseBody.write(body)
+    }
+    ex.close()
+  }
+
+  private def htmlIndex: String =
+    """<!doctype html>
+      |<html><head><title>graft tiles</title></head><body><ul>
+      |<li><a href="/leaflet">Leaflet</a></li>
+      |<li><a href="/openlayers">OpenLayers</a></li>
+      |</ul></body></html>""".stripMargin
+
+  /** Leaflet page: one L.TileLayer per layer on the viewer's own tile
+    * route (the reference's views/leaflet.tpl shape, modern CDN). */
+  private def htmlLeaflet(layers: Seq[Layer]): String = {
+    val adds = layers.zipWithIndex.map { case (l, i) =>
+      s"""layers[${jsString(l.name)}] = L.tileLayer('/tiles/$i/tiles/{z}/{x}/{y}');
+         |map.addLayer(layers[${jsString(l.name)}]);""".stripMargin
+    }.mkString("\n")
+    s"""<!doctype html>
+       |<html><head><meta charset="utf-8">
+       |<link rel="stylesheet" href="https://unpkg.com/leaflet/dist/leaflet.css">
+       |<script src="https://unpkg.com/leaflet/dist/leaflet.js"></script>
+       |<style>html,body,#map{margin:0;padding:0;height:100%}</style>
+       |<title>Leaflet - graft</title></head>
+       |<body><div id="map" style="width:100%;height:100%"></div>
+       |<script>
+       |var map = L.map('map').setView([0, 0], 0);
+       |var layers = {};
+       |$adds
+       |L.control.layers({}, layers).addTo(map);
+       |</script></body></html>""".stripMargin
+  }
+
+  /** OpenLayers page (views/openlayers.tpl shape, modern ol CDN). */
+  private def htmlOpenLayers(layers: Seq[Layer]): String = {
+    val arr = layers.zipWithIndex.map { case (l, i) =>
+      s"""new ol.layer.Tile({title: ${jsString(l.name)},
+         |  source: new ol.source.XYZ({url: '/tiles/$i/tiles/{z}/{x}/{y}'})})""".stripMargin
+    }.mkString(",\n")
+    s"""<!doctype html>
+       |<html><head><meta charset="utf-8">
+       |<link rel="stylesheet" href="https://cdn.jsdelivr.net/npm/ol/ol.css">
+       |<script src="https://cdn.jsdelivr.net/npm/ol/dist/ol.js"></script>
+       |<style>html,body,#map{margin:0;padding:0;height:100%}</style>
+       |<title>OpenLayers - graft</title></head>
+       |<body><div id="map" style="width:100%;height:100%"></div>
+       |<script>
+       |new ol.Map({target: 'map',
+       |  layers: [$arr],
+       |  view: new ol.View({center: [0, 0], zoom: 0})});
+       |</script></body></html>""".stripMargin
+  }
+
+  private def jsString(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  private def jsonString(s: String): String =
+    "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    } + "\""
+
+  /** layersettings.json (tc_viewer.py:44-64): extent at maxlod from
+    * the cheap pyramid (full-extent z20 fallback), type from a sniffed
+    * root-area tile (json → elevation, else image + format). */
+  private def layerSettings(layer: Layer): String = {
+    val (maxlod, x0, x1, y0, y1) =
+      layer.pyramid().getOrElse((20, 0L, 1L << 20, 0L, 1L << 20))
+    val ct = layer.lookup(TileCoord(maxlod, x0, y0)) match {
+      case Data(b) => ImageCodec.sniffContentType(b)
+      case _       => None
+    }
+    val extent = s"[$x0, $y0, $x1, $y1]"
+    ct match {
+      case Some("application/json") =>
+        s"""{"extent": $extent, "maxlod": $maxlod, "name": ${jsonString(layer.name)}, "type": "elevation"}"""
+      case Some("image/png") =>
+        s"""{"extent": $extent, "format": "png", "maxlod": $maxlod, "name": ${jsonString(layer.name)}, "type": "image"}"""
+      case _ => // jpeg or unknown → the reference's jpg default
+        s"""{"extent": $extent, "format": "jpg", "maxlod": $maxlod, "name": ${jsonString(layer.name)}, "type": "image"}"""
+    }
+  }
+
+  /** Start the viewer; returns the running server (port 0 → ephemeral,
+    * read it back from `getAddress.getPort`). `root` re-bases client
+    * z/x/y exactly like the reference's --root (tc_viewer.py:21). */
+  def serve(
+      layers: Seq[Layer],
+      host: String = "127.0.0.1",
+      port: Int = 0,
+      root: TileCoord = TileCoord(0, 0, 0),
+      cache: Boolean = false): HttpServer = {
+    val memo = new ConcurrentHashMap[(Int, Int, Long, Long), TileResult]()
+    val server = HttpServer.create(new InetSocketAddress(host, port), 0)
+
+    def html(body: String)(ex: HttpExchange): Unit =
+      respond(ex, 200, body.getBytes(UTF_8), Seq("Content-Type" -> "text/html; charset=utf-8"))
+
+    server.createContext("/", (ex: HttpExchange) => {
+      ex.getRequestURI.getPath match {
+        case "/"           => html(htmlIndex)(ex)
+        case "/leaflet"    => html(htmlLeaflet(layers))(ex)
+        case "/openlayers" => html(htmlOpenLayers(layers))(ex)
+        case SettingsRe(iS) =>
+          val i = iS.toInt
+          if (i >= layers.length) respond(ex, 404, Array.empty)
+          else respond(ex, 200, layerSettings(layers(i)).getBytes(UTF_8),
+            Seq("Content-Type" -> "application/json"))
+        case TileRe(iS, zS, xS, yS, _) =>
+          val i = iS.toInt
+          if (i >= layers.length) respond(ex, 404, Array.empty)
+          else {
+            val z = zS.toInt
+            val tc = TileCoord(z + root.z, xS.toLong + root.x * (1L << z), yS.toLong + root.y * (1L << z))
+            val key = (i, tc.z, tc.x, tc.y)
+            val result =
+              if (cache) memo.computeIfAbsent(key, _ => layers(i).lookup(tc))
+              else layers(i).lookup(tc)
+            result match {
+              case NotFound => respond(ex, 404, Array.empty)
+              case NoData   => respond(ex, 204, Array.empty)
+              case Data(b) =>
+                val hdrs = Seq("Access-Control-Allow-Origin" -> "*") ++
+                  ImageCodec.sniffContentType(b).map("Content-Type" -> _)
+                respond(ex, 200, b, hdrs)
+            }
+          }
+        case _ => respond(ex, 404, Array.empty)
+      }
+    })
+    server.setExecutor(null)
+    server.start()
+    server
+  }
+
+  /** CLI: `runMain graft.engine.Viewer [--port N] [--host H]
+    * [--root z/x/y] [--cache] [--preload] <store-uri>...` — each URI
+    * opens through [[Stores.open]] (tiles://, mbtiles://, gpkg://,
+    * bsddb://, zip://, file://…). */
+  def main(args: Array[String]): Unit = {
+    var port = 8080
+    var host = "127.0.0.1"
+    var root = TileCoord(0, 0, 0)
+    var cache = false
+    var preload = false
+    val uris = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--port"    => port = args(i + 1).toInt; i += 2
+        case "--host"    => host = args(i + 1); i += 2
+        case "--cache"   => cache = true; i += 1
+        case "--preload" => preload = true; i += 1
+        case "--root" =>
+          val Array(z, x, y) = args(i + 1).split("/")
+          root = TileCoord(z.toInt, x.toLong, y.toLong); i += 2
+        case uri => uris += uri; i += 1
+      }
+    }
+    require(uris.nonEmpty, "viewer: at least one store URI")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-viewer")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val layers = uris.toSeq.map { uri =>
+      val name = uri.substring(uri.lastIndexOf('/') + 1) match {
+        case "" => uri
+        case n  => n
+      }
+      val df = Stores.open(spark, uri)
+      if (preload) preloadedLayer(name, df) else sparkLayer(name, df)
+    }
+    val server = serve(layers, host, port, root, cache)
+    println(s"viewer listening on http://$host:${server.getAddress.getPort}/ (${layers.size} layers)")
+    Thread.currentThread.join()
+  }
+}

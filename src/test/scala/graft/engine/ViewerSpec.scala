@@ -1,0 +1,131 @@
+package graft.engine
+
+import java.net.{HttpURLConnection, URL}
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.SparkTestBase
+import graft.core.TileCoord
+import graft.image.ImageCodec
+
+/** Viewer spec: the reference's tc_viewer route contract
+  * (scripts/tc_viewer.py:16-41) exercised over a real loopback
+  * HttpServer — 200 with sniffed content type + CORS, 204 for
+  * present-but-null, 404 for absent/out-of-range, --root re-basing,
+  * the memo cache, layersettings.json, and the preload budget. */
+class ViewerSpec extends SparkTestBase {
+
+  private val png = ImageCodec.encode(ImageCodec.gradientImage(8, 7L), "png")
+
+  /** GET returning (status, body, headers). */
+  private def get(port: Int, path: String): (Int, Array[Byte], Map[String, String]) = {
+    val conn = new URL(s"http://127.0.0.1:$port$path")
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(5000)
+    val status = conn.getResponseCode
+    val in = Option(if (status >= 400) conn.getErrorStream else conn.getInputStream)
+    val body = in.map(_.readAllBytes()).getOrElse(Array.empty[Byte])
+    val headers = Iterator
+      .from(1)
+      .map(i => (conn.getHeaderFieldKey(i), conn.getHeaderField(i)))
+      .takeWhile(_._1 != null)
+      .map { case (k, v) => k.toLowerCase -> v }
+      .toMap
+    conn.disconnect()
+    (status, body, headers)
+  }
+
+  private def withServer[A](layers: Seq[Viewer.Layer],
+      root: TileCoord = TileCoord(0, 0, 0), cache: Boolean = false)(f: Int => A): A = {
+    val server = Viewer.serve(layers, port = 0, root = root, cache = cache)
+    try f(server.getAddress.getPort)
+    finally server.stop(0)
+  }
+
+  private def tilesDf = {
+    import spark.implicits._
+    // (3,1,1) has PNG bytes, (3,2,2) is present with null data.
+    Seq(
+      (3, 1L, 1L, Some(png)),
+      (3, 2L, 2L, Option.empty[Array[Byte]]))
+      .toDF("z", "x", "y", "data")
+  }
+
+  test("tile route: 200 + sniffed content type + CORS, 204 null data, 404 missing (tc_viewer.py:29-38)") {
+    for (layer <- Seq(
+        Viewer.sparkLayer("a", tilesDf),
+        Viewer.preloadedLayer("a", tilesDf))) {
+      withServer(Seq(layer)) { port =>
+        val (st, body, hdrs) = get(port, "/tiles/0/tiles/3/1/1")
+        assert(st == 200)
+        assert(body.sameElements(png))
+        assert(hdrs("content-type") == "image/png")
+        assert(hdrs("access-control-allow-origin") == "*")
+        assert(get(port, "/tiles/0/tiles/3/1/1.png")._1 == 200) // extension ignored
+        assert(get(port, "/tiles/0/tiles/3/2/2")._1 == 204)
+        assert(get(port, "/tiles/0/tiles/3/5/5")._1 == 404)
+        assert(get(port, "/tiles/9/tiles/3/1/1")._1 == 404) // layer out of range
+        assert(get(port, "/nope")._1 == 404)
+      }
+    }
+  }
+
+  test("--root re-bases client coords: (z+rz, x+rx*2^z, y+ry*2^z) (tc_viewer.py:21)") {
+    // root=(1,1,0): client z=2,x=0,y=1 → store (3, 0+1*4, 1+0*4) = (3,4,1).
+    import spark.implicits._
+    val df = Seq((3, 4L, 1L, Some(png))).toDF("z", "x", "y", "data")
+    withServer(Seq(Viewer.preloadedLayer("r", df)), root = TileCoord(1, 1, 0)) { port =>
+      assert(get(port, "/tiles/0/tiles/2/0/1")._1 == 200)
+      assert(get(port, "/tiles/0/tiles/3/4/1")._1 == 404) // un-rebased coord misses
+    }
+  }
+
+  test("memo cache collapses repeated fetches (tc_viewer.py:22-27)") {
+    val calls = new AtomicInteger(0)
+    val layer = Viewer.Layer("c", _ => { calls.incrementAndGet(); Viewer.Data(png) })
+    withServer(Seq(layer), cache = true) { port =>
+      (1 to 3).foreach(_ => assert(get(port, "/tiles/0/tiles/3/1/1")._1 == 200))
+      assert(calls.get == 1)
+      assert(get(port, "/tiles/0/tiles/3/1/2")._1 == 200) // distinct coord → new lookup
+      assert(calls.get == 2)
+    }
+  }
+
+  test("layersettings.json: extent from the max-z pyramid row, png format (tc_viewer.py:44-64)") {
+    withServer(Seq(Viewer.preloadedLayer("mylayer", tilesDf))) { port =>
+      val (st, body, hdrs) = get(port, "/tiles/0/layersettings.json")
+      assert(st == 200)
+      assert(hdrs("content-type") == "application/json")
+      val s = new String(body, "UTF-8")
+      assert(s.contains(""""extent": [1, 1, 3, 3]"""))
+      assert(s.contains(""""maxlod": 3"""))
+      assert(s.contains(""""name": "mylayer""""))
+      assert(s.contains(""""format": "png""""))
+      assert(s.contains(""""type": "image""""))
+    }
+  }
+
+  test("index and map-client pages render the layer list") {
+    withServer(Seq(Viewer.preloadedLayer("l0", tilesDf))) { port =>
+      assert(get(port, "/")._1 == 200)
+      val (st, body, _) = get(port, "/leaflet")
+      assert(st == 200)
+      assert(new String(body, "UTF-8").contains("/tiles/0/tiles/{z}/{x}/{y}"))
+      val (st2, body2, _) = get(port, "/openlayers")
+      assert(st2 == 200)
+      assert(new String(body2, "UTF-8").contains("ol.source.XYZ"))
+    }
+  }
+
+  test("preload refuses relations above the tile budget") {
+    import spark.implicits._
+    val big = spark.range(10).select(
+      org.apache.spark.sql.functions.lit(1).as("z"),
+      org.apache.spark.sql.functions.col("id").as("x"),
+      org.apache.spark.sql.functions.col("id").as("y"),
+      org.apache.spark.sql.functions.lit(Array.empty[Byte]).as("data"))
+    intercept[IllegalArgumentException] {
+      Viewer.preloadedLayer("big", big, maxTiles = 5)
+    }
+  }
+}
