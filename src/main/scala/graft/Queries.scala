@@ -20,6 +20,37 @@ object GraftQueries {
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The three-polygon test scene shared by the raster↔vector pair
+    * (q68 point-in-polygon, q70 rasterize): a pentagon, a CONCAVE L
+    * whose notch defeats any convex shortcut, and an overlapping
+    * triangle over a 1000×1000 planar extent. ONE definition feeds
+    * both queries and both oracle SQL strings, so the pair the
+    * comments call a dual cannot silently drift apart. Vertices carry
+    * non-dyadic decimals so no edge passes exactly through a tested
+    * point. */
+  private val SpatialScene: Seq[(Long, Seq[(Double, Double)])] = Seq(
+    (1L, Seq((100.3, 100.7), (400.1, 80.9), (500.7, 300.3), (300.9, 450.1), (80.3, 300.9))),
+    (2L, Seq((550.1, 550.7), (950.3, 550.9), (950.7, 950.1), (790.9, 950.3), (790.1, 710.7), (550.9, 710.1))),
+    (3L, Seq((200.7, 50.3), (600.9, 200.1), (250.3, 400.7))))
+
+  /** [[SpatialScene]] as a `(polygon_id, vertices)` frame with the
+    * `array<struct<x,y>>` column [[graft.engine.Spatial]] expects. */
+  private def spatialSceneDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    SpatialScene.toDF("polygon_id", "vraw")
+      .select(col("polygon_id"),
+        transform(col("vraw"), v => struct(
+          v.getField("_1").as("x"), v.getField("_2").as("y"))).as("vertices"))
+  }
+
+  /** [[SpatialScene]] as DuckDB VALUES rows (list-of-struct vertex
+    * literals). All coordinates are one-decimal doubles, so
+    * Double.toString renders them exactly. */
+  private val spatialSceneSql: String = SpatialScene.map { case (id, vs) =>
+    val lits = vs.map { case (x, y) => s"{'x': $x, 'y': $y}" }.mkString(", ")
+    s"    (CAST($id AS BIGINT), [$lits])"
+  }.mkString(",\n")
+
   /** Derived tile coords from lineitem keys. */
   private def coords(s: SparkSession, dir: String): DataFrame = {
     val z = (col("l_linenumber") % 8).cast("int")
@@ -1979,29 +2010,18 @@ object GraftQueries {
     // passes exactly through a point.
     ("q68_point_in_polygon",
       (s: SparkSession, dir: String) => {
-        import s.implicits._
         val pts = table(s, dir, "lineitem").select(
           ((col("l_orderkey") % 1000) + 0.5).as("px"),
           ((col("l_partkey") % 1000) + 0.5).as("py"),
           col("l_orderkey").as("k"))
-        val polys = Seq(
-          (1L, Seq((100.3, 100.7), (400.1, 80.9), (500.7, 300.3), (300.9, 450.1), (80.3, 300.9))),
-          (2L, Seq((550.1, 550.7), (950.3, 550.9), (950.7, 950.1), (790.9, 950.3), (790.1, 710.7), (550.9, 710.1))),
-          (3L, Seq((200.7, 50.3), (600.9, 200.1), (250.3, 400.7))))
-          .toDF("polygon_id", "vraw")
-          .select(col("polygon_id"),
-            transform(col("vraw"), v => struct(
-              v.getField("_1").as("x"), v.getField("_2").as("y"))).as("vertices"))
-        graft.engine.Spatial.polygonJoin(pts, polys, 4, 0, 0, 1000, 1000)
+        graft.engine.Spatial.polygonJoin(pts, spatialSceneDf(s), 4, 0, 0, 1000, 1000)
           .groupBy("polygon_id")
           .agg(count(lit(1)).as("n_pts"), sum("k").as("sum_key"))
           .orderBy("polygon_id")
       },
-      Some("""WITH polys AS (
+      Some(s"""WITH polys AS (
         |  SELECT * FROM (VALUES
-        |    (CAST(1 AS BIGINT), [{'x': 100.3, 'y': 100.7}, {'x': 400.1, 'y': 80.9}, {'x': 500.7, 'y': 300.3}, {'x': 300.9, 'y': 450.1}, {'x': 80.3, 'y': 300.9}]),
-        |    (CAST(2 AS BIGINT), [{'x': 550.1, 'y': 550.7}, {'x': 950.3, 'y': 550.9}, {'x': 950.7, 'y': 950.1}, {'x': 790.9, 'y': 950.3}, {'x': 790.1, 'y': 710.7}, {'x': 550.9, 'y': 710.1}]),
-        |    (CAST(3 AS BIGINT), [{'x': 200.7, 'y': 50.3}, {'x': 600.9, 'y': 200.1}, {'x': 250.3, 'y': 400.7}])
+$spatialSceneSql
         |  ) AS t(polygon_id, vs)),
         |pts AS (
         |  SELECT (l_orderkey % 1000) + 0.5 AS px,
@@ -2052,24 +2072,13 @@ object GraftQueries {
     // hash match also proves the prefilter drops nothing.
     ("q70_rasterize",
       (s: SparkSession, dir: String) => {
-        import s.implicits._
-        val polys = Seq(
-          (1L, Seq((100.3, 100.7), (400.1, 80.9), (500.7, 300.3), (300.9, 450.1), (80.3, 300.9))),
-          (2L, Seq((550.1, 550.7), (950.3, 550.9), (950.7, 950.1), (790.9, 950.3), (790.1, 710.7), (550.9, 710.1))),
-          (3L, Seq((200.7, 50.3), (600.9, 200.1), (250.3, 400.7))))
-          .toDF("polygon_id", "vraw")
-          .select(col("polygon_id"),
-            transform(col("vraw"), v => struct(
-              v.getField("_1").as("x"), v.getField("_2").as("y"))).as("vertices"))
-        graft.engine.Spatial.rasterize(polys, 6, 0, 0, 1000, 1000)
+        graft.engine.Spatial.rasterize(spatialSceneDf(s), 6, 0, 0, 1000, 1000)
           .select(col("polygon_id"), col("cx"), col("cy"))
           .orderBy("polygon_id", "cy", "cx")
       },
-      Some("""WITH polys AS (
+      Some(s"""WITH polys AS (
         |  SELECT * FROM (VALUES
-        |    (CAST(1 AS BIGINT), [{'x': 100.3, 'y': 100.7}, {'x': 400.1, 'y': 80.9}, {'x': 500.7, 'y': 300.3}, {'x': 300.9, 'y': 450.1}, {'x': 80.3, 'y': 300.9}]),
-        |    (CAST(2 AS BIGINT), [{'x': 550.1, 'y': 550.7}, {'x': 950.3, 'y': 550.9}, {'x': 950.7, 'y': 950.1}, {'x': 790.9, 'y': 950.3}, {'x': 790.1, 'y': 710.7}, {'x': 550.9, 'y': 710.1}]),
-        |    (CAST(3 AS BIGINT), [{'x': 200.7, 'y': 50.3}, {'x': 600.9, 'y': 200.1}, {'x': 250.3, 'y': 400.7}])
+$spatialSceneSql
         |  ) AS t(polygon_id, vs)),
         |cells AS (
         |  SELECT gx.i AS cx, gy.i AS cy,

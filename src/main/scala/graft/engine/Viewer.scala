@@ -220,44 +220,67 @@ object Viewer {
       root: TileCoord = TileCoord(0, 0, 0),
       cache: Boolean = false): HttpServer = {
     val memo = new ConcurrentHashMap[(Int, Int, Long, Long), TileResult]()
+    val settingsMemo = new ConcurrentHashMap[Int, Array[Byte]]()
     val server = HttpServer.create(new InetSocketAddress(host, port), 0)
 
     def html(body: String)(ex: HttpExchange): Unit =
       respond(ex, 200, body.getBytes(UTF_8), Seq("Content-Type" -> "text/html; charset=utf-8"))
 
-    server.createContext("/", (ex: HttpExchange) => {
-      ex.getRequestURI.getPath match {
-        case "/"           => html(htmlIndex)(ex)
-        case "/leaflet"    => html(htmlLeaflet(layers))(ex)
-        case "/openlayers" => html(htmlOpenLayers(layers))(ex)
-        case SettingsRe(iS) =>
-          val i = iS.toInt
-          if (i >= layers.length) respond(ex, 404, Array.empty)
-          else respond(ex, 200, layerSettings(layers(i)).getBytes(UTF_8),
-            Seq("Content-Type" -> "application/json"))
-        case TileRe(iS, zS, xS, yS, _) =>
-          val i = iS.toInt
-          if (i >= layers.length) respond(ex, 404, Array.empty)
-          else {
-            val z = zS.toInt
-            val tc = TileCoord(z + root.z, xS.toLong + root.x * (1L << z), yS.toLong + root.y * (1L << z))
-            val key = (i, tc.z, tc.x, tc.y)
-            val result =
-              if (cache) memo.computeIfAbsent(key, _ => layers(i).lookup(tc))
-              else layers(i).lookup(tc)
-            result match {
-              case NotFound => respond(ex, 404, Array.empty)
-              case NoData   => respond(ex, 204, Array.empty)
-              case Data(b) =>
-                val hdrs = Seq("Access-Control-Allow-Origin" -> "*") ++
-                  ImageCodec.sniffContentType(b).map("Content-Type" -> _)
-                respond(ex, 200, b, hdrs)
+    server.createContext("/", (ex: HttpExchange) =>
+      try {
+        ex.getRequestURI.getPath match {
+          case "/"           => html(htmlIndex)(ex)
+          case "/leaflet"    => html(htmlLeaflet(layers))(ex)
+          case "/openlayers" => html(htmlOpenLayers(layers))(ex)
+          case SettingsRe(iS) =>
+            iS.toIntOption.filter(_ < layers.length) match {
+              case None => respond(ex, 404, Array.empty)
+              case Some(i) =>
+                // the pyramid agg is a full-relation scan — memoize it
+                // under the same flag that memoizes tile lookups
+                val body =
+                  if (cache) settingsMemo.computeIfAbsent(i, _ => layerSettings(layers(i)).getBytes(UTF_8))
+                  else layerSettings(layers(i)).getBytes(UTF_8)
+                respond(ex, 200, body, Seq("Content-Type" -> "application/json"))
             }
-          }
-        case _ => respond(ex, 404, Array.empty)
-      }
-    })
-    server.setExecutor(null)
+          case TileRe(iS, zS, xS, yS, _) =>
+            // toIntOption/toLongOption: an overflowing (\d+) capture is
+            // a 404, not an exception; z is bounded so 1L << z and the
+            // root re-basing arithmetic can't wrap
+            (iS.toIntOption, zS.toIntOption, xS.toLongOption, yS.toLongOption) match {
+              case (Some(i), Some(z), Some(x), Some(y))
+                  if i < layers.length && z >= 0 && z + root.z <= 62 =>
+                val tc = TileCoord(z + root.z, x + root.x * (1L << z), y + root.y * (1L << z))
+                val key = (i, tc.z, tc.x, tc.y)
+                val result =
+                  if (cache) memo.computeIfAbsent(key, _ => layers(i).lookup(tc))
+                  else layers(i).lookup(tc)
+                result match {
+                  case NotFound => respond(ex, 404, Array.empty)
+                  case NoData   => respond(ex, 204, Array.empty)
+                  case Data(b) =>
+                    val hdrs = Seq("Access-Control-Allow-Origin" -> "*") ++
+                      ImageCodec.sniffContentType(b).map("Content-Type" -> _)
+                    respond(ex, 200, b, hdrs)
+                }
+              case _ => respond(ex, 404, Array.empty)
+            }
+          case _ => respond(ex, 404, Array.empty)
+        }
+      } catch {
+        // a failing lookup must answer 500, not drop the connection
+        case e: Exception =>
+          try respond(ex, 500, s"viewer error: $e".getBytes(UTF_8))
+          catch { case _: Exception => ex.close() }
+      })
+    // a map client fires tens of tile requests per pan; a sparkLayer
+    // lookup is a whole Spark job, so the single-dispatcher default
+    // would serialize the paint head-of-line
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16, r => {
+      val t = new Thread(r, "graft-viewer")
+      t.setDaemon(true) // serving must not pin the JVM after stop()
+      t
+    }))
     server.start()
     server
   }

@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.net.{HttpURLConnection, URI}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.Base64
 import javax.crypto.Mac
@@ -116,40 +115,10 @@ object AzureBlobStore {
         s"${S3Store.uriEncode(k, keepSlash = false)}=${S3Store.uriEncode(v, keepSlash = false)}"
       }.mkString("&")
     val url = endpoint + s"/${creds.account}" + S3Store.uriEncode(path, keepSlash = true) + qs
-    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
-    conn.setConnectTimeout(timeoutMs)
-    conn.setReadTimeout(timeoutMs)
-    conn.setRequestMethod(method)
-    xms.foreach { case (k, v) => conn.setRequestProperty(k, v) }
-    if (contentType != null) conn.setRequestProperty("Content-Type", contentType)
-    conn.setRequestProperty("Authorization", auth)
-    if (body != null && body.nonEmpty) {
-      conn.setDoOutput(true)
-      conn.setFixedLengthStreamingMode(body.length)
-      val out = conn.getOutputStream
-      out.write(body); out.close()
-    }
-    try {
-      val status = conn.getResponseCode
-      val hdrs = {
-        import scala.jdk.CollectionConverters._
-        conn.getHeaderFields.asScala.collect {
-          case (k, vs) if k != null && !vs.isEmpty => k.toLowerCase -> vs.get(0)
-        }.toMap
-      }
-      val stream = if (status < 400) conn.getInputStream else conn.getErrorStream
-      val bodyOut =
-        if (stream == null || method == "HEAD") Array.emptyByteArray
-        else {
-          val buf = new java.io.ByteArrayOutputStream()
-          val tmp = new Array[Byte](8192)
-          var n = stream.read(tmp)
-          while (n >= 0) { buf.write(tmp, 0, n); n = stream.read(tmp) }
-          stream.close()
-          buf.toByteArray
-        }
-      (status, hdrs, bodyOut)
-    } finally conn.disconnect()
+    val hdrs = xms ++
+      (if (contentType != null) Seq("Content-Type" -> contentType) else Nil) :+
+      ("Authorization" -> auth)
+    Http.exchange(url, method, hdrs, body, timeoutMs)
   }
 
   private val getFields = Seq(
@@ -218,8 +187,11 @@ object AzureBlobStore {
               ctIdx.flatMap(i => Option(r.getString(i))).map("x-ms-blob-content-type" -> _) ++
               ceIdx.flatMap(i => Option(r.getString(i))).map("x-ms-blob-content-encoding" -> _) ++
               cacheControl.map("x-ms-blob-cache-control" -> _)
+            // null data still PUTs a zero-length blob (empty tiles are
+            // legal); Http.exchange needs non-null to send a body
+            val data = Option(r.getAs[Array[Byte]](dataIdx)).getOrElse(Array.emptyByteArray)
             val (status, _, body) = request(endpoint, container, key, "PUT", Nil, hdrs,
-              "application/octet-stream", r.getAs[Array[Byte]](dataIdx), creds, timeoutMs)
+              "application/octet-stream", data, creds, timeoutMs)
             if (status == 201) null
             else s"az://$container/$key\n$status: ${new String(body, UTF_8)}"
           } catch { case e: Exception => s"az://$container/$key\n$e" }
@@ -316,8 +288,11 @@ object AzureBlobStore {
           if (status != 200)
             throw new RuntimeException(s"az list $container/$prefix: $status ${new String(body, UTF_8)}")
           val xml = new String(body, UTF_8)
-          blobRe.findAllMatchIn(xml).foreach(m => acc += Row(prefix, m.group(1), m.group(2).toLong))
-          marker = markerRe.findFirstMatchIn(xml).map(_.group(1)).getOrElse("")
+          // names (and the continuation marker) arrive entity-escaped
+          blobRe.findAllMatchIn(xml).foreach(m =>
+            acc += Row(prefix, Http.xmlUnescape(m.group(1)), m.group(2).toLong))
+          marker = markerRe.findFirstMatchIn(xml)
+            .map(m => Http.xmlUnescape(m.group(1))).getOrElse("")
           more = marker.nonEmpty
         }
         acc

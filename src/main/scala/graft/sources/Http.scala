@@ -1,0 +1,101 @@
+package graft.sources
+
+import java.io.InputStream
+import java.net.{HttpURLConnection, URI}
+
+/** Shared HTTP transport for the REST-backed stores ([[S3Store]],
+  * [[AzureBlobStore]], [[UrlStore]]): one connection lifecycle, one
+  * drain loop, one XML-entity decoder — so a transport fix lands once
+  * instead of three times.
+  */
+private[sources] object Http {
+
+  /** One request/response exchange. Returns (status, lower-cased
+    * response headers, body bytes).
+    *
+    * Body contract: `null` means NO request body (GET/HEAD/DELETE);
+    * an EMPTY array still opens the output stream so the request
+    * carries `Content-Length: 0` — zero-byte payloads are legal
+    * objects (e.g. empty transparent tiles) and S3/Azure reject a PUT
+    * with no Content-Length (411). The connection is released on
+    * EVERY exit path, including a failure while writing the request
+    * body (a mid-write reset must not leak the socket across a long
+    * per-partition sweep). */
+  def exchange(
+      url: String,
+      method: String,
+      headers: Seq[(String, String)],
+      body: Array[Byte],
+      timeoutMs: Int): (Int, Map[String, String], Array[Byte]) = {
+    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      conn.setRequestMethod(method)
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      if (body != null) {
+        conn.setDoOutput(true)
+        conn.setFixedLengthStreamingMode(body.length)
+        val out = conn.getOutputStream
+        out.write(body); out.close()
+      }
+      val status = conn.getResponseCode
+      val hdrs = {
+        import scala.jdk.CollectionConverters._
+        conn.getHeaderFields.asScala.collect {
+          case (k, vs) if k != null && !vs.isEmpty => k.toLowerCase -> vs.get(0)
+        }.toMap
+      }
+      val stream = if (status < 400) conn.getInputStream else conn.getErrorStream
+      val bodyOut =
+        if (stream == null || method == "HEAD") Array.emptyByteArray
+        else readAll(stream)
+      (status, hdrs, bodyOut)
+    } finally conn.disconnect()
+  }
+
+  /** Drain and close an input stream. */
+  def readAll(in: InputStream): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    try {
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    out.toByteArray
+  }
+
+  /** Decode the five XML named entities plus numeric character
+    * references. Object keys come back entity-escaped in ListObjects /
+    * List Blobs XML ('a&b.png' arrives as 'a&amp;b.png'); feeding the
+    * escaped text back as a key or paging marker 404s or mis-pages. */
+  def xmlUnescape(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        val ent = if (semi > i) s.substring(i + 1, semi) else ""
+        val rep: String = ent match {
+          case "amp"  => "&"
+          case "lt"   => "<"
+          case "gt"   => ">"
+          case "quot" => "\""
+          case "apos" => "'"
+          case e if e.length > 2 && (e.startsWith("#x") || e.startsWith("#X")) =>
+            try new String(Character.toChars(Integer.parseInt(e.substring(2), 16)))
+            catch { case _: Exception => null }
+          case e if e.length > 1 && e.startsWith("#") =>
+            try new String(Character.toChars(Integer.parseInt(e.substring(1))))
+            catch { case _: Exception => null }
+          case _ => null
+        }
+        if (rep != null) { sb.append(rep); i = semi + 1 }
+        else { sb.append(c); i += 1 } // malformed entity: keep literal
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}

@@ -36,10 +36,10 @@ import org.apache.spark.sql.types._
   * executors, so fetch adds no shuffle. Connection count = partition
   * count — repartition upstream to the connection budget the cache
   * tier allows. A real deployment shards by key hash across hosts;
-  * `hostFor` below picks the shard with the same consistent
-  * xxhash-mod-N rule the engine uses for mirrorUrl rotation, so a
-  * multi-host cache tier needs no code change, only a longer host
-  * list.
+  * `hostFor` below picks the shard by a deterministic key hash
+  * (MurmurHash3 mod N — stable across JVMs for capacity planning),
+  * so a multi-host cache tier needs no code change, only a longer
+  * host list.
   */
 object MemcachedStore {
 
@@ -121,8 +121,8 @@ object MemcachedStore {
     override def close(): Unit = socket.close()
   }
 
-  /** Consistent shard pick over a host list — same spread rule as the
-    * engine's mirrorUrl layout rotation (deterministic per key). */
+  /** Deterministic shard pick over a host list (MurmurHash3 mod N,
+    * stable across JVMs and sessions). */
   def hostFor(key: String, hosts: Seq[(String, Int)]): (String, Int) =
     hosts(math.floorMod(scala.util.hashing.MurmurHash3.stringHash(key), hosts.size))
 
@@ -237,12 +237,17 @@ object MemcachedStore {
     }
   }
 
-  /** Lazy per-shard connections for one partition; the iterator is
-    * wrapped so the sockets close exactly when the partition drains
-    * (Spark fully consumes mapPartitions iterators). */
+  /** Lazy per-shard connections for one partition. Closed promptly
+    * when the iterator drains AND unconditionally at task completion
+    * (the listener) — a `limit`/`take` stops pulling mid-iterator and
+    * an exception skips the drain path entirely, so drain-close alone
+    * would leak one socket per shard per partition. closeAll is
+    * idempotent, so the double close is safe. */
   private def withClients[T](hosts: Seq[(String, Int)], timeoutMs: Int)(
       f: Pool => Iterator[T]): Iterator[T] = {
     val pool = new Pool(hosts, timeoutMs)
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => pool.closeAll()))
     val inner = f(pool)
     new Iterator[T] {
       def hasNext: Boolean = {

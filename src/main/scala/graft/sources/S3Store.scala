@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.net.{HttpURLConnection, URI}
+import java.net.URI
 import java.nio.charset.StandardCharsets.UTF_8
 import java.security.MessageDigest
 import javax.crypto.Mac
@@ -150,39 +150,10 @@ object S3Store {
         s"${uriEncode(k, keepSlash = false)}=${uriEncode(v, keepSlash = false)}"
       }.mkString("&")
     val url = endpoint + uriEncode(path, keepSlash = true) + qs
-    val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
-    conn.setConnectTimeout(timeoutMs)
-    conn.setReadTimeout(timeoutMs)
-    conn.setRequestMethod(method)
-    signed.filterNot(_._1 == "host").foreach { case (k, v) => conn.setRequestProperty(k, v) }
-    conn.setRequestProperty("Authorization", auth)
-    if (body != null && body.nonEmpty) {
-      conn.setDoOutput(true)
-      conn.setFixedLengthStreamingMode(body.length)
-      val out = conn.getOutputStream
-      out.write(body); out.close()
-    }
-    try {
-      val status = conn.getResponseCode
-      val hdrs = {
-        import scala.jdk.CollectionConverters._
-        conn.getHeaderFields.asScala.collect {
-          case (k, vs) if k != null && !vs.isEmpty => k.toLowerCase -> vs.get(0)
-        }.toMap
-      }
-      val stream = if (status < 400) conn.getInputStream else conn.getErrorStream
-      val bodyOut =
-        if (stream == null || method == "HEAD") Array.emptyByteArray
-        else {
-          val buf = new java.io.ByteArrayOutputStream()
-          val tmp = new Array[Byte](8192)
-          var n = stream.read(tmp)
-          while (n >= 0) { buf.write(tmp, 0, n); n = stream.read(tmp) }
-          stream.close()
-          buf.toByteArray
-        }
-      (status, hdrs, bodyOut)
-    } finally conn.disconnect()
+    // host is signed but never set explicitly — HttpURLConnection owns it
+    Http.exchange(url, method,
+      signed.filterNot(_._1 == "host") :+ ("Authorization" -> auth),
+      body, timeoutMs)
   }
 
   // ---------------------------------------------------------- operations
@@ -253,8 +224,11 @@ object S3Store {
               ctIdx.flatMap(i => Option(r.getString(i))).map("content-type" -> _) ++
               ceIdx.flatMap(i => Option(r.getString(i))).map("content-encoding" -> _) ++
               cacheControl.map("cache-control" -> _)
+            // null data still PUTs a zero-length object (empty tiles
+            // are legal); Http.exchange needs non-null to send a body
+            val data = Option(r.getAs[Array[Byte]](dataIdx)).getOrElse(Array.emptyByteArray)
             val (status, _, body) = request(endpoint, bucket, key, "PUT", Nil, hdrs,
-              r.getAs[Array[Byte]](dataIdx), creds, timeoutMs)
+              data, creds, timeoutMs)
             if (status == 200) null
             else s"s3://$bucket/$key\n$status: ${new String(body, UTF_8)}"
           } catch { case e: Exception => s"s3://$bucket/$key\n$e" }
@@ -347,7 +321,10 @@ object S3Store {
           if (status != 200)
             throw new RuntimeException(s"s3 list $bucket/$prefix: $status ${new String(body, UTF_8)}")
           val xml = new String(body, UTF_8)
-          val page = keyRe.findAllMatchIn(xml).map(m => (m.group(1), m.group(2).toLong)).toSeq
+          // keys arrive entity-escaped in the XML; unescape before use
+          // (both as the output column and as the paging marker)
+          val page = keyRe.findAllMatchIn(xml)
+            .map(m => (Http.xmlUnescape(m.group(1)), m.group(2).toLong)).toSeq
           page.foreach { case (k, sz) => acc += Row(prefix, k, sz) }
           more = truncRe.findFirstIn(xml).isDefined && page.nonEmpty
           if (more) marker = page.last._1

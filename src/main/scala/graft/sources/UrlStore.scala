@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.io.{ByteArrayOutputStream, InputStream}
 import java.net.{HttpURLConnection, URI}
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
@@ -86,7 +85,7 @@ object UrlStore {
           val ce = conn.getHeaderField("Content-Encoding")
           val reason = Option(conn.getResponseMessage).getOrElse("")
           if (status < 300) {
-            val body = readAll(conn.getInputStream)
+            val body = Http.readAll(conn.getInputStream)
             val statusErr =
               if (status != 200)
                 s"URL: $url\nUnsupported status code $status: $reason"
@@ -97,7 +96,7 @@ object UrlStore {
             } else if (allowsNoContentType) Some((body, ct, ce, statusErr))
             else Some((null, ct, ce, s"URL: $url\nThe Content-Type header is missing"))
           } else {
-            val body = Option(conn.getErrorStream).map(readAll).getOrElse(Array[Byte]())
+            val body = Option(conn.getErrorStream).map(Http.readAll).getOrElse(Array[Byte]())
             Some((null, ct, ce,
               s"URL: $url\n$status: $reason\n${new String(body, "UTF-8")}"))
           }
@@ -106,16 +105,6 @@ object UrlStore {
     } catch {
       case e: Exception => Some((null, null, null, s"URL: $url\n$e"))
     }
-  }
-
-  private def readAll(in: InputStream): Array[Byte] = {
-    val out = new ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    try {
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    } finally in.close()
-    out.toByteArray
   }
 
   /** The WMTS store composition (store/wmts.py:9-26): the KVP/REST URL

@@ -79,10 +79,6 @@ object DedupScale {
     base.unionByName(planted).unionByName(hot)
   }
 
-  private def loadavg(): String =
-    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").head
-    catch { case _: Exception => "?" }
-
   private case class Rung(
       op: String, rows: Long, secs: Double, pairs: Long,
       planted: Long, plantedTotal: Long, cappedBuckets: Long, load: String)
@@ -108,7 +104,7 @@ object DedupScale {
         plantedOf: org.apache.spark.sql.DataFrame => Long)(
         cappedOf: => Long): Unit = {
       spark.sharedState.cacheManager.clearCache()
-      val load = loadavg()
+      val load = ToolUtil.loadavg()
       // construction INSIDE the timed window: some operators (e.g.
       // jaccardPairs' no-pin contract) materialize eagerly when the
       // relation is built, not when it is counted

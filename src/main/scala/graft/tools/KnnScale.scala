@@ -50,10 +50,6 @@ object KnnScale {
   final case class Rung(n: Long, q: Long, zoom: Int, secs: Double,
       out: Long, candidates: Long, perQuery: Double, planted: Long, load: String)
 
-  private def loadavg(): String =
-    scala.util.Try(scala.io.Source.fromFile("/proc/loadavg").getLines().next()
-      .split(" ").head).getOrElse("?")
-
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0).toLong else 1000000L
     val mults = (if (args.length > 1) args(1) else "1,10,100").split(",").map(_.trim.toLong)
@@ -86,7 +82,7 @@ object KnnScale {
       val qs = queries(spark, q)
 
       val knn = SpatialKnn.nearestBatch(qs, assigned, zoom, k, 1)
-      val load = loadavg()
+      val load = ToolUtil.loadavg()
       val t0 = System.nanoTime()
       val out = knn.count()
       val secs = (System.nanoTime() - t0) / 1e9

@@ -33,10 +33,6 @@ object RasterizeScale {
   final case class Rung(m: Long, zoom: Int, r: Double, secs: Double,
       tiles: Long, perPoly: Double, planted: Long, load: String)
 
-  private def loadavg(): String =
-    scala.util.Try(scala.io.Source.fromFile("/proc/loadavg").getLines().next()
-      .split(" ").head).getOrElse("?")
-
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0).toLong else 10000L
     val mults = (if (args.length > 1) args(1) else "1,10,100").split(",").map(_.trim.toLong)
@@ -67,7 +63,7 @@ object RasterizeScale {
           s"rasterize must be shuffle- and join-free, got:\n$plan")
         planShown = true
       }
-      val load = loadavg()
+      val load = ToolUtil.loadavg()
       val t0 = System.nanoTime()
       val tiles = burned.count()
       val secs = (System.nanoTime() - t0) / 1e9

@@ -63,10 +63,6 @@ object SpatialScale {
   final case class Rung(n: Long, m: Long, zoom: Int, secs: Double,
       candidates: Long, matches: Long, planted: Long, load: String)
 
-  private def loadavg(): String =
-    scala.util.Try(scala.io.Source.fromFile("/proc/loadavg").getLines().next()
-      .split(" ").head).getOrElse("?")
-
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0).toLong else 1000000L
     val mults = (if (args.length > 1) args(1) else "1,10").split(",").map(_.trim.toLong)
@@ -90,7 +86,7 @@ object SpatialScale {
         .unionByName(planted.select((col("pid") + n).as("pid"), col("px"), col("py")))
 
       spark.sharedState.cacheManager.clearCache()
-      val load = loadavg()
+      val load = ToolUtil.loadavg()
       val t0 = System.nanoTime()
       val joined = Spatial.polygonJoin(pts, polys, zoom, 0, 0, 1000, 1000).cache()
       val matches = joined.count()

@@ -1,0 +1,11 @@
+package graft.tools
+
+/** Shared helpers for the bench/scale tools. */
+private[tools] object ToolUtil {
+
+  /** 1-minute loadavg as a string ("?" off-Linux) — every scale ladder
+    * records it per rung so shared-box noise is attributable. */
+  def loadavg(): String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").head
+    catch { case _: Exception => "?" }
+}

@@ -128,4 +128,40 @@ class ViewerSpec extends SparkTestBase {
       Viewer.preloadedLayer("big", big, maxTiles = 5)
     }
   }
+
+  test("crafted paths answer 404, never a dropped connection") {
+    withServer(Seq(Viewer.preloadedLayer("a", tilesDf))) { port =>
+      // 11-digit layer index: matches (\d+) but overflows Int.parseInt
+      assert(get(port, "/tiles/99999999999/tiles/3/1/1")._1 == 404)
+      // z=70: 1L << z would wrap the root re-basing arithmetic
+      assert(get(port, "/tiles/0/tiles/70/0/0")._1 == 404)
+      // overflowing x
+      assert(get(port, "/tiles/0/tiles/3/99999999999999999999/0")._1 == 404)
+      // settings for an overflowing index
+      assert(get(port, "/tiles/99999999999/layersettings.json")._1 == 404)
+      // sane requests still work after the bad ones
+      assert(get(port, "/tiles/0/tiles/3/1/1")._1 == 200)
+    }
+  }
+
+  test("failing lookups answer 500, and concurrent requests are served in parallel") {
+    val gate = new java.util.concurrent.CountDownLatch(2)
+    val boom = Viewer.Layer("boom", _ => throw new RuntimeException("backing store gone"))
+    val slow = Viewer.Layer("slow", _ => {
+      gate.countDown()
+      // released only when BOTH in-flight requests have arrived — would
+      // deadlock forever on a single-dispatcher server
+      assert(gate.await(5, java.util.concurrent.TimeUnit.SECONDS), "second request never dispatched")
+      Viewer.NoData
+    })
+    withServer(Seq(boom, slow)) { port =>
+      val (st, body, _) = get(port, "/tiles/0/tiles/3/1/1")
+      assert(st == 500 && new String(body).contains("backing store gone"))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val fs = Seq.fill(2)(pool.submit(() => get(port, "/tiles/1/tiles/3/1/1")._1))
+        assert(fs.map(_.get(10, java.util.concurrent.TimeUnit.SECONDS)) == Seq(204, 204))
+      } finally pool.shutdownNow()
+    }
+  }
 }

@@ -126,10 +126,12 @@ class AzureBlobSpec extends SparkTestBase {
           val all = store.keySet().asScala.toSeq.filter(k => k.startsWith(prefix) && k > marker)
           val page = all.take(maxResults)
           val next = if (all.size > page.size) page.last else ""
+          // real Azure entity-escapes blob names (and the marker)
+          def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
           val xml = "<?xml version=\"1.0\"?><EnumerationResults><Blobs>" +
-            page.map(k => s"<Blob><Name>$k</Name><Properties>" +
+            page.map(k => s"<Blob><Name>${esc(k)}</Name><Properties>" +
               s"<Content-Length>${store.get(k)._1.length}</Content-Length></Properties></Blob>").mkString +
-            "</Blobs>" + (if (next.nonEmpty) s"<NextMarker>$next</NextMarker>" else "") +
+            "</Blobs>" + (if (next.nonEmpty) s"<NextMarker>${esc(next)}</NextMarker>" else "") +
             "</EnumerationResults>"
           respond(ex, 200, xml.getBytes(UTF_8), Seq("Content-Type" -> "application/xml"))
         case "GET" =>
@@ -140,6 +142,12 @@ class AzureBlobSpec extends SparkTestBase {
         case "HEAD" =>
           respond(ex, if (store.containsKey(blob)) 200 else 404, Array.emptyByteArray)
         case "PUT" =>
+          // like the real service: a body-less PUT (no Content-Length
+          // at all) is rejected — zero-length blobs must declare CL: 0
+          if (ex.getRequestHeaders.getFirst("Content-Length") == null) {
+            respond(ex, 411, "<Error><Code>MissingContentLength</Code></Error>".getBytes(UTF_8))
+            return
+          }
           require(ex.getRequestHeaders.getFirst("x-ms-blob-type") == "BlockBlob")
           store.put(blob, (body,
             ex.getRequestHeaders.getFirst("x-ms-blob-content-type"),
@@ -214,6 +222,36 @@ class AzureBlobSpec extends SparkTestBase {
       assert(listed.where(col("prefix") === "6/").count() == 7)
       listed.unpersist()
       assert(az.authFailures == 0)
+    }
+  }
+
+  test("azure blob store: escaped names unescape through list, marker and re-fetch; empty blobs PUT") {
+    val s = spark
+    import s.implicits._
+    withAzure { az =>
+      val keys = Seq("7/a&b.png", "7/c<d>.png", "7/plain.png")
+      val put = AzureBlobStore.put(
+        keys.toDF("key").withColumn("data", col("key").cast("binary")),
+        az.endpoint, "tiles", creds)
+      assert(put.where(col("error").isNotNull).count() == 0)
+
+      // maxResults=1: the NextMarker itself is an escaped name — the
+      // client must unescape it before sending it back
+      val listed = AzureBlobStore.list(Seq("7/").toDF("prefix"),
+        az.endpoint, "tiles", creds, maxResults = 1).cache()
+      assert(listed.select("key").as[String].collect().toSet == keys.toSet)
+      val refetch = AzureBlobStore.fetch(listed.select("key"), az.endpoint, "tiles", creds)
+      assert(refetch.count() == 3 && refetch.where(col("error").isNotNull).count() == 0)
+      listed.unpersist()
+
+      // zero-length blobs: Content-Length: 0 sent, CL line empty in the
+      // signature (2015-02-21+ rule) — fixture 411s when CL is missing
+      val empty = AzureBlobStore.put(
+        Seq(("z.png", Array.emptyByteArray), ("zn.png", null)).toDF("key", "data"),
+        az.endpoint, "tiles", creds)
+      assert(empty.where(col("error").isNotNull).count() == 0)
+      assert(az.store.get("z.png")._1.isEmpty && az.store.get("zn.png")._1.isEmpty)
+      assert(az.authFailures == 0, "zero-length CL-line signing matches server re-derivation")
     }
   }
 

@@ -1,0 +1,31 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit spec for the shared HTTP helpers ([[Http]]); the transport
+  * itself is exercised end-to-end by the S3/Azure/URL store specs. */
+class HttpSpec extends AnyFunSuite {
+
+  test("xmlUnescape decodes the five named entities and numeric refs") {
+    assert(Http.xmlUnescape("a&amp;b") == "a&b")
+    assert(Http.xmlUnescape("&lt;k&gt;") == "<k>")
+    assert(Http.xmlUnescape("&quot;q&quot; &apos;a&apos;") == "\"q\" 'a'")
+    assert(Http.xmlUnescape("&#65;&#x42;") == "AB")
+    assert(Http.xmlUnescape("&#x1F600;").codePointAt(0) == 0x1f600, "astral plane via surrogate pair")
+    assert(Http.xmlUnescape("tiles/4/a&amp;b&lt;c.png") == "tiles/4/a&b<c.png")
+  }
+
+  test("xmlUnescape is identity without entities and keeps malformed ones literal") {
+    assert(Http.xmlUnescape("plain/key.png") == "plain/key.png")
+    assert(Http.xmlUnescape("a & b") == "a & b", "bare ampersand (no semicolon) stays")
+    assert(Http.xmlUnescape("a&bogus;b") == "a&bogus;b", "unknown entity stays literal")
+    assert(Http.xmlUnescape("a&#zz;b") == "a&#zz;b", "non-numeric ref stays literal")
+    assert(Http.xmlUnescape("trailing&") == "trailing&")
+    assert(Http.xmlUnescape("") == "")
+  }
+
+  test("xmlUnescape handles doubled escaping exactly once") {
+    // '&amp;amp;' is the ESCAPED form of the literal text '&amp;'
+    assert(Http.xmlUnescape("&amp;amp;") == "&amp;")
+  }
+}

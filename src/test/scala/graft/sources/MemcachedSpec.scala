@@ -41,7 +41,11 @@ class MemcachedSpec extends SparkTestBase {
     acceptor.setDaemon(true)
     acceptor.start()
 
+    val opened = new AtomicLong(0)
+    val closed = new AtomicLong(0)
+
     private def handle(sock: java.net.Socket): Unit = {
+      opened.incrementAndGet()
       val in = new BufferedInputStream(sock.getInputStream)
       val out = new BufferedOutputStream(sock.getOutputStream)
       def line(): String = {
@@ -86,7 +90,7 @@ class MemcachedSpec extends SparkTestBase {
           cmd = line()
         }
       } catch { case _: Exception => () }
-      finally sock.close()
+      finally { sock.close(); closed.incrementAndGet() }
     }
 
     def close(): Unit = { running = false; server.close() }
@@ -174,6 +178,28 @@ class MemcachedSpec extends SparkTestBase {
         assert(rows(k).getAs[String]("error") == null, s"$k unaffected")
         assert(new String(rows(k).getAs[Array[Byte]]("data"), UTF_8) == k)
       }
+    }
+  }
+
+  test("memcached store: limit() early termination still closes the sockets") {
+    val s = spark
+    import s.implicits._
+    withServers(1) { case Seq(srv) =>
+      val hosts = Seq(("127.0.0.1", srv.port))
+      val keys = (0 until 50).map(i => s"k/$i").toDF("key").coalesce(1)
+      MemcachedStore.put(keys.withColumn("data", col("key").cast("binary")), hosts)
+        .where(col("error").isNotNull).count()
+
+      // limit(1) stops pulling mid-iterator: the drain-close path never
+      // runs, so only the task-completion listener stands between this
+      // and a leaked socket per partition
+      val one = MemcachedStore.fetch(keys, hosts).limit(1).collect()
+      assert(one.length == 1)
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (srv.closed.get() < srv.opened.get() && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(srv.closed.get() == srv.opened.get(),
+        s"opened=${srv.opened.get()} closed=${srv.closed.get()}: early-terminated fetch leaked connections")
     }
   }
 

@@ -125,9 +125,11 @@ class S3StoreSpec extends SparkTestBase {
           val all = store.keySet().asScala.toSeq.filter(k => k.startsWith(prefix) && k > marker)
           val page = all.take(maxKeys)
           val truncated = all.size > page.size
+          // real S3 entity-escapes key text in the XML
+          def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
           val xml = "<?xml version=\"1.0\"?><ListBucketResult>" +
             s"<IsTruncated>$truncated</IsTruncated>" +
-            page.map(k => s"<Contents><Key>$k</Key><Size>${store.get(k)._1.length}</Size></Contents>").mkString +
+            page.map(k => s"<Contents><Key>${esc(k)}</Key><Size>${store.get(k)._1.length}</Size></Contents>").mkString +
             "</ListBucketResult>"
           respond(ex, 200, xml.getBytes(UTF_8), Seq("Content-Type" -> "application/xml"))
         case "GET" =>
@@ -138,6 +140,12 @@ class S3StoreSpec extends SparkTestBase {
         case "HEAD" =>
           respond(ex, if (store.containsKey(key)) 200 else 404, Array.emptyByteArray)
         case "PUT" =>
+          // real S3 rejects a PUT without Content-Length (411) — even
+          // zero-length objects must declare it
+          if (ex.getRequestHeaders.getFirst("Content-Length") == null) {
+            respond(ex, 411, "<Error><Code>MissingContentLength</Code></Error>".getBytes(UTF_8))
+            return
+          }
           require(ex.getRequestHeaders.getFirst("x-amz-acl") == "public-read")
           store.put(key, (body,
             ex.getRequestHeaders.getFirst("Content-Type"),
@@ -215,6 +223,47 @@ class S3StoreSpec extends SparkTestBase {
       assert(listed.where(col("size") <= 0).count() == 0)
       listed.unpersist()
       assert(s3.authFailures == 0)
+    }
+  }
+
+  test("s3 store: listing unescapes entity-escaped keys and pages through them") {
+    val s = spark
+    import s.implicits._
+    withS3 { s3 =>
+      // keys with XML-significant characters (all legal S3 key bytes)
+      val keys = Seq("4/a&b.png", "4/c<d>.png", "4/plain.png")
+      val put = S3Store.put(
+        keys.toDF("key").withColumn("data", col("key").cast("binary")),
+        s3.endpoint, "tiles", creds)
+      assert(put.where(col("error").isNotNull).count() == 0)
+
+      // maxKeys=1 forces marker continuation THROUGH an escaped key —
+      // an escaped marker would mis-page; an escaped output key would
+      // 404 on re-fetch
+      val listed = S3Store.list(Seq("4/").toDF("prefix"),
+        s3.endpoint, "tiles", creds, maxKeys = 1).cache()
+      assert(listed.select("key").as[String].collect().toSet == keys.toSet,
+        "keys come back unescaped")
+      val refetch = S3Store.fetch(listed.select("key"), s3.endpoint, "tiles", creds)
+      assert(refetch.count() == 3, "every listed key re-fetches (no silent 404 drop)")
+      assert(refetch.where(col("error").isNotNull).count() == 0)
+      listed.unpersist()
+    }
+  }
+
+  test("s3 store: zero-length payloads PUT with Content-Length: 0") {
+    val s = spark
+    import s.implicits._
+    withS3 { s3 =>
+      // empty and null data both write a zero-byte object; the fixture
+      // (like real S3) answers 411 when Content-Length is missing
+      val rows = Seq(("e.png", Array.emptyByteArray), ("n.png", null))
+        .toDF("key", "data")
+      val put = S3Store.put(rows, s3.endpoint, "tiles", creds)
+      assert(put.where(col("error").isNotNull).count() == 0)
+      assert(s3.store.get("e.png")._1.isEmpty && s3.store.get("n.png")._1.isEmpty)
+      val got = S3Store.fetch(Seq("e.png").toDF("key"), s3.endpoint, "tiles", creds).head()
+      assert(got.getAs[Array[Byte]]("data").isEmpty && got.getAs[String]("error") == null)
     }
   }
 
