@@ -2092,8 +2092,69 @@ $spatialSceneSql
         |    e -> ((e[1].y > c.py) != (e[2].y > c.py))
         |      AND c.px < (e[2].x - e[1].x) * (c.py - e[1].y) / (e[2].y - e[1].y) + e[1].x
         |  )) % 2 = 1
-        |ORDER BY 1, 3, 2""".stripMargin))
+        |ORDER BY 1, 3, 2""".stripMargin)),
+
+    // Hilbert cell index (the S2-style space-filling curve; sql/
+    // expressions.scala TileCodecs.hilbertId): every distinct derived
+    // tile coord gets its curve position, then the position is
+    // inverted back (hx/hy must equal x/y — the oracle pins them to
+    // the originals, so a broken inverse hash-mismatches). The oracle
+    // runs the SAME xy→d state machine, unrolled into 7 constant-s CTE
+    // stages (z <= 7 here), each guarded by `s < 2^z` so shallower
+    // zooms pass through that stage untouched. hilbertId is the
+    // engine's physical-layout key: consecutive ids are grid-adjacent
+    // (HilbertSpec proves 0 seam jumps vs Morton's 700+ at z=6), so a
+    // range partition of 10^12 rows is one connected map region.
+    ("q71_hilbert_cell",
+      (s: SparkSession, dir: String) => {
+        val h = hilbertId(col("z"), col("x"), col("y"))
+        coords(s, dir)
+          .select(col("z"), col("x"), col("y"))
+          .distinct()
+          .select(col("z"), col("x"), col("y"),
+            h.as("hcell"),
+            hilbertX(h).as("hx"),
+            hilbertY(h).as("hy"))
+          .orderBy("hcell")
+      },
+      Some(hilbertOracleSql))
   )
+
+  /** q71's oracle: the Hilbert xy→d loop unrolled for z <= 7 — one
+    * pair of CTEs per curve scale s ∈ {64, 32, …, 1} (quadrant bits,
+    * then rotation + distance), a stage inactive when s >= 2^z. The
+    * quadrant value (3·rx) XOR ry is written arithmetically as
+    * 3·rx + ry − 2·rx·ry (identical on {0,1}²). */
+  // lazy: declared below the `queries` val that captures it — lazy
+  // forces it at capture time instead of leaving a null in the Some
+  private lazy val hilbertOracleSql: String = {
+    val stages = (6 to 0 by -1).map { i =>
+      val s = 1L << i
+      val k = 6 - i
+      s"""h${k}b AS (
+         |  SELECT z, x0, y0, d, x, y,
+         |         CASE WHEN (1::BIGINT << z) > $s AND (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |         CASE WHEN (1::BIGINT << z) > $s AND (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |  FROM h$k),
+         |h${k + 1} AS (
+         |  SELECT z, x0, y0,
+         |         d + ${s * s}::BIGINT * (3 * rx + ry - 2 * rx * ry) AS d,
+         |         CASE WHEN (1::BIGINT << z) <= $s OR ry = 1 THEN x
+         |              WHEN rx = 1 THEN $s - 1 - y ELSE y END AS x,
+         |         CASE WHEN (1::BIGINT << z) <= $s OR ry = 1 THEN y
+         |              WHEN rx = 1 THEN $s - 1 - x ELSE x END AS y
+         |  FROM h${k}b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $CoordsCte,
+       |h0 AS (
+       |  SELECT DISTINCT z, x AS x0, y AS y0, 0::BIGINT AS d, x, y FROM coords),
+       |$stages
+       |SELECT z, x0 AS x, y0 AS y,
+       |       (1::BIGINT << (2 * z)) + d AS hcell,
+       |       x0 AS hx, y0 AS hy
+       |FROM h7
+       |ORDER BY hcell""".stripMargin
+  }
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     queries.map { case (n, f, _) => n -> f }.toMap

@@ -30,6 +30,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Cast(exprs(1), LongType),
           Cast(exprs(2), LongType))))
     ext.injectFunction((
+      FunctionIdentifier("tc_hilbert"),
+      new ExpressionInfo(classOf[HilbertIdExpr].getName, "tc_hilbert"),
+      (exprs: Seq[Expression]) =>
+        HilbertIdExpr(
+          Cast(exprs(0), IntegerType),
+          Cast(exprs(1), LongType),
+          Cast(exprs(2), LongType))))
+    ext.injectFunction((
       FunctionIdentifier("tc_sorted_intersect_count"),
       new ExpressionInfo(
         classOf[SortedIntersectCountExpr].getName,

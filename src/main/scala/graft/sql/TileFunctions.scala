@@ -59,6 +59,20 @@ object TileFunctions {
   def cellY(cell: Column): Column = colOf(CellYExpr(exprOf(cell.cast("long"))))
   def cellZ(cell: Column): Column = colOf(CellZExpr(exprOf(cell.cast("long"))))
 
+  /** Hilbert-curve cell id — the locality-preserving physical-layout
+    * key (sort / range-partition / cluster columns): consecutive ids
+    * are grid-adjacent tiles, so every contiguous id range is one
+    * CONNECTED map region; use [[cellId]]/[[quadkey]] when you need
+    * bit-shift hierarchy instead. Same zoom sentinel as [[cellId]], so
+    * [[cellZ]] reads its zoom. See [[TileCodecs.hilbertId]]. */
+  def hilbertId(z: Column, x: Column, y: Column): Column =
+    colOf(HilbertIdExpr(
+      exprOf(z.cast("int")), exprOf(x.cast("long")), exprOf(y.cast("long"))))
+
+  /** Inverse x / y of a Hilbert cell id. */
+  def hilbertX(cell: Column): Column = colOf(HilbertXExpr(exprOf(cell.cast("long"))))
+  def hilbertY(cell: Column): Column = colOf(HilbertYExpr(exprOf(cell.cast("long"))))
+
   /** Meta-tile snap: `(z, n*(x/n), n*(y/n))`
     * (reference __init__.py:470-471). Returns (mx, my) columns. */
   def metatileX(x: Column, n: Int): Column = x - pmod(x, lit(n.toLong))

@@ -77,6 +77,76 @@ object TileCodecs {
     }
     y
   }
+
+  /** Hilbert-curve cell id: the distance d along the level-z Hilbert
+    * curve through the 2^z × 2^z tile grid, under the same zoom
+    * sentinel as [[cellId]]: `(1 << 2z) | d` (ids of different zooms
+    * never collide, and [[cellZ]] reads the zoom of both key kinds).
+    *
+    * This is the S2-style alternative to the Morton [[cellId]]: the
+    * curve visits grid-ADJACENT tiles at every consecutive step, so
+    * any contiguous id range is a CONNECTED region of the map —
+    * range-partitioning 10^12 rows by this key gives every partition
+    * a compact spatial footprint (Morton's quadrant seams put
+    * half-world jumps inside a range, so a Z-order partition can
+    * straddle two far-apart blobs and a kNN ring probe touches more
+    * partitions than it should). The cost of the locality is
+    * hierarchy: unlike Morton, parent/child is NOT a bit-shift, so
+    * keep [[cellId]]/quadkey for containment joins and use this key
+    * for physical layout (sort/range-partition columns).
+    * Standard xy→d state machine (public domain; Hamilton's compact
+    * Hilbert indices / Wikipedia formulation). Works for z <= 31. */
+  def hilbertId(z: Int, x: Long, y: Long): Long = {
+    var xx = x
+    var yy = y
+    var d = 0L
+    // z=0 must skip the loop; 1L << -1 would wrap to 1L << 63
+    var s = if (z == 0) 0L else 1L << (z - 1)
+    while (s > 0L) {
+      val rx = if ((xx & s) != 0L) 1L else 0L
+      val ry = if ((yy & s) != 0L) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        if (rx == 1L) {
+          xx = s - 1L - xx
+          yy = s - 1L - yy
+        }
+        val t = xx; xx = yy; yy = t
+      }
+      s >>= 1
+    }
+    (1L << (2 * z)) | d
+  }
+
+  /** Inverse of [[hilbertId]]: (z, x, y) from a sentinel-prefixed
+    * Hilbert cell id. */
+  def hilbertToCoord(cell: Long): (Int, Long, Long) = {
+    val z = cellZ(cell)
+    var t = cell ^ (1L << (2 * z)) // strip the sentinel → curve distance
+    var xx = 0L
+    var yy = 0L
+    var s = 1L
+    val n = 1L << z
+    while (s < n) {
+      val rx = 1L & (t >> 1)
+      val ry = 1L & (t ^ rx)
+      if (ry == 0L) {
+        if (rx == 1L) {
+          xx = s - 1L - xx
+          yy = s - 1L - yy
+        }
+        val tm = xx; xx = yy; yy = tm
+      }
+      xx += s * rx
+      yy += s * ry
+      t >>= 2
+      s <<= 1
+    }
+    (z, xx, yy)
+  }
+
+  def hilbertX(cell: Long): Long = hilbertToCoord(cell)._2
+  def hilbertY(cell: Long): Long = hilbertToCoord(cell)._3
 }
 
 /** `tc_quadkey(z, x, y)` — quadkey string, codegen-capable. */
@@ -157,6 +227,52 @@ case class CellYExpr(child: Expression)
     TileCodecs.cellY(cell.asInstanceOf[Long])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.sql.TileCodecs.cellY($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `tc_hilbert(z, x, y)` — Hilbert-curve cell id (locality-preserving
+  * physical-layout key; see [[TileCodecs.hilbertId]]). */
+case class HilbertIdExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(z: Any, x: Any, y: Any): Any =
+    TileCodecs.hilbertId(
+      z.asInstanceOf[Int],
+      x.asInstanceOf[Long],
+      y.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (z, x, y) => s"graft.sql.TileCodecs.hilbertId($z, $x, $y)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression,
+      s: Expression,
+      t: Expression): Expression = copy(f, s, t)
+}
+
+/** `tc_hilbertx(cell)` — x of a Hilbert cell id (the zoom comes from
+  * the shared sentinel, so `tc_cellz` reads it). */
+case class HilbertXExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(cell: Any): Any =
+    TileCodecs.hilbertX(cell.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sql.TileCodecs.hilbertX($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `tc_hilberty(cell)` — y of a Hilbert cell id. */
+case class HilbertYExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(cell: Any): Any =
+    TileCodecs.hilbertY(cell.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sql.TileCodecs.hilbertY($c)")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
@@ -345,6 +461,22 @@ object TileExpressions {
     reg.createOrReplaceTempFunction(
       "tc_cellz",
       exprs => CellZExpr(Cast(exprs(0), LongType)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "tc_hilbert",
+      exprs =>
+        HilbertIdExpr(
+          Cast(exprs(0), IntegerType),
+          Cast(exprs(1), LongType),
+          Cast(exprs(2), LongType)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "tc_hilbertx",
+      exprs => HilbertXExpr(Cast(exprs(0), LongType)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "tc_hilberty",
+      exprs => HilbertYExpr(Cast(exprs(0), LongType)),
       "built-in")
     reg.createOrReplaceTempFunction(
       "tc_sorted_intersect_count",

@@ -1,0 +1,94 @@
+package graft.sql
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Hilbert cell index ([[TileCodecs.hilbertId]]): bijection,
+  * inverse, the adjacency property Z-order lacks, and the Column/SQL
+  * registrations. */
+class HilbertSpec extends SparkTestBase {
+  import TileFunctions._
+
+  test("hilbertId is a bijection onto [4^z, 2*4^z) for z <= 5 (exhaustive)") {
+    for (z <- 0 to 5) {
+      val n = 1L << z
+      val ids = for (x <- 0L until n; y <- 0L until n)
+        yield TileCodecs.hilbertId(z, x, y)
+      val lo = 1L << (2 * z)
+      assert(ids.toSet.size == (n * n).toInt, s"z=$z: ids must be distinct")
+      assert(ids.forall(d => d >= lo && d < 2 * lo),
+        s"z=$z: ids must sit under the zoom sentinel")
+      // the sentinel is the same convention as cellId: cellZ reads it
+      assert(ids.forall(TileCodecs.cellZ(_) == z))
+    }
+  }
+
+  test("hilbertToCoord inverts hilbertId on random coords up to z=31") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 2000) {
+      val z = rnd.nextInt(32)
+      val x = if (z == 0) 0L else math.abs(rnd.nextLong()) % (1L << z)
+      val y = if (z == 0) 0L else math.abs(rnd.nextLong()) % (1L << z)
+      val cell = TileCodecs.hilbertId(z, x, y)
+      assert(TileCodecs.hilbertToCoord(cell) == ((z, x, y)))
+    }
+  }
+
+  test("consecutive curve positions are grid-adjacent — the locality Z-order lacks") {
+    // THE Hilbert property: |Δx|+|Δy| == 1 at EVERY consecutive step,
+    // so any contiguous id range is one connected map region. Checked
+    // exhaustively at z=6 (4095 steps).
+    val z = 6
+    val lo = 1L << (2 * z)
+    val path = (0L until (1L << (2 * z))).map(d => TileCodecs.hilbertToCoord(lo | d))
+    val hilbertJumps = path.sliding(2).count {
+      case Seq((_, x1, y1), (_, x2, y2)) => math.abs(x1 - x2) + math.abs(y1 - y2) != 1L
+    }
+    assert(hilbertJumps == 0, "every Hilbert step must move to a 4-neighbor")
+
+    // counter-check: the Morton curve at the same zoom has hundreds of
+    // non-adjacent steps (quadrant seams) — this is exactly why
+    // hilbertId is the range-partition key and cellId is not
+    val mortonJumps = (0L until (1L << (2 * z))).map { d =>
+      val c = lo | d
+      (TileCodecs.cellX(c), TileCodecs.cellY(c))
+    }.sliding(2).count {
+      case Seq((x1, y1), (x2, y2)) => math.abs(x1 - x2) + math.abs(y1 - y2) != 1L
+    }
+    assert(mortonJumps > 500, s"Morton seam jumps expected, got $mortonJumps")
+  }
+
+  test("column expressions and SQL registry match the codec") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val coords = (0 until 300).map { _ =>
+      val z = rnd.nextInt(21)
+      (z,
+        if (z == 0) 0L else math.abs(rnd.nextLong()) % (1L << z),
+        if (z == 0) 0L else math.abs(rnd.nextLong()) % (1L << z))
+    }
+    val df = coords.toDF("z", "x", "y")
+    val got = df.select(
+      col("z"), col("x"), col("y"),
+      hilbertId(col("z"), col("x"), col("y")).as("h")).collect()
+    got.foreach { r =>
+      assert(r.getLong(3) == TileCodecs.hilbertId(r.getInt(0), r.getLong(1), r.getLong(2)))
+    }
+    val inv = df.select(
+      col("x"), col("y"),
+      hilbertX(hilbertId(col("z"), col("x"), col("y"))).as("hx"),
+      hilbertY(hilbertId(col("z"), col("x"), col("y"))).as("hy")).collect()
+    inv.foreach(r => assert(r.getLong(2) == r.getLong(0) && r.getLong(3) == r.getLong(1)))
+
+    df.createOrReplaceTempView("hilbert_in")
+    val viaSql = spark.sql(
+      "SELECT tc_hilbert(z, x, y), tc_hilbertx(tc_hilbert(z, x, y)), tc_hilberty(tc_hilbert(z, x, y)) FROM hilbert_in")
+      .collect()
+    viaSql.zip(coords).foreach { case (r, (z, x, y)) =>
+      assert(r.getLong(0) == TileCodecs.hilbertId(z, x, y))
+      assert(r.getLong(1) == x && r.getLong(2) == y)
+    }
+  }
+}
