@@ -213,14 +213,21 @@ object Viewer {
   /** Start the viewer; returns the running server (port 0 → ephemeral,
     * read it back from `getAddress.getPort`). `root` re-bases client
     * z/x/y exactly like the reference's --root (tc_viewer.py:21). */
+  /** Single-compute memo cell: computeIfAbsent inserts the (cheap)
+    * holder under the map's bin lock, and the (expensive — a whole
+    * Spark job) compute runs under the holder's OWN lazy-val lock, so
+    * concurrent misses on unrelated keys never serialize each other;
+    * only same-key waiters block, which is the dedup we want. */
+  private final class Memo[T](f: () => T) { lazy val value: T = f() }
+
   def serve(
       layers: Seq[Layer],
       host: String = "127.0.0.1",
       port: Int = 0,
       root: TileCoord = TileCoord(0, 0, 0),
       cache: Boolean = false): HttpServer = {
-    val memo = new ConcurrentHashMap[(Int, Int, Long, Long), TileResult]()
-    val settingsMemo = new ConcurrentHashMap[Int, Array[Byte]]()
+    val memo = new ConcurrentHashMap[(Int, Int, Long, Long), Memo[TileResult]]()
+    val settingsMemo = new ConcurrentHashMap[Int, Memo[Array[Byte]]]()
     val server = HttpServer.create(new InetSocketAddress(host, port), 0)
 
     def html(body: String)(ex: HttpExchange): Unit =
@@ -239,7 +246,8 @@ object Viewer {
                 // the pyramid agg is a full-relation scan — memoize it
                 // under the same flag that memoizes tile lookups
                 val body =
-                  if (cache) settingsMemo.computeIfAbsent(i, _ => layerSettings(layers(i)).getBytes(UTF_8))
+                  if (cache) settingsMemo.computeIfAbsent(i,
+                    _ => new Memo(() => layerSettings(layers(i)).getBytes(UTF_8))).value
                   else layerSettings(layers(i)).getBytes(UTF_8)
                 respond(ex, 200, body, Seq("Content-Type" -> "application/json"))
             }
@@ -253,7 +261,7 @@ object Viewer {
                 val tc = TileCoord(z + root.z, x + root.x * (1L << z), y + root.y * (1L << z))
                 val key = (i, tc.z, tc.x, tc.y)
                 val result =
-                  if (cache) memo.computeIfAbsent(key, _ => layers(i).lookup(tc))
+                  if (cache) memo.computeIfAbsent(key, _ => new Memo(() => layers(i).lookup(tc))).value
                   else layers(i).lookup(tc)
                 result match {
                   case NotFound => respond(ex, 404, Array.empty)
@@ -275,12 +283,20 @@ object Viewer {
       })
     // a map client fires tens of tile requests per pan; a sparkLayer
     // lookup is a whole Spark job, so the single-dispatcher default
-    // would serialize the paint head-of-line
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16, r => {
-      val t = new Thread(r, "graft-viewer")
-      t.setDaemon(true) // serving must not pin the JVM after stop()
-      t
-    }))
+    // would serialize the paint head-of-line. Core threads time out
+    // when idle: HttpServer.stop() does NOT stop a user-supplied
+    // executor, so without the timeout every serve()/stop() cycle
+    // would strand 16 parked threads for the JVM lifetime.
+    val pool = new java.util.concurrent.ThreadPoolExecutor(
+      16, 16, 30, java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.LinkedBlockingQueue[Runnable](),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-viewer")
+        t.setDaemon(true) // serving must not pin the JVM after stop()
+        t
+      })
+    pool.allowCoreThreadTimeOut(true)
+    server.setExecutor(pool)
     server.start()
     server
   }

@@ -6,6 +6,7 @@ private[tools] object ToolUtil {
   /** 1-minute loadavg as a string ("?" off-Linux) — every scale ladder
     * records it per rung so shared-box noise is attributable. */
   def loadavg(): String =
-    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").head
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split(" ").head
     catch { case _: Exception => "?" }
 }
