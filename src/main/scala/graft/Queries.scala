@@ -2117,7 +2117,103 @@ $spatialSceneSql
             hilbertY(h).as("hy"))
           .orderBy("hcell")
       },
-      Some(hilbertOracleSql))
+      Some(hilbertOracleSql)),
+
+    // Hexagonal cell index (engine/Spatial hex*): the H3-analogue
+    // planar index next to the quadtree/Hilbert S2 side — pointy-top
+    // axial coordinates with cube rounding, packed into one long, as
+    // pure column math. Points bin into hexes, then count/sum per
+    // cell: the partition/join-key shape at 10^12 rows is identical
+    // to q02/q03 (one shuffle on the cell id). The oracle replays the
+    // fractional transform and every cube-rounding CASE in the SAME
+    // IEEE operation order in DuckDB (the q68 discipline), so the two
+    // engines agree bit-for-bit on each rounding fix; hash equality
+    // therefore proves the assignment, the 21-bit pack, and the
+    // unpack all at once.
+    ("q72_hex_bin",
+      (s: SparkSession, dir: String) => {
+        import graft.engine.Spatial
+        val pts = table(s, dir, "lineitem").select(
+          ((col("l_orderkey") % 1000) + 0.5).as("px"),
+          ((col("l_partkey") % 1000) + 0.5).as("py"),
+          col("l_orderkey").as("k"))
+        pts.select(
+            Spatial.hexCellOfPoint(col("px"), col("py"), 20.0).as("hex_id"),
+            col("k"))
+          .groupBy("hex_id")
+          .agg(count(lit(1)).as("n_pts"), sum("k").as("sum_key"))
+          .select(col("hex_id"),
+            Spatial.hexQ(col("hex_id")).as("hex_q"),
+            Spatial.hexR(col("hex_id")).as("hex_r"),
+            col("n_pts"), col("sum_key"))
+          .orderBy("hex_id")
+      },
+      Some("""WITH pts AS (
+        |  SELECT (l_orderkey % 1000) + 0.5 AS px,
+        |         (l_partkey % 1000) + 0.5 AS py,
+        |         l_orderkey AS k
+        |  FROM lineitem),
+        |ax AS (
+        |  SELECT k,
+        |    (0.5773502691896258 * px - 0.3333333333333333 * py) / 20.0 AS qf,
+        |    (0.6666666666666666 * py) / 20.0 AS rf
+        |  FROM pts),
+        |cr AS (
+        |  SELECT k, qf, rf,
+        |    floor(qf + 0.5) AS rx,
+        |    floor(-qf - rf + 0.5) AS ry,
+        |    floor(rf + 0.5) AS rz
+        |  FROM ax),
+        |fx AS (
+        |  SELECT k,
+        |    CAST(CASE WHEN abs(rx - qf) > abs(ry - (-qf - rf))
+        |               AND abs(rx - qf) > abs(rz - rf)
+        |         THEN -ry - rz ELSE rx END AS BIGINT) AS q,
+        |    CAST(CASE WHEN NOT (abs(rx - qf) > abs(ry - (-qf - rf))
+        |                   AND abs(rx - qf) > abs(rz - rf))
+        |              AND NOT (abs(ry - (-qf - rf)) > abs(rz - rf))
+        |         THEN -rx - ry ELSE rz END AS BIGINT) AS r
+        |  FROM cr)
+        |SELECT (q + 1048576) * 2097152 + (r + 1048576) AS hex_id,
+        |       q AS hex_q, r AS hex_r,
+        |       count(*) AS n_pts, CAST(sum(k) AS BIGINT) AS sum_key
+        |FROM fx GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)),
+
+    // Winnowing fingerprints (text/TextOps.winnowFingerprints — the
+    // MOSS partial-duplicate detector): hash every 8-gram, slide a
+    // 7-gram window, keep each window's minimum with ties to the
+    // rightmost position. Rolling-hash fingerprinting proper — unlike
+    // q21's whole-doc hash it LOCATES shared spans (any common
+    // substring of length >= k+w-1 = 14 shares a fingerprint). The
+    // rightmost-tie rule lives inside the hash key (fp*2^21 + (2^21-1
+    // -pos)), so Spark's array_min over HOF slices and DuckDB's
+    // windowed list_aggregate 'min' over list comprehensions (lateral
+    // generate_series is not available — the q31 lesson) compute the
+    // identical single min. Verifies gram hashing, the window-min
+    // selection, the tie rule, and the pos/fp unpack in one hash.
+    ("q73_winnow_fp",
+      (s: SparkSession, dir: String) => {
+        table(s, dir, "documents").select(col("doc_id"),
+            explode(graft.text.TextOps.winnowFingerprints(col("text"), 8, 7)).as("w"))
+          .select(col("doc_id"), col("w.pos").as("pos"), col("w.fp").as("fp"))
+          .orderBy("doc_id", "pos")
+      },
+      Some("""WITH g AS (
+        |  SELECT doc_id,
+        |    [CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 10)) AS BIGINT)
+        |       * 2097152 + (2097151 - i)
+        |     for i in range(1, greatest(length(text) - 7, 1) + 1)] AS hkeys,
+        |    greatest(length(text) - 7, 1) AS grams
+        |  FROM documents
+        |  WHERE length(text) >= 8),
+        |w1 AS (
+        |  SELECT doc_id,
+        |    list_distinct([list_aggregate(hkeys[s : s + 6], 'min')
+        |       for s in range(1, greatest(grams - 6, 1) + 1)]) AS winners
+        |  FROM g),
+        |fps AS (SELECT doc_id, unnest(winners) AS hk FROM w1)
+        |SELECT doc_id, 2097151 - (hk & 2097151) AS pos, hk >> 21 AS fp
+        |FROM fps ORDER BY doc_id, pos""".stripMargin))
   )
 
   /** q71's oracle: the Hilbert xy→d loop unrolled for z <= 7 — one

@@ -151,4 +151,96 @@ object Spatial {
       .where(pointInPolygon(col(pxCol), col(pyCol), col(verticesCol)))
       .drop("_cell", verticesCol)
   }
+
+  // ---------------------------------------------------------------------
+  // Hexagonal cell index — the H3-style planar analogue.
+  //
+  // The quadtree ids above (cellOfPoint / quadkey / hilbertId) cover the
+  // S2 half of BASELINE.json's "H3/S2 cell index" obligation: square
+  // cells on a space-filling curve. H3's pitch is different geometry —
+  // hexagons have a SINGLE neighbor class (6 edge neighbors, all at the
+  // same center distance), so distance-ring expansion (kNN candidate
+  // search, smoothing kernels) has none of the corner-vs-edge anisotropy
+  // of square grids, where the 8 neighbors sit at two different
+  // distances. This block is the standard axial-coordinate hex math
+  // (pointy-top hexagons, cube rounding) as pure column expressions —
+  // one codegen'd expression per point, no UDF, no join, no shuffle —
+  // so a hex id is as cheap a join/partition key as the quad cell id.
+  //
+  // All expressions are written in the exact same IEEE operation order
+  // the DuckDB oracle uses (q72), so the two engines agree bit-for-bit
+  // on every rounding decision — the same discipline as the q68 ray
+  // cast.
+
+  /** sqrt(3)/3, 1/3, 2/3 as the literal doubles both engines parse. */
+  private val HexC1 = 0.5773502691896258
+  private val HexC2 = 0.3333333333333333
+  private val HexC3 = 0.6666666666666666
+
+  private val HexOff = 1048576L // 2^20: axial coords packed at 21 bits
+
+  /** Axial (q, r) hex coordinates of a point on the pointy-top hex grid
+    * with circumradius `size` (hex centers at distance size*sqrt(3)
+    * horizontally): fractional axial transform then cube rounding —
+    * round each cube coordinate, then fix the one with the largest
+    * rounding error so q + r + s == 0 stays exact. Both outputs are
+    * LONG columns. */
+  def hexAxial(px: Column, py: Column, size: Double): (Column, Column) = {
+    val qf = (lit(HexC1) * px - lit(HexC2) * py) / lit(size)
+    val rf = (lit(HexC3) * py) / lit(size)
+    val yf = -qf - rf // the third cube coordinate; qf + yf + rf == 0
+    val rx = floor(qf + lit(0.5))
+    val ry = floor(yf + lit(0.5))
+    val rz = floor(rf + lit(0.5))
+    val dx = abs(rx - qf)
+    val dy = abs(ry - yf)
+    val dz = abs(rz - rf)
+    val fixQ = dx > dy && dx > dz
+    val q = when(fixQ, -ry - rz).otherwise(rx).cast("long")
+    val r = when(!fixQ && !(dy > dz), -rx - ry).otherwise(rz).cast("long")
+    (q, r)
+  }
+
+  /** Single-long hex cell id from axial (q, r): both offset by 2^20 and
+    * packed at 21 bits. Valid for |q|, |r| < 2^20 — at any practical
+    * `size` that is a planar extent ~10^6 hexes across. */
+  def hexPack(q: Column, r: Column): Column =
+    (q + lit(HexOff)) * lit(2097152L) + (r + lit(HexOff))
+
+  def hexQ(cell: Column): Column = shiftright(cell, 21) - lit(HexOff)
+  def hexR(cell: Column): Column = cell.bitwiseAND(lit(2097151L)) - lit(HexOff)
+
+  /** The point→hex-cell kernel, packed: the hex analogue of
+    * [[cellOfPoint]] and the engine's H3-style join/partition key. */
+  def hexCellOfPoint(px: Column, py: Column, size: Double): Column = {
+    val (q, r) = hexAxial(px, py, size)
+    hexPack(q, r)
+  }
+
+  /** Center of the hex cell in plane coordinates — the inverse of
+    * [[hexCellOfPoint]] up to cell quantization (center maps back to
+    * its own cell; HexSpec proves the round-trip). */
+  def hexCenterX(cell: Column, size: Double): Column =
+    lit(size) * (lit(math.sqrt(3.0)) * hexQ(cell) +
+      lit(math.sqrt(3.0) / 2.0) * hexR(cell))
+  def hexCenterY(cell: Column, size: Double): Column =
+    lit(size) * lit(1.5) * hexR(cell)
+
+  /** All hex cells within `k` rings of `cell` (inclusive of the cell
+    * itself): the hex-distance ball |dq|, |dr|, |dq+dr| <= k, exactly
+    * 1 + 3k(k+1) cells, as an array column to explode. This is the
+    * candidate generator for hex-indexed kNN: explode the query side
+    * by its k-disk, equi-join on the cell id against the corpus side
+    * ([[graft.engine.SpatialKnn]]'s ring-expansion shape on the quad
+    * grid), refine by exact distance — every candidate within
+    * ring-distance k is guaranteed in the disk, the pigeonhole the
+    * expansion relies on. Pure `sequence`/`transform` HOF math. */
+  def hexDisk(cell: Column, k: Int): Column = {
+    val q = hexQ(cell)
+    val r = hexR(cell)
+    flatten(transform(sequence(lit(-k), lit(k)), dq =>
+      transform(
+        sequence(greatest(lit(-k), -dq - lit(k)), least(lit(k), -dq + lit(k))),
+        dr => hexPack(q + dq, r + dr))))
+  }
 }

@@ -83,4 +83,52 @@ object TextOps {
     * digits < 2^60). */
   def fingerprint(text: Column): Column =
     conv(substring(md5(text.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    * the MOSS algorithm): hash every `k`-gram, slide a window of `w`
+    * consecutive gram hashes, keep each window's minimum with ties to
+    * the RIGHTMOST position, dedup. The guarantee: any shared
+    * substring of length ≥ k + w - 1 between two documents yields at
+    * least one shared fingerprint, so fingerprint-set overlap is a
+    * partial-duplicate detector that — unlike [[fingerprint]]'s
+    * whole-document hash or MinHash's bag-of-shingles sketch — also
+    * LOCATES the shared span (`pos`).
+    *
+    * Pure column math, one codegen'd expression per document, no UDF,
+    * no join, no shuffle: grams and window minima are `sequence`/
+    * `transform`/`slice`/`array_min` HOFs. The rightmost-tie rule is
+    * encoded IN the hash key: hkey = fp·2²¹ + (2²¹−1−pos), so the
+    * plain `array_min` picks (smallest fp, then largest pos) in one
+    * comparison — no second tie-break pass, and the same single `min`
+    * is expressible as a DuckDB window function for the oracle (q73).
+    * fp is 40 md5 bits; positions are capped by the 21-bit pack
+    * (documents up to 2M chars — chunk longer docs first, as
+    * CorpusOps.tokenChunks does).
+    *
+    * Cost: O(n·w) comparisons per doc via the overlapping slices —
+    * the classic two-pointer O(n) rescan doesn't vectorize into HOFs,
+    * and w is a small constant (the window is the noise-robustness
+    * knob, typically 4-16), so the slice form wins inside codegen.
+    * Docs shorter than k fingerprint to the empty array; docs with
+    * fewer than w grams yield the single global minimum (the standard
+    * short-document convention).
+    *
+    * Returns `array<struct<pos:long, fp:long>>`; 1-based `pos` is the
+    * gram's character offset. */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column = {
+    require(k >= 1 && w >= 1, s"k=$k, w=$w must be positive")
+    val n = length(text)
+    val grams = n - lit(k) + lit(1)
+    val hkeys = transform(sequence(lit(1), greatest(lit(1), grams)), i =>
+      conv(substring(md5(text.substr(i, lit(k)).cast("binary")), 1, 10), 16, 10)
+        .cast("long") * lit(2097152L) + (lit(2097151L) - i))
+    val starts = sequence(lit(1), greatest(lit(1), grams - lit(w) + lit(1)))
+    val winners = array_distinct(
+      transform(starts, s => array_min(slice(hkeys, s, lit(w)))))
+    val res = transform(winners, hk => struct(
+      (lit(2097151L) - hk.bitwiseAND(lit(2097151L))).as("pos"),
+      shiftright(hk, 21).as("fp")))
+    when(n < lit(k), array().cast("array<struct<pos:bigint,fp:bigint>>"))
+      .otherwise(res)
+  }
 }

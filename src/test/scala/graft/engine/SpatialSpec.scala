@@ -159,4 +159,95 @@ class SpatialSpec extends SparkTestBase {
     assert(!plan.contains("Join") && !plan.contains("Exchange"),
       s"join/shuffle-free plan, got:\n$plan")
   }
+
+  test("hex cell: nearest-center assignment, center round-trip, pack bijection") {
+    val s = spark
+    import s.implicits._
+    val size = 7.0
+    val sqrt3 = math.sqrt(3.0)
+
+    // brute-force truth: a point belongs to the hex whose center is
+    // closest (Voronoi of hex centers IS the hex grid)
+    def nearestCenter(px: Double, py: Double): (Long, Long) = {
+      val candidates = for {
+        q <- -40L to 40L
+        r <- -40L to 40L
+      } yield {
+        val cx = size * (sqrt3 * q + sqrt3 / 2.0 * r)
+        val cy = size * 1.5 * r
+        val d2 = (px - cx) * (px - cx) + (py - cy) * (py - cy)
+        (d2, (q, r))
+      }
+      candidates.minBy(_._1)._2
+    }
+
+    val rnd = new scala.util.Random(11)
+    val pts = (0 until 400).map(i =>
+      (i.toLong, (rnd.nextDouble() - 0.5) * 300, (rnd.nextDouble() - 0.5) * 300))
+    val got = pts.toDF("id", "px", "py")
+      .select(col("id"), Spatial.hexCellOfPoint(col("px"), col("py"), size).as("cell"))
+      .select(col("id"), Spatial.hexQ(col("cell")).as("q"), Spatial.hexR(col("cell")).as("r"))
+      .orderBy("id").collect().map(r => (r.getLong(1), r.getLong(2)))
+    pts.zip(got).foreach { case ((_, px, py), (gq, gr)) =>
+      assert((gq, gr) == nearestCenter(px, py), s"($px,$py) nearest-center")
+    }
+
+    // center round-trip: the center of every cell maps back to that cell
+    val cells = (for (q <- -15L to 15L; r <- -15L to 15L) yield (q, r)).toDF("q", "r")
+      .select(Spatial.hexPack(col("q"), col("r")).as("cell"), col("q"), col("r"))
+    val bad = cells.select(
+      col("q"), col("r"),
+      Spatial.hexQ(col("cell")).as("uq"), Spatial.hexR(col("cell")).as("ur"),
+      Spatial.hexQ(Spatial.hexCellOfPoint(
+        Spatial.hexCenterX(col("cell"), size),
+        Spatial.hexCenterY(col("cell"), size), size)).as("cq"),
+      Spatial.hexR(Spatial.hexCellOfPoint(
+        Spatial.hexCenterX(col("cell"), size),
+        Spatial.hexCenterY(col("cell"), size), size)).as("cr"))
+      .where(col("uq") =!= col("q") || col("ur") =!= col("r") ||
+        col("cq") =!= col("q") || col("cr") =!= col("r"))
+    assert(bad.count() == 0, "pack/unpack bijection + center round-trip")
+  }
+
+  test("hex disk: size 1+3k(k+1), symmetric membership, kNN pigeonhole") {
+    val s = spark
+    import s.implicits._
+    val origin = Seq((0L, 0L)).toDF("q", "r")
+      .select(Spatial.hexPack(col("q"), col("r")).as("cell"))
+    for (k <- 1 to 4) {
+      val disk = origin.select(explode(Spatial.hexDisk(col("cell"), k)).as("n"))
+        .select(Spatial.hexQ(col("n")).as("q"), Spatial.hexR(col("n")).as("r"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(disk.size == 1 + 3 * k * (k + 1), s"k=$k disk size")
+      assert(disk.contains((0L, 0L)), "contains self")
+      // membership is exactly hex distance <= k
+      disk.foreach { case (q, r) =>
+        val dist = Seq(math.abs(q), math.abs(r), math.abs(q + r)).max
+        assert(dist <= k, s"($q,$r) within ring $k")
+      }
+      // symmetry: b in disk(a) <=> a in disk(b) (disk of -q,-r mirrors)
+      assert(disk.map { case (q, r) => (-q, -r) } == disk, s"k=$k symmetric")
+    }
+
+    // pigeonhole for kNN: any point within k * inradius-diameter of
+    // another point's location is inside the k-disk of its cell — the
+    // guarantee ring-expansion candidate search relies on. Sample
+    // pairs at planted distances and check the candidate is found.
+    val size = 5.0
+    val rnd = new scala.util.Random(23)
+    val pairs = (0 until 200).map { i =>
+      val ax = (rnd.nextDouble() - 0.5) * 200
+      val ay = (rnd.nextDouble() - 0.5) * 200
+      val ang = rnd.nextDouble() * 2 * math.Pi
+      val d = rnd.nextDouble() * size * math.sqrt(3.0) // within one hex width
+      (i.toLong, ax, ay, ax + d * math.cos(ang), ay + d * math.sin(ang))
+    }.toDF("id", "ax", "ay", "bx", "by")
+    val missed = pairs
+      .withColumn("bcell", Spatial.hexCellOfPoint(col("bx"), col("by"), size))
+      .withColumn("acand", Spatial.hexDisk(
+        Spatial.hexCellOfPoint(col("ax"), col("ay"), size), 2))
+      .where(!array_contains(col("acand"), col("bcell")))
+    assert(missed.count() == 0,
+      "every point within one hex width is inside the k=2 disk")
+  }
 }

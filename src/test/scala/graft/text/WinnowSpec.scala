@@ -1,0 +1,87 @@
+package graft.text
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Winnowing fingerprints vs an independent plain-Scala reference
+  * (explicit window scan + rightmost-tie rule), on adversarial
+  * small-alphabet strings where gram repeats force ties; plus the
+  * paper's coverage guarantee and the short-document conventions. */
+class WinnowSpec extends SparkTestBase {
+
+  private val K = 8
+  private val W = 7
+
+  private def fp40(gram: String): Long = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(gram.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.take(10), 16)
+  }
+
+  /** Independent winnowing: all k-grams, every full window of w,
+    * rightmost minimum per window, distinct. Short docs (< w grams but
+    * >= k chars) take the single global rightmost minimum. */
+  private def refWinnow(text: String): Set[(Long, Long)] = {
+    if (text.length < K) return Set.empty
+    val grams = (0 to text.length - K).map(i => (i + 1L, fp40(text.substring(i, i + K))))
+    val starts = 0 to math.max(0, grams.length - W)
+    starts.map { s =>
+      val win = grams.slice(s, s + W)
+      // rightmost minimum: min fp, ties to the LARGEST position
+      win.minBy { case (pos, f) => (f, -pos) }
+    }.toSet
+  }
+
+  private def sparkWinnow(texts: Seq[String]): Map[Int, Set[(Long, Long)]] = {
+    val s = spark
+    import s.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
+      .select(col("id"),
+        explode_outer(TextOps.winnowFingerprints(col("text"), K, W)).as("w"))
+      .select(col("id"), col("w.pos"), col("w.fp"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (id, rows) =>
+        id -> rows.filter(!_.isNullAt(1)).map(r => (r.getLong(1), r.getLong(2))).toSet
+      }
+  }
+
+  test("matches the independent reference on tie-heavy random strings") {
+    val rnd = new scala.util.Random(17)
+    // 3-letter alphabet: identical 8-grams recur constantly, so the
+    // rightmost-tie rule is exercised in nearly every window
+    val texts = (0 until 60).map { _ =>
+      val n = K + rnd.nextInt(120)
+      (0 until n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    } ++ Seq(
+      "aaaaaaaaaaaaaaaaaaaaaaaa", // one distinct gram: one fingerprint
+      "abcdefgh",                  // exactly k chars: one gram, one fp
+      "short",                     // < k: empty
+      "")                          // empty: empty
+    val got = sparkWinnow(texts)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i) == refWinnow(t), s"doc $i: '${t.take(30)}…' (len ${t.length})")
+    }
+  }
+
+  test("coverage guarantee: shared span of k+w-1 chars shares a fingerprint") {
+    val rnd = new scala.util.Random(31)
+    def randText(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    (0 until 50).foreach { _ =>
+      val shared = randText(K + W - 1)
+      val a = randText(40) + shared + randText(40)
+      val b = randText(40) + shared + randText(40)
+      val fa = refWinnow(a).map(_._2)
+      val fb = refWinnow(b).map(_._2)
+      assert((fa & fb).nonEmpty, s"no shared fingerprint for span '$shared'")
+    }
+    // and the column version agrees with the reference on those docs
+    val docs = Seq(randText(100), randText(100))
+    val got = sparkWinnow(docs)
+    docs.zipWithIndex.foreach { case (t, i) => assert(got(i) == refWinnow(t)) }
+  }
+}
