@@ -2193,8 +2193,17 @@ $spatialSceneSql
     // selection, the tie rule, and the pos/fp unpack in one hash.
     ("q73_winnow_fp",
       (s: SparkSession, dir: String) => {
-        table(s, dir, "documents").select(col("doc_id"),
-            explode(graft.text.TextOps.winnowFingerprints(col("text"), 8, 7)).as("w"))
+        // explode_OUTER, then drop the null rows: a plain explode lets
+        // InferFiltersFromGenerate push a size(winnow)>0 filter below
+        // the projections, re-inlining the fused winnow expression
+        // (with its per-window gram re-hash) into the filter — the
+        // exact quadratic evaluation the staged form exists to avoid.
+        // The outer variant infers no filter; the null-drop references
+        // the GENERATED attribute, which cannot sink below Generate.
+        graft.text.TextOps
+          .winnowFingerprints(table(s, dir, "documents"), "text", 8, 7)
+          .select(col("doc_id"), explode_outer(col("winnow")).as("w"))
+          .where(col("w").isNotNull)
           .select(col("doc_id"), col("w.pos").as("pos"), col("w.fp").as("fp"))
           .orderBy("doc_id", "pos")
       },

@@ -115,20 +115,71 @@ object TextOps {
     *
     * Returns `array<struct<pos:long, fp:long>>`; 1-based `pos` is the
     * gram's character offset. */
-  def winnowFingerprints(text: Column, k: Int, w: Int): Column = {
-    require(k >= 1 && w >= 1, s"k=$k, w=$w must be positive")
+  /** The gram-hash keys: one hkey per k-gram, empty for docs shorter
+    * than k. Split from [[winnowWinners]] so the array can be pinned
+    * to its own projection — see the scale note there. */
+  def winnowKeys(text: Column, k: Int): Column = {
+    require(k >= 1, s"k=$k must be positive")
     val n = length(text)
     val grams = n - lit(k) + lit(1)
-    val hkeys = transform(sequence(lit(1), greatest(lit(1), grams)), i =>
-      conv(substring(md5(text.substr(i, lit(k)).cast("binary")), 1, 10), 16, 10)
-        .cast("long") * lit(2097152L) + (lit(2097151L) - i))
-    val starts = sequence(lit(1), greatest(lit(1), grams - lit(w) + lit(1)))
+    when(n < lit(k), array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(1), greatest(lit(1), grams)), i =>
+        conv(substring(md5(text.substr(i, lit(k)).cast("binary")), 1, 10), 16, 10)
+          .cast("long") * lit(2097152L) + (lit(2097151L) - i)))
+  }
+
+  /** Window-min selection + pos/fp unpack over a MATERIALIZED hkeys
+    * array column (a bound attribute, not the [[winnowKeys]]
+    * expression inline). The split matters at scale: higher-order
+    * lambdas sit OUTSIDE Catalyst's common-subexpression elimination,
+    * so composing the two expressions into one Column re-evaluates
+    * the whole gram-hash transform — every md5 — once PER WINDOW
+    * START, turning O(n·w) work into O(n²) (visible in the physical
+    * plan as the gram transform nested inside the slice lambda).
+    * Referencing a projected column instead evaluates the hashes
+    * exactly once per row; the slices then cost O(w) long copies
+    * each. Use [[winnowFingerprints]] for the correctly-staged
+    * composition. */
+  def winnowWinners(hkeys: Column, w: Int): Column = {
+    require(w >= 1, s"w=$w must be positive")
+    val nk = size(hkeys)
+    val starts = sequence(lit(1), greatest(lit(1), nk - lit(w) + lit(1)))
     val winners = array_distinct(
       transform(starts, s => array_min(slice(hkeys, s, lit(w)))))
     val res = transform(winners, hk => struct(
       (lit(2097151L) - hk.bitwiseAND(lit(2097151L))).as("pos"),
       shiftright(hk, 21).as("fp")))
-    when(n < lit(k), array().cast("array<struct<pos:bigint,fp:bigint>>"))
+    when(nk === lit(0), array().cast("array<struct<pos:bigint,fp:bigint>>"))
       .otherwise(res)
   }
+
+  /** Winnowing fingerprints, correctly staged: the gram-hash array is
+    * projected first so the window-min pass reads a stored array
+    * instead of re-running the hash transform per window (see
+    * [[winnowWinners]]). Appends `outCol: array<struct<pos,fp>>`.
+    *
+    * Downstream explode caveat (q73 demonstrates the shape): use
+    * `explode_outer(col(outCol))` + `.where(col("w").isNotNull)`, NOT
+    * a plain `explode` — InferFiltersFromGenerate turns a plain
+    * explode into a `size(outCol) > 0` filter that predicate pushdown
+    * then sinks below these projections, re-inlining the fused
+    * expression (per-window gram re-hash included) into the filter.
+    * The outer variant infers no filter, and a null-drop on the
+    * generated attribute cannot sink below the Generate. */
+  def winnowFingerprints(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      k: Int,
+      w: Int,
+      outCol: String = "winnow"): org.apache.spark.sql.DataFrame =
+    df.withColumn("__winnow_hkeys", winnowKeys(col(textCol), k))
+      .withColumn(outCol, winnowWinners(col("__winnow_hkeys"), w))
+      .drop("__winnow_hkeys")
+
+  /** Single-Column winnowing — small-document convenience ONLY: the
+    * fused expression re-hashes all grams once per window (quadratic;
+    * see [[winnowWinners]]). Kept for expression-level callers that
+    * cannot take a DataFrame; prefer [[winnowFingerprints]]. */
+  def winnowFingerprintsExpr(text: Column, k: Int, w: Int): Column =
+    winnowWinners(winnowKeys(text, k), w)
 }

@@ -39,9 +39,9 @@ class WinnowSpec extends SparkTestBase {
   private def sparkWinnow(texts: Seq[String]): Map[Int, Set[(Long, Long)]] = {
     val s = spark
     import s.implicits._
-    texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
-      .select(col("id"),
-        explode_outer(TextOps.winnowFingerprints(col("text"), K, W)).as("w"))
+    val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
+    TextOps.winnowFingerprints(df, "text", K, W)
+      .select(col("id"), explode_outer(col("winnow")).as("w"))
       .select(col("id"), col("w.pos"), col("w.fp"))
       .collect()
       .groupBy(_.getInt(0))
@@ -83,5 +83,36 @@ class WinnowSpec extends SparkTestBase {
     val docs = Seq(randText(100), randText(100))
     val got = sparkWinnow(docs)
     docs.zipWithIndex.foreach { case (t, i) => assert(got(i) == refWinnow(t)) }
+  }
+
+  test("staged form pins gram hashes outside the window-min lambda") {
+    val s = spark
+    import s.implicits._
+    // RDD-backed (a local Seq would constant-fold to a LocalRelation
+    // and hide the projection structure under test)
+    val df = s.createDataFrame(
+      s.sparkContext.parallelize(Seq((1, "the quick brown fox jumps over the lazy dog x")), 1))
+      .toDF("id", "text")
+    val staged = TextOps.winnowFingerprints(df, "text", K, W)
+
+    // the scale property: the window-min pass (array_min over slices)
+    // must reference the PROJECTED hkeys attribute — if CollapseProject
+    // ever re-inlines winnowKeys into the winners lambda, the md5 gram
+    // transform is re-evaluated once per window start (O(n^2) per doc)
+    // and md5 reappears on the array_min line of the plan
+    val planStr = staged.queryExecution.optimizedPlan.toString
+    val lines = planStr.split('\n')
+    val minLines = lines.filter(_.contains("array_min"))
+    assert(minLines.nonEmpty, s"plan contains the window-min pass:\n$planStr")
+    assert(minLines.forall(!_.contains("md5")),
+      s"gram hashes re-inlined into the window lambda:\n${minLines.mkString("\n")}")
+
+    // the fused expression form computes the same fingerprints
+    val fromDf = staged.select(col("id"), col("winnow"))
+      .as[(Int, Seq[(Long, Long)])].collect().toMap
+    val fromExpr = df.select(col("id"),
+        TextOps.winnowFingerprintsExpr(col("text"), K, W).as("winnow"))
+      .as[(Int, Seq[(Long, Long)])].collect().toMap
+    assert(fromDf == fromExpr, "staged and fused forms agree")
   }
 }
