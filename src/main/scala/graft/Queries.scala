@@ -2225,7 +2225,47 @@ $spatialSceneSql
         |  FROM g),
         |fps AS (SELECT doc_id, unnest(winners) AS hk FROM w1)
         |SELECT doc_id, 2097151 - (hk & 2097151) AS pos, hk >> 21 AS fp
-        |FROM fps ORDER BY doc_id, pos""".stripMargin))
+        |FROM fps ORDER BY doc_id, pos""".stripMargin)),
+
+    // Hex-indexed point-in-polygon join (engine/Spatial.hexPolygonJoin)
+    // on the q68 scene: points meet polygons on the packed hex cell id
+    // (points → hexCellOfPoint, polygons → hexCover bbox parallelogram
+    // explode), exact ray-cast refine above the join. The oracle is
+    // q68's index-IGNORANT naive cross join, so hash equality proves
+    // the hex cover is a lossless prefilter — including the axial
+    // shear and the ±1 cube-rounding margin — on top of the already-
+    // proven crossing arithmetic. Hex size 62.5 ≈ the zoom-4 quad cell
+    // q68 uses.
+    ("q74_hex_polygon_join",
+      (s: SparkSession, dir: String) => {
+        val pts = table(s, dir, "lineitem").select(
+          ((col("l_orderkey") % 1000) + 0.5).as("px"),
+          ((col("l_partkey") % 1000) + 0.5).as("py"),
+          col("l_orderkey").as("k"))
+        graft.engine.Spatial.hexPolygonJoin(pts, spatialSceneDf(s), 62.5)
+          .groupBy("polygon_id")
+          .agg(count(lit(1)).as("n_pts"), sum("k").as("sum_key"))
+          .orderBy("polygon_id")
+      },
+      Some(s"""WITH polys AS (
+        |  SELECT * FROM (VALUES
+$spatialSceneSql
+        |  ) AS t(polygon_id, vs)),
+        |pts AS (
+        |  SELECT (l_orderkey % 1000) + 0.5 AS px,
+        |         (l_partkey % 1000) + 0.5 AS py,
+        |         l_orderkey AS k
+        |  FROM lineitem),
+        |hits AS (
+        |  SELECT p.polygon_id, q.k
+        |  FROM pts q, polys p
+        |  WHERE len(list_filter(
+        |      list_zip(p.vs, list_concat(p.vs[2:], p.vs[1:1])),
+        |      e -> ((e[1].y > q.py) != (e[2].y > q.py))
+        |        AND q.px < (e[2].x - e[1].x) * (q.py - e[1].y) / (e[2].y - e[1].y) + e[1].x
+        |    )) % 2 = 1)
+        |SELECT polygon_id, count(*) AS n_pts, CAST(sum(k) AS BIGINT) AS sum_key
+        |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** q71's oracle: the Hilbert xy→d loop unrolled for z <= 7 — one

@@ -243,4 +243,59 @@ object Spatial {
         sequence(greatest(lit(-k), -dq - lit(k)), least(lit(k), -dq + lit(k))),
         dr => hexPack(q + dq, r + dr))))
   }
+
+  /** Hex cells covering the polygon's bounding box (plus a one-ring
+    * margin) — the hex analogue of [[polygonCells]], an array column
+    * to explode. The xy bbox maps to a PARALLELOGRAM in axial (q, r)
+    * space (q depends on both x and y), so the cover iterates the
+    * axial ranges of the bbox corners widened by one ring: a strict
+    * superset of every hex intersecting the bbox, which is all a
+    * join prefilter needs — the exact ray cast above the join decides
+    * membership, so cover slack costs candidates, never correctness
+    * (HexSpec: join output equals the naive cross join). The slack
+    * factor vs a tight cover is bounded by the parallelogram shear
+    * (~2x for squarish bboxes); same area-proportional explode
+    * economics as the quad cover. */
+  def hexCover(vertices: Column, size: Double): Column = {
+    val xMin = aggregate(vertices, lit(Double.MaxValue), (m, v) => least(m, v.getField("x")))
+    val xMax = aggregate(vertices, lit(Double.MinValue), (m, v) => greatest(m, v.getField("x")))
+    val yMin = aggregate(vertices, lit(Double.MaxValue), (m, v) => least(m, v.getField("y")))
+    val yMax = aggregate(vertices, lit(Double.MinValue), (m, v) => greatest(m, v.getField("y")))
+    // axial extremes of the bbox corners: q grows with x and shrinks
+    // with y; r grows with y only
+    def qOf(x: Column, y: Column): Column =
+      floor((lit(HexC1) * x - lit(HexC2) * y) / lit(size))
+    def rOf(y: Column): Column = floor((lit(HexC3) * y) / lit(size))
+    val q0 = qOf(xMin, yMax) - lit(1)
+    val q1 = qOf(xMax, yMin) + lit(1)
+    val r0 = rOf(yMin) - lit(1)
+    val r1 = rOf(yMax) + lit(1)
+    flatten(transform(sequence(q0.cast("long"), q1.cast("long")), q =>
+      transform(sequence(r0.cast("long"), r1.cast("long")), r => hexPack(q, r))))
+  }
+
+  /** [[polygonJoin]] on the hexagonal index: points map to their hex
+    * cell, polygons explode to their [[hexCover]], the pair meets on
+    * a plain equi-join over the packed cell id, and the exact ray
+    * cast refines — identical output to the quad-indexed join (the
+    * cell index is a lossless prefilter either way; q74 pins that
+    * with the same oracle as q68), identical scale shape (shuffle on
+    * the cell id, never cartesian; each point owns one cell so no
+    * post-join dedup). `size` plays the role zoom plays for the quad
+    * join: hexes comparable to typical polygon diameter keep both the
+    * cover explode and the per-cell fan-out small. */
+  def hexPolygonJoin(
+      points: DataFrame,
+      polygons: DataFrame,
+      size: Double,
+      pxCol: String = "px",
+      pyCol: String = "py",
+      verticesCol: String = "vertices"): DataFrame = {
+    val p = points.withColumn("_cell",
+      hexCellOfPoint(col(pxCol), col(pyCol), size))
+    val g = polygons.withColumn("_cell", explode(hexCover(col(verticesCol), size)))
+    p.join(g, "_cell")
+      .where(pointInPolygon(col(pxCol), col(pyCol), col(verticesCol)))
+      .drop("_cell", verticesCol)
+  }
 }

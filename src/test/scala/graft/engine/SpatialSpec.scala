@@ -209,6 +209,48 @@ class SpatialSpec extends SparkTestBase {
     assert(bad.count() == 0, "pack/unpack bijection + center round-trip")
   }
 
+  test("hexPolygonJoin equals the naive cross join, size-invariant") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val points = (0 until 500).map(i => (i.toLong, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+      .toDF("pid", "px", "py")
+    val polys = Seq(
+      (1L, Seq((10.0, 10.0), (40.0, 8.0), (50.0, 30.0), (30.0, 45.0), (8.0, 30.0))),
+      (2L, concaveL.map { case (x, y) => (x * 8, y * 8) }),
+      (3L, Seq((60.0, 60.0), (90.0, 60.0), (75.0, 90.0))))
+    val polyRows = polys.map { case (id, vs) => Row(id, vs.map { case (x, y) => Row(x, y) }) }
+    val polyDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(polyRows, 1),
+      StructType(Seq(StructField("polygon_id", LongType), StructField("vertices", vertexType))))
+
+    val naive = points.crossJoin(polyDf)
+      .where(Spatial.pointInPolygon(col("px"), col("py"), col("vertices")))
+      .select("pid", "polygon_id").as[(Long, Long)].collect().toSet
+    assert(naive.nonEmpty, "scene is non-trivial")
+
+    // size-invariant: the hex cover is a lossless prefilter at coarse
+    // and fine resolutions alike (incl. sizes that put cell boundaries
+    // through the polygons' interiors)
+    for (size <- Seq(3.0, 7.5, 25.0)) {
+      val joined = Spatial.hexPolygonJoin(points, polyDf, size)
+        .select("pid", "polygon_id").as[(Long, Long)].collect().toSet
+      assert(joined == naive, s"size=$size hex prefilter is lossless")
+    }
+
+    // the L's notch stays excluded (inside the bbox cover)
+    val notch = Seq((1000L, 30.0, 60.0)).toDF("pid", "px", "py")
+    assert(Spatial.hexPolygonJoin(notch, polyDf, 7.5)
+      .where(col("polygon_id") === 2).count() == 0)
+
+    // plan shape: equi-join on the hex id, never cartesian
+    val plan = Spatial.hexPolygonJoin(points, polyDf, 7.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"cartesian-free plan, got:\n$plan")
+    assert(plan.contains("_cell"), "join keyed on the hex cell id")
+  }
+
   test("hex disk: size 1+3k(k+1), symmetric membership, kNN pigeonhole") {
     val s = spark
     import s.implicits._
