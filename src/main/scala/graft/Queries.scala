@@ -2265,7 +2265,47 @@ $spatialSceneSql
         |        AND q.px < (e[2].x - e[1].x) * (q.py - e[1].y) / (e[2].y - e[1].y) + e[1].x
         |    )) % 2 = 1)
         |SELECT polygon_id, count(*) AS n_pts, CAST(sum(k) AS BIGINT) AS sum_key
-        |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin))
+        |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // PII redaction (text/TextOps.redactPii — the scrub stage):
+    // deterministic per-row emails/phones/IPs planted onto the natural
+    // text (which is PII-inert: verified zero '@', phone-shaped, or
+    // dotted-digit runs in the corpus), then the three-pattern
+    // regexp_replace chain. Patterns live in the Java-regex ∩ RE2
+    // common subset, so the oracle replays the identical strings with
+    // DuckDB's 'g' flag (Spark's regexp_replace is global by default
+    // — the flag asymmetry is the one semantic gap to bridge). The
+    // md5 of the redacted text pins every replacement span; the
+    // counts pin regexp_count against len(regexp_extract_all).
+    ("q75_pii_redact",
+      (s: SparkSession, dir: String) => {
+        import graft.text.TextOps
+        val planted = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example or 555-867-5309 or 555 123 4567 from 10.0.0."),
+          (col("doc_id") % 250).cast("string"))
+        table(s, dir, "documents").select(
+          col("doc_id"),
+          md5(TextOps.redactPii(planted).cast("binary")).as("h"),
+          regexp_count(planted, lit(TextOps.EmailRe)).as("n_email"),
+          regexp_count(planted, lit(TextOps.Ipv4Re)).as("n_ip"),
+          regexp_count(planted, lit(TextOps.PhoneRe)).as("n_phone"))
+      },
+      Some("""WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id ||
+        |    '@mail.example or 555-867-5309 or 555 123 4567 from 10.0.0.' ||
+        |    (doc_id % 250) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g')) AS h,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |  len(regexp_extract_all(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phone
+        |FROM p""".stripMargin))
   )
 
   /** q71's oracle: the Hilbert xy→d loop unrolled for z <= 7 — one

@@ -84,6 +84,33 @@ object TextOps {
   def fingerprint(text: Column): Column =
     conv(substring(md5(text.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  /** PII patterns, written inside the Java-regex ∩ RE2 common subset
+    * (character classes, bounded quantifiers, ASCII `\b` — no
+    * lookaround, no backreferences) so the DuckDB oracle replays the
+    * identical strings (q75). Both engines' `\d`/`\b`/`\w` are ASCII
+    * by default, and greedy class-sequences have no alternation, so
+    * leftmost-first (Java) and leftmost-longest (RE2) agree on every
+    * match span. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** PII redaction — the scrub stage of a production training-data
+    * pipeline: emails, then IPv4 literals, then NANP-shaped phone
+    * numbers replaced by typed placeholder tokens. A chain of three
+    * codegen'd `regexp_replace`s (no UDF); the fixed order is part of
+    * the contract — email FIRST is load-bearing: a numeric local part
+    * like `10.0.0.1@ex.io` must redact as one `<EMAIL>`, not as an
+    * `<IP>` plus debris the email pattern can no longer match.
+    * Placeholders contain no digits or `@`, so the operator is
+    * idempotent — redact(redact(x)) == redact(x) (PiiSpec). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
     * the MOSS algorithm): hash every `k`-gram, slide a window of `w`
     * consecutive gram hashes, keep each window's minimum with ties to

@@ -1,0 +1,56 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** PII redaction goldens: positives for all three pattern classes,
+  * negatives that look close but must survive, ordering between the
+  * overlapping IP/phone shapes, and idempotence. */
+class PiiSpec extends SparkTestBase {
+
+  private def redact(texts: Seq[String]): Seq[String] = {
+    val s = spark
+    import s.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
+      .select(col("id"), TextOps.redactPii(col("text")).as("r"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+  }
+
+  test("redacts emails, phones, and IPv4s; leaves near-misses alone") {
+    val cases = Seq(
+      ("write to jane.doe+tag@sub.example.org today",
+        "write to <EMAIL> today"),
+      ("call 555-867-5309 or 555 123 4567 or 555.987.6543",
+        "call <PHONE> or <PHONE> or <PHONE>"),
+      ("server at 10.0.0.1 and 192.168.255.254",
+        "server at <IP> and <IP>"),
+      // near-misses that must survive
+      ("version 2.0 and 1.2.3 and a@b and x@y.z",
+        "version 2.0 and 1.2.3 and a@b and x@y.z"),
+      ("ticket 123-4567 and 12-345-6789",
+        "ticket 123-4567 and 12-345-6789"),
+      // digits glued to words break the \b phone boundary
+      ("id555-123-4567x stays", "id555-123-4567x stays"),
+      // a 4-digit final octet is no IP — but its tail IS a 3-3-4 phone
+      ("from 123.456.789.0123 trailing", "from 123.<PHONE> trailing"),
+      // email-first is load-bearing: a numeric local part must redact
+      // as one email, not an <IP> plus debris
+      ("ping 10.0.0.1@ex.io now", "ping <EMAIL> now"),
+      // all three in one line
+      ("bob@ex.io at 10.1.2.3 tel 555-111-2222",
+        "<EMAIL> at <IP> tel <PHONE>"))
+    redact(cases.map(_._1)).zip(cases).foreach { case (got, (in, want)) =>
+      assert(got == want, s"input: '$in'")
+    }
+  }
+
+  test("idempotent: placeholders contain nothing re-matchable") {
+    val inputs = Seq(
+      "bob@ex.io at 10.1.2.3 tel 555-111-2222 x 555 222 3333",
+      "plain text with no pii at all")
+    val once = redact(inputs)
+    val twice = redact(once)
+    assert(once == twice, "redact(redact(x)) == redact(x)")
+  }
+}
