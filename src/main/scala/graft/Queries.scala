@@ -2305,7 +2305,55 @@ $spatialSceneSql
         |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
         |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
         |  len(regexp_extract_all(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phone
-        |FROM p""".stripMargin))
+        |FROM p""".stripMargin)),
+
+    // Gopher-style repetition signal (Rae et al. 2021 §A1.1): the
+    // fraction of a document's characters covered by its most
+    // frequent word bigram — the canonical repeated-boilerplate
+    // detector, and a real aggregation shape (unlike q21's pure
+    // column ratios): explode bigrams, count per (doc, bigram) — ONE
+    // shuffle, map-side partial agg — then a doc-partitioned window
+    // picks the top (count desc, bigram asc). 349/500 corpus docs
+    // have a naturally repeated bigram, so the signal is non-trivial.
+    // The fraction is double math in pinned operation order, so the
+    // floor-scaled value is bit-identical across engines.
+    ("q76_repetition",
+      (s: SparkSession, dir: String) => {
+        import graft.text.TextOps
+        import org.apache.spark.sql.expressions.Window
+        val w = table(s, dir, "documents").select(
+          col("doc_id"), length(col("text")).as("chars"),
+          TextOps.words(col("text")).as("ws"))
+        val counts = w.where(size(col("ws")) >= 2)
+          .select(col("doc_id"), col("chars"),
+            explode(TextOps.bigrams(col("ws"))).as("bg"))
+          .groupBy("doc_id", "chars", "bg")
+          .agg(count(lit(1)).as("c"))
+        val top = Window.partitionBy("doc_id")
+          .orderBy(col("c").desc, col("bg"))
+        counts.withColumn("rn", row_number().over(top))
+          .where(col("rn") === 1)
+          .select(col("doc_id"), col("bg").as("top_bigram"),
+            col("c").as("top_cnt"),
+            floor(lit(1000000.0) * col("c") * length(col("bg")) / col("chars"))
+              .cast("long").as("top_frac_e6"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+        |  SELECT doc_id, length(text) AS chars,
+        |         regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, chars,
+        |         unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS bg
+        |  FROM w WHERE len(ws) >= 2),
+        |c AS (SELECT doc_id, chars, bg, count(*) AS c FROM b GROUP BY 1, 2, 3),
+        |r AS (SELECT doc_id, bg, c, chars,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bg) AS rn
+        |      FROM c)
+        |SELECT doc_id, bg AS top_bigram, c AS top_cnt,
+        |  CAST(floor(1000000.0 * c * length(bg) / chars) AS BIGINT) AS top_frac_e6
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin))
   )
 
   /** q71's oracle: the Hilbert xy→d loop unrolled for z <= 7 — one

@@ -84,6 +84,16 @@ object TextOps {
   def fingerprint(text: Column): Column =
     conv(substring(md5(text.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  /** Adjacent word bigrams ("a b") from a words array — the unit of
+    * the Gopher-style repetition signal (q76): the fraction of a
+    * document's characters covered by its most frequent word n-gram
+    * is the canonical repeated-boilerplate detector (Rae et al. 2021,
+    * §A1.1). Returns an empty array below two words. */
+  def bigrams(ws: Column): Column =
+    when(size(ws) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(ws) - 1), i =>
+        concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+
   /** PII patterns, written inside the Java-regex ∩ RE2 common subset
     * (character classes, bounded quantifiers, ASCII `\b` — no
     * lookaround, no backreferences) so the DuckDB oracle replays the

@@ -1,0 +1,53 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Gopher-style repetition signal building blocks: bigram extraction
+  * goldens and the top-bigram selection + char-fraction math on docs
+  * with known repetition. */
+class RepetitionSpec extends SparkTestBase {
+
+  test("bigrams: goldens, casing/punct via words(), short-doc empties") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      (0, "the cat sat", Seq("the cat", "cat sat")),
+      (1, "Buy now! Buy now!", Seq("buy now", "now buy", "buy now")),
+      (2, "one", Seq.empty[String]),
+      (3, "", Seq.empty[String]))
+    val got = cases.map { case (i, t, _) => (i, t) }.toDF("id", "text")
+      .select(col("id"), TextOps.bigrams(TextOps.words(col("text"))).as("bg"))
+      .orderBy("id").collect()
+      .map(r => r.getSeq[String](1))
+    cases.zip(got).foreach { case ((_, t, want), g) =>
+      assert(g == want, s"bigrams of '$t'")
+    }
+  }
+
+  test("top-bigram fraction: repeated boilerplate dominates") {
+    val s = spark
+    import s.implicits._
+    // doc 0: "buy now" appears 3x (plus bridging "now buy" 2x);
+    // doc 1: no repeated bigram at all
+    val docs = Seq(
+      (0L, "buy now buy now buy now"),
+      (1L, "a quick brown fox jumps")).toDF("doc_id", "text")
+    val counted = docs
+      .select(col("doc_id"), length(col("text")).as("chars"),
+        explode(TextOps.bigrams(TextOps.words(col("text")))).as("bg"))
+      .groupBy("doc_id", "chars", "bg").agg(count(lit(1)).as("c"))
+    val top = counted
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("c").desc, col("bg"))))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("bg"), col("c"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(top(0) == ((0L, "buy now", 3L)), s"got ${top(0)}")
+    // unique-bigram doc: every count is 1, tie broken alphabetically
+    assert(top(1)._3 == 1L && top(1)._2 == "a quick", s"got ${top(1)}")
+  }
+}
