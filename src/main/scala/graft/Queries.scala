@@ -2353,7 +2353,43 @@ $spatialSceneSql
         |      FROM c)
         |SELECT doc_id, bg AS top_bigram, c AS top_cnt,
         |  CAST(floor(1000000.0 * c * length(bg) / chars) AS BIGINT) AS top_frac_e6
-        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin))
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // Cross-document partial-dup pairs from winnowing fingerprints
+    // (TextOps.winnowPairs — span-level dedup, the lightweight kin of
+    // suffix-array training-data dedup): distinct fps per doc, df-cap
+    // 10 drops corpus-boilerplate spans (2,626 of 3,582 distinct fps
+    // are shared by 2+ docs here, max df 238 — exactly the quadratic
+    // buckets the cap exists for), fp self-join, pairs with 5+ shared
+    // spans. One shuffle on fp (the df window rides the join
+    // exchange), one on the pair key. The oracle replays the whole
+    // lattice — winnow selection, distinct, cap, join, threshold — in
+    // DuckDB.
+    ("q77_winnow_pairs",
+      (s: SparkSession, dir: String) =>
+        graft.text.TextOps
+          .winnowPairs(table(s, dir, "documents"), "doc_id", "text", 8, 7, 5L, 10L)
+          .orderBy("da", "db"),
+      Some("""WITH g AS (
+        |  SELECT doc_id,
+        |    [CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 10)) AS BIGINT)
+        |       * 2097152 + (2097151 - i)
+        |     for i in range(1, greatest(length(text) - 7, 1) + 1)] AS hkeys,
+        |    greatest(length(text) - 7, 1) AS grams
+        |  FROM documents
+        |  WHERE length(text) >= 8),
+        |w1 AS (
+        |  SELECT doc_id,
+        |    list_distinct([list_aggregate(hkeys[s : s + 6], 'min')
+        |       for s in range(1, greatest(grams - 6, 1) + 1)]) AS winners
+        |  FROM g),
+        |d AS (SELECT DISTINCT doc_id, unnest(winners) >> 21 AS fp FROM w1),
+        |df AS (SELECT fp, count(*) AS dfc FROM d GROUP BY 1),
+        |dd AS (SELECT d.doc_id, d.fp FROM d JOIN df USING (fp) WHERE df.dfc <= 10),
+        |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+        |      FROM dd a JOIN dd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT da, db, shared FROM p WHERE shared >= 5 ORDER BY da, db""".stripMargin))
   )
 
   /** q71's oracle: the Hilbert xy→d loop unrolled for z <= 7 — one

@@ -244,4 +244,50 @@ object TextOps {
     * cannot take a DataFrame; prefer [[winnowFingerprints]]. */
   def winnowFingerprintsExpr(text: Column, k: Int, w: Int): Column =
     winnowWinners(winnowKeys(text, k), w)
+
+  /** Cross-document partial-duplicate pairs from winnowing
+    * fingerprints — the span-level dedup detector (the lightweight
+    * kin of suffix-array training-data dedup, Lee et al. 2021): two
+    * documents sharing `minShared`+ fingerprints share that many
+    * distinct winnowed k-gram spans, each a witness of a common
+    * substring. The scale discipline mirrors the other pair
+    * operators in [[graft.dedup.Dedup]]:
+    *
+    *  - fingerprints are DISTINCT per doc (a span repeated inside one
+    *    doc counts once toward a pair);
+    *  - a document-frequency cap drops fingerprints appearing in more
+    *    than `dfCap` docs BEFORE pairing — a span in half the corpus
+    *    is boilerplate, not duplication, and it is exactly the
+    *    quadratic-bucket hazard (the PPJoin df-cap / minhash
+    *    hot-bucket move). The cap is a `count OVER (fp)` window that
+    *    rides the same exchange the self-join needs — one shuffle on
+    *    fp total;
+    *  - the pair count per (da, db) then comes from one groupBy.
+    *
+    * Returns (da, db, shared) with da < db, shared >= minShared. */
+  def winnowPairs(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      w: Int,
+      minShared: Long,
+      dfCap: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fps = winnowFingerprints(df.select(idCol, textCol), textCol, k, w)
+      .select(col(idCol).as("id"), explode_outer(col("winnow")).as("wf"))
+      .where(col("wf").isNotNull)
+      .select(col("id"), col("wf.fp").as("fp"))
+      .distinct()
+    val kept = fps
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("fp")))
+      .where(col("__df") <= dfCap)
+      .drop("__df")
+    kept.select(col("id").as("da"), col("fp"))
+      .join(kept.select(col("id").as("db"), col("fp")), "fp")
+      .where(col("da") < col("db"))
+      .groupBy("da", "db")
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
 }

@@ -159,4 +159,29 @@ class WinnowSpec extends SparkTestBase {
     val f1 = fps(1).map(_._2).toSet
     assert((f0 & f1).nonEmpty, "shared span shares a fast fingerprint")
   }
+
+  test("winnowPairs: planted partial dups found; boilerplate df-capped away") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(59)
+    def randText(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    // docs 0 and 1 share a long span; 2..9 are unrelated; 10..19 all
+    // carry the SAME boilerplate sentence (df = 10 > cap -> its
+    // fingerprints must not produce pairs)
+    val span = randText(120)
+    val boiler = randText(120)
+    val docs = (
+      Seq((0L, randText(80) + span + randText(80)),
+          (1L, randText(80) + span + randText(80))) ++
+      (2L to 9L).map(i => (i, randText(280))) ++
+      (10L to 19L).map(i => (i, randText(80) + boiler + randText(80)))
+    ).toDF("doc_id", "text")
+
+    val pairs = TextOps.winnowPairs(docs, "doc_id", "text", K, W, 3L, 5L)
+      .select(col("da"), col("db"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "planted partial dup found")
+    assert(pairs.forall { case (a, b) => a < 2 && b < 2 },
+      s"boilerplate group produced pairs: $pairs")
+  }
 }
