@@ -1,0 +1,115 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Scale-ladder evidence for span-level partial-dup detection
+  * (TextOps.winnowPairs), the DEDUP_SCALE pattern applied to the
+  * winnowing family: synthetic documents at 1x/10x/100x with planted
+  * partial-dup pairs, operator-only timing, planted recall at every
+  * rung.
+  *
+  * Corpus: ~50 base36 "words" per doc drawn uniformly from a 10^5
+  * vocabulary, so an 8-char gram spans 2-3 words and a specific word
+  * PAIR recurs across docs with probability ~totalPairs/10^10 —
+  * cross-doc gram sharing is dominated by the planted spans, with the
+  * df-cap absorbing the rare accidental repeats. Every 100th doc gets
+  * a partner carrying a copied 12-word span inside fresh noise; the
+  * pair must surface with >= minShared fingerprints (span length
+  * >> k+w-1 makes the coverage guarantee overwhelming, not marginal).
+  *
+  * Keys use the production hash (winnowPairs runs the same md5 path
+  * as q77; the ladder's point is join/cap behavior, and md5-vs-xxhash
+  * is a constant factor measured separately in tools/WinnowTime).
+  *
+  * Writes BENCH/WINNOW_SCALE.md. Args: [baseDocs] [rungs]
+  * (defaults 5000 and "1,10"; pass "1,10,100" for the 500k rung). */
+object WinnowScale {
+
+  private def word(seed: Column, j: Column): Column =
+    lower(conv(pmod(xxhash64(seed, j), lit(99999L)).cast("string"), 10, 36))
+
+  private def wordSpan(seed: Column, salt: Int, nWords: Int): Column =
+    concat_ws(" ", transform(sequence(lit(1), lit(nWords)),
+      j => word(seed + lit(salt * 1000003L), j)))
+
+  /** n base docs + one partner per (id % 100 == 7) base doc; the
+    * partner copies the base's 12-word span between fresh noise. */
+  def corpus(spark: SparkSession, n: Long): DataFrame = {
+    val base = spark.range(n).select(col("id"),
+      concat_ws(" ",
+        wordSpan(col("id"), 1, 20),
+        wordSpan(col("id"), 2, 12),
+        wordSpan(col("id"), 3, 20)).as("text"))
+    // two-step select: naming the base id first keeps the span seed
+    // unambiguous (a sibling alias "id" would otherwise shadow the
+    // input attribute in the same projection)
+    val partners = spark.range(n).where(col("id") % 100 === 7)
+      .select(col("id").as("base_id"), (col("id") + lit(n)).as("id"))
+      .select(col("id"),
+        concat_ws(" ",
+          wordSpan(col("id"), 4, 20),
+          wordSpan(col("base_id"), 2, 12), // the copied span
+          wordSpan(col("id"), 5, 20)).as("text"))
+    base.unionByName(partners)
+  }
+
+  final case class Rung(n: Long, m: Long, secs: Double, pairs: Long,
+      planted: Long, load: String)
+
+  def main(args: Array[String]): Unit = {
+    val baseDocs = if (args.length > 0) args(0).toLong else 5000L
+    val mults = (if (args.length > 1) args(1) else "1,10").split(",").map(_.trim.toLong)
+    val spark = graft.Bench.mkSession(32)
+    spark.sparkContext.setLogLevel("WARN")
+    val rungs = scala.collection.mutable.ArrayBuffer[Rung]()
+
+    // warmup (codegen + HOF caches), unrecorded
+    TextOps.winnowPairs(corpus(spark, 500L), "id", "text", 8, 7, 3L, 32L).count()
+
+    for (mult <- mults) {
+      val n = baseDocs * mult
+      val m = (n + 92) / 100 // ids ≡ 7 (mod 100) below n
+      val docs = corpus(spark, n)
+      // materialize the text OUTSIDE the timed window: the operator
+      // under test is fingerprint+cap+join, not the generator
+      val mat = docs.localCheckpoint(true)
+      val load = ToolUtil.loadavg()
+      val t0 = System.nanoTime()
+      val pairs = TextOps.winnowPairs(mat, "id", "text", 8, 7, 3L, 32L).cache()
+      val total = pairs.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val planted = pairs
+        .where(col("db") === col("da") + lit(n) && col("da") % 100 === 7)
+        .count()
+      pairs.unpersist()
+      rungs += Rung(n, m, secs, total, planted, load)
+      println(f"[winnowscale] n=$n%9d m=$m%6d ${secs}%8.2fs pairs=$total%,d planted=$planted/$m load=$load")
+    }
+
+    val sb = new StringBuilder
+    sb.append("# WINNOW_SCALE — span-level partial-dup ladder (tools/WinnowScale)\n\n")
+    sb.append("TextOps.winnowPairs (k=8, w=7, minShared=3, dfCap=32) over synthetic\n")
+    sb.append("base36-word documents with one planted partial-dup partner per 100\n")
+    sb.append("base docs (a copied 12-word span inside fresh noise). Operator-only\n")
+    sb.append("timing: the text is localCheckpointed before the window. Cross-doc\n")
+    sb.append("gram sharing is pair-of-words-rare by construction, so candidate\n")
+    sb.append("volume tracks the planted spans and the df-cap's ceiling, not n².\n")
+    sb.append("Single cold run per rung after one warmup; 1-min loadavg per rung.\n\n")
+    sb.append("| docs | planted pairs | wall (s) | pairs out | planted recall | loadavg |\n")
+    sb.append("|---|---|---|---|---|---|\n")
+    rungs.foreach { r =>
+      sb.append(f"| ${r.n}%,d | ${r.m}%,d | ${r.secs}%.2f | ${r.pairs}%,d | ${r.planted}/${r.m} | ${r.load} |\n")
+    }
+    sb.append("\nRecall m/m at every rung = the k+w-1 coverage guarantee surviving\n")
+    sb.append("the distinct, the df-cap, and the threshold at ladder scale; wall\n")
+    sb.append("growing ~linearly in docs = the fp join staying in the capped-bucket\n")
+    sb.append("regime.\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH/WINNOW_SCALE.md"), sb.toString)
+    println("[winnowscale] wrote BENCH/WINNOW_SCALE.md")
+    spark.stop()
+  }
+}
