@@ -2389,7 +2389,33 @@ $spatialSceneSql
         |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
         |      FROM dd a JOIN dd b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |      GROUP BY 1, 2)
-        |SELECT da, db, shared FROM p WHERE shared >= 5 ORDER BY da, db""".stripMargin))
+        |SELECT da, db, shared FROM p WHERE shared >= 5 ORDER BY da, db""".stripMargin)),
+
+    // REAL EXIF metadata over synthesized JPEG/APP1/TIFF payloads
+    // (Multimodal.parseExif — from-scratch IFD0 walk, both byte
+    // orders, inline + offset-addressed values): the q43/q45 pattern —
+    // the oracle pins the exact orientation/model/timestamp each
+    // deterministic payload was written with, alternating endianness
+    // per row so a single-endian parser hash-mismatches half the rows.
+    ("q78_exif_meta",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val media = s.range(200).map { i =>
+          (f"ex$i%06d", graft.multimodal.Multimodal.synthExifJpeg(
+            (1 + i % 8).toInt,
+            s"cam${i % 5}",
+            f"2024:${1 + i % 12}%02d:${1 + i % 28}%02d 12:00:${i % 60}%02d",
+            i % 2 == 0))
+        }.toDF("media_id", "bytes")
+        graft.multimodal.Multimodal.exifMeta(media)
+          .select("media_id", "orientation", "model", "taken_at")
+      },
+      Some("""SELECT printf('ex%06d', g.i) AS media_id,
+        |  CAST(1 + g.i % 8 AS INT) AS orientation,
+        |  'cam' || (g.i % 5) AS model,
+        |  printf('2024:%02d:%02d 12:00:%02d',
+        |         1 + g.i % 12, 1 + g.i % 28, g.i % 60) AS taken_at
+        |FROM generate_series(0, 199) g(i)""".stripMargin))
   )
 
   /** q71's oracle: the Hilbert xy→d loop unrolled for z <= 7 — one

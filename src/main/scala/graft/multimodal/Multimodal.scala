@@ -510,4 +510,160 @@ object Multimodal {
       }
     }(Encoders.row(schema))
   }
+
+  // ------------------------------------------------------------------ //
+  // REAL EXIF parsing (pure bytes, the public JPEG APP1 / TIFF layout
+  // — no library): orientation, camera model, and capture timestamp
+  // from IFD0, both byte orders, inline and offset-addressed values.
+  // The signals an image-corpus pipeline joins on: orientation feeds
+  // the resize/normalize stage, the timestamp feeds burst-photo
+  // near-dup grouping next to pHash.
+  // ------------------------------------------------------------------ //
+
+  val exifMetaSchema: StructType = StructType(Seq(
+    StructField("media_id", StringType),
+    StructField("orientation", IntegerType),
+    StructField("model", StringType),
+    StructField("taken_at", StringType),
+    StructField("error", StringType)))
+
+  /** EXIF fields from a JPEG's APP1 segment, per-partition batch like
+    * the other parsers. Missing tags are nulls (a JPEG without EXIF is
+    * DATA, not an error); structural violations — not a JPEG,
+    * truncated TIFF, bad magic — land in the error column. */
+  def exifMeta(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getString(idIdx)
+        val bytes = r.getAs[Array[Byte]](bIdx)
+        try {
+          val (o, m, t) = parseExif(bytes)
+          Row(id, o.map(Int.box).orNull, m.orNull, t.orNull, null)
+        } catch {
+          case e: Exception => Row(id, null, null, null, e.toString)
+        }
+      }
+    }(Encoders.row(exifMetaSchema))
+  }
+
+  /** (orientation, model, dateTime) from the first APP1 Exif segment;
+    * all-None when the JPEG simply has no EXIF. Throws on structural
+    * violations. */
+  def parseExif(b: Array[Byte]): (Option[Int], Option[String], Option[String]) = {
+    require(b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8,
+      "not a JPEG (no SOI)")
+    var p = 2
+    while (p + 4 <= b.length && (b(p) & 0xff) == 0xff) {
+      val marker = b(p + 1) & 0xff
+      if (marker == 0xd9 || marker == 0xda) return (None, None, None)
+      val len = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+      require(len >= 2 && p + 2 + len <= b.length, s"truncated segment 0x$marker%02x")
+      if (marker == 0xe1 && len >= 8 &&
+          b(p + 4) == 'E' && b(p + 5) == 'x' && b(p + 6) == 'i' &&
+          b(p + 7) == 'f' && b(p + 8) == 0 && b(p + 9) == 0)
+        return parseTiff(b, p + 10, len - 8)
+      p += 2 + len
+    }
+    (None, None, None)
+  }
+
+  private def parseTiff(
+      b: Array[Byte], base: Int,
+      tiffLen: Int): (Option[Int], Option[String], Option[String]) = {
+    require(tiffLen >= 8, "truncated TIFF header")
+    val le = (b(base) & 0xff, b(base + 1) & 0xff) match {
+      case ('I', 'I') => true
+      case ('M', 'M') => false
+      case _ => throw new IllegalArgumentException("bad TIFF byte order")
+    }
+    def u16(p: Int): Int =
+      if (le) (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+      else ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+    def u32(p: Int): Long =
+      if (le) (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+        ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+      else ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+        ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+    require(u16(base + 2) == 42, "bad TIFF magic")
+    val ifd = base + u32(base + 4).toInt
+    require(ifd + 2 <= base + tiffLen, "IFD0 offset out of range")
+    val n = u16(ifd)
+    require(ifd + 2 + 12 * n + 4 <= base + tiffLen, "truncated IFD0")
+    var orientation: Option[Int] = None
+    var model: Option[String] = None
+    var taken: Option[String] = None
+    def ascii(cnt: Int, valuePos: Int): String = {
+      val at = if (cnt <= 4) valuePos else base + u32(valuePos).toInt
+      require(at + cnt <= base + tiffLen, "ASCII value out of range")
+      val end = at + cnt
+      val stop = if (end > at && b(end - 1) == 0) end - 1 else end
+      new String(b, at, stop - at, "US-ASCII")
+    }
+    var i = 0
+    while (i < n) {
+      val e = ifd + 2 + 12 * i
+      val tag = u16(e)
+      val typ = u16(e + 2)
+      val cnt = u32(e + 4).toInt
+      tag match {
+        case 0x0112 if typ == 3 && cnt == 1 => orientation = Some(u16(e + 8))
+        case 0x0110 if typ == 2 => model = Some(ascii(cnt, e + 8))
+        case 0x0132 if typ == 2 => taken = Some(ascii(cnt, e + 8))
+        case _ => ()
+      }
+      i += 1
+    }
+    (orientation, model, taken)
+  }
+
+  /** Deterministic JPEG carrying exactly the EXIF fields given — SOI +
+    * APP1(TIFF IFD0: Model, Orientation, DateTime) + EOI. Either byte
+    * order; ASCII values longer than 4 bytes go to the offset-
+    * addressed data area, exactly the layout real cameras write. */
+  def synthExifJpeg(
+      orientation: Int,
+      model: String,
+      dateTime: String,
+      littleEndian: Boolean): Array[Byte] = {
+    val modelBytes = (model + "\u0000").getBytes("US-ASCII")
+    val dateBytes = (dateTime + "\u0000").getBytes("US-ASCII")
+    val dataStart = 8 + 2 + 3 * 12 + 4 // TIFF header + count + entries + next-IFD
+    val tiff = new java.io.ByteArrayOutputStream()
+    def t8(v: Int): Unit = tiff.write(v & 0xff)
+    def t16(v: Int): Unit =
+      if (littleEndian) { t8(v); t8(v >> 8) } else { t8(v >> 8); t8(v) }
+    def t32(v: Long): Unit =
+      if (littleEndian) { t8(v.toInt); t8((v >> 8).toInt); t8((v >> 16).toInt); t8((v >> 24).toInt) }
+      else { t8((v >> 24).toInt); t8((v >> 16).toInt); t8((v >> 8).toInt); t8(v.toInt) }
+    t8(if (littleEndian) 'I' else 'M'); t8(if (littleEndian) 'I' else 'M')
+    t16(42); t32(8L) // IFD0 directly after the header
+    t16(3) // entry count, tags ascending (the spec's ordering rule)
+    // 0x0110 Model, ASCII
+    t16(0x0110); t16(2); t32(modelBytes.length.toLong)
+    if (modelBytes.length <= 4) { tiff.write(modelBytes); (modelBytes.length until 4).foreach(_ => t8(0)) }
+    else t32(dataStart.toLong)
+    // 0x0112 Orientation, SHORT
+    t16(0x0112); t16(3); t32(1L); t16(orientation); t16(0)
+    // 0x0132 DateTime, ASCII (always offset-addressed: 20 bytes)
+    val dateOff = dataStart + (if (modelBytes.length <= 4) 0 else modelBytes.length)
+    t16(0x0132); t16(2); t32(dateBytes.length.toLong); t32(dateOff.toLong)
+    t32(0L) // next IFD
+    if (modelBytes.length > 4) tiff.write(modelBytes)
+    tiff.write(dateBytes)
+    val tiffBytes = tiff.toByteArray
+
+    // JPEG wrapper
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    w8(0xff); w8(0xd8) // SOI
+    w8(0xff); w8(0xe1) // APP1
+    val segLen = 2 + 6 + tiffBytes.length
+    w8(segLen >> 8); w8(segLen) // segment length is ALWAYS big-endian
+    out.write("Exif".getBytes("US-ASCII")); w8(0); w8(0)
+    out.write(tiffBytes)
+    w8(0xff); w8(0xd9) // EOI
+    out.toByteArray
+  }
 }

@@ -1,0 +1,62 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** EXIF parser vs the synthesizer: round-trips across both byte
+  * orders and both value addressing modes, the no-EXIF and error
+  * channels, and the DataFrame batch path. */
+class ExifSpec extends SparkTestBase {
+
+  test("round-trip: both endians, inline and offset-addressed ASCII") {
+    for (le <- Seq(true, false)) {
+      // long model (> 4 bytes with NUL): offset-addressed
+      val jpg = Multimodal.synthExifJpeg(6, "PixelCam 9", "2024:03:15 10:20:30", le)
+      val (o, m, t) = Multimodal.parseExif(jpg)
+      assert(o.contains(6) && m.contains("PixelCam 9") &&
+        t.contains("2024:03:15 10:20:30"), s"le=$le offset-addressed")
+
+      // short model ("abc" + NUL = 4 bytes): inline in the value slot
+      val jpg2 = Multimodal.synthExifJpeg(1, "abc", "2020:01:01 00:00:00", le)
+      val (o2, m2, t2) = Multimodal.parseExif(jpg2)
+      assert(o2.contains(1) && m2.contains("abc") &&
+        t2.contains("2020:01:01 00:00:00"), s"le=$le inline")
+    }
+  }
+
+  test("no-EXIF jpeg is data (nulls), broken bytes are errors") {
+    // a real corpus JPEG has no APP1 Exif segment
+    val plain = graft.engine.Corpus.generate(spark, 10L).toDF()
+      .where(col("fmt") === "jpeg").select("bytes").head.getAs[Array[Byte]](0)
+    assert(Multimodal.parseExif(plain) == ((None, None, None)))
+
+    intercept[IllegalArgumentException] {
+      Multimodal.parseExif("not a jpeg".getBytes)
+    }
+    // APP1 with a segment length pointing past the buffer
+    val truncated = Multimodal.synthExifJpeg(1, "abc", "2020:01:01 00:00:00", true)
+      .take(20)
+    intercept[IllegalArgumentException] {
+      Multimodal.parseExif(truncated)
+    }
+  }
+
+  test("exifMeta batch: values, null rows, and error rows in one pass") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ("a", Multimodal.synthExifJpeg(3, "CamA", "2021:06:01 08:00:00", true)),
+      ("b", Multimodal.synthExifJpeg(8, "CamB", "2022:07:02 09:30:00", false)),
+      ("c", Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte)), // SOI+EOI
+      ("d", "garbage".getBytes))
+    val got = Multimodal.exifMeta(rows.toDF("media_id", "bytes"))
+      .orderBy("media_id").collect()
+    assert(got(0).getInt(1) == 3 && got(0).getString(2) == "CamA" &&
+      got(0).getString(3) == "2021:06:01 08:00:00" && got(0).isNullAt(4))
+    assert(got(1).getInt(1) == 8 && got(1).getString(2) == "CamB" && got(1).isNullAt(4))
+    assert(got(2).isNullAt(1) && got(2).isNullAt(2) && got(2).isNullAt(4),
+      "EXIF-less JPEG is nulls with NO error")
+    assert(!got(3).isNullAt(4), "garbage lands in the error column")
+  }
+}
