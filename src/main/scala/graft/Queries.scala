@@ -2415,7 +2415,56 @@ $spatialSceneSql
         |  'cam' || (g.i % 5) AS model,
         |  printf('2024:%02d:%02d 12:00:%02d',
         |         1 + g.i % 12, 1 + g.i % 28, g.i % 60) AS taken_at
-        |FROM generate_series(0, 199) g(i)""".stripMargin))
+        |FROM generate_series(0, 199) g(i)""".stripMargin)),
+
+    // Orientation normalization, checked at the PIXEL level: 160
+    // deterministic 11×7 PNGs (pixel value closed-form in (x, y, i)),
+    // each STORED under EXIF orientation 1+i%8 (the stored raster is
+    // the upright image passed through the inverse orientation, the
+    // way a rotated camera writes it). orientNormalize must restore
+    // the upright raster exactly — the oracle is the pixel generator
+    // itself, so any wrong affine map, axis swap, or dimension flip in
+    // any of the 8 orientations mismatches thousands of rows. (The
+    // forward semantics of each orientation are pinned independently
+    // by OrientSpec's hand-derived 3×2 goldens, so a consistent
+    // forward+inverse error cannot hide in the round trip.) W≠H and
+    // both >8 so quarter turns and mirrors can't alias.
+    ("q79_orient_normalize",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val stored = s.range(160).map { i =>
+          val ii = i.toInt
+          val o = 1 + ii % 8
+          val up = new java.awt.image.BufferedImage(
+            11, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 7) {
+            var x = 0
+            while (x < 11) {
+              up.setRGB(x, y,
+                (((x * 17 + ii) % 256) << 16) |
+                  (((y * 29 + 2 * ii) % 256) << 8) | ((x + y) % 256))
+              x += 1
+            }
+            y += 1
+          }
+          val st = graft.image.ImageCodec.applyOrientation(
+            up, graft.image.ImageCodec.inverseOrientation(o))
+          (f"or$ii%06d", graft.image.ImageCodec.encode(st, "png"), o)
+        }.toDF("media_id", "bytes", "orientation")
+        graft.multimodal.Multimodal.pixelRows(
+          graft.multimodal.Multimodal.orientNormalize(stored))
+          .orderBy("media_id", "y", "x")
+      },
+      Some("""SELECT printf('or%06d', d.i) AS media_id,
+        |  CAST(xs.x AS INT) AS x, CAST(ys.y AS INT) AS y,
+        |  CAST((xs.x * 17 + d.i) % 256 AS INT) AS r,
+        |  CAST((ys.y * 29 + 2 * d.i) % 256 AS INT) AS g,
+        |  CAST((xs.x + ys.y) % 256 AS INT) AS b
+        |FROM generate_series(0, 159) d(i)
+        |CROSS JOIN generate_series(0, 10) xs(x)
+        |CROSS JOIN generate_series(0, 6) ys(y)
+        |ORDER BY media_id, y, x""".stripMargin))
   )
 
   /** q71's oracle: the Hilbert xy→d loop unrolled for z <= 7 — one

@@ -170,6 +170,64 @@ object ImageCodec {
     g.dispose()
   }
 
+  /** EXIF orientation 1-8 applied to a STORED raster, producing the
+    * upright display image (TIFF/EXIF tag 0x0112 semantics: 2=mirror-H,
+    * 3=rot180, 4=mirror-V, 5=transpose, 6=rot90CW, 7=transverse,
+    * 8=rot270CW; 5-8 swap dimensions). pHash/dHash are NOT rotation
+    * invariant, so an image corpus must normalize orientation before
+    * hashing or burst-rotated shots of the same scene never pair.
+    *
+    * Every orientation's stored-pixel lookup is affine in the output
+    * coordinates — sx = ax·x + ay·y + a0, sy = bx·x + by·y + b0 — so
+    * the inner loop is a branchless fused index computation over the
+    * bulk-read ARGB array (one getRGB/setRGB pair per image, no
+    * per-pixel method dispatch). Bijective: composing with
+    * [[inverseOrientation]] round-trips pixel-exactly. */
+  def applyOrientation(img: BufferedImage, orientation: Int): BufferedImage = {
+    require(orientation >= 1 && orientation <= 8,
+      s"EXIF orientation must be 1-8, got $orientation")
+    if (orientation == 1) return img
+    val w = img.getWidth
+    val h = img.getHeight
+    // (ax, ay, a0, bx, by, b0) per orientation: stored = (sx, sy)
+    val (ax, ay, a0, bx, by, b0) = orientation match {
+      case 2 => (-1, 0, w - 1, 0, 1, 0)
+      case 3 => (-1, 0, w - 1, 0, -1, h - 1)
+      case 4 => (1, 0, 0, 0, -1, h - 1)
+      case 5 => (0, 1, 0, 1, 0, 0)
+      case 6 => (0, 1, 0, -1, 0, h - 1)
+      case 7 => (0, -1, w - 1, -1, 0, h - 1)
+      case 8 => (0, -1, w - 1, 1, 0, 0)
+    }
+    val (uw, uh) = if (orientation >= 5) (h, w) else (w, h)
+    val src = img.getRGB(0, 0, w, h, null, 0, w)
+    val dst = new Array[Int](uw * uh)
+    var y = 0
+    while (y < uh) {
+      var x = 0
+      while (x < uw) {
+        dst(y * uw + x) =
+          src((bx * x + by * y + b0) * w + (ax * x + ay * y + a0))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new BufferedImage(uw, uh,
+      if (img.getColorModel.hasAlpha) BufferedImage.TYPE_INT_ARGB
+      else BufferedImage.TYPE_INT_RGB)
+    out.setRGB(0, 0, uw, uh, dst, 0, uw)
+    out
+  }
+
+  /** The orientation whose [[applyOrientation]] undoes orientation `o`
+    * (6 and 8 — the quarter turns — swap; everything else is its own
+    * inverse). */
+  def inverseOrientation(o: Int): Int = o match {
+    case 6 => 8
+    case 8 => 6
+    case x => x
+  }
+
   /** Exact pixel equality: decode both payloads and compare full ARGB
     * rasters (dimensions must match too). The strict form of [[psnr]]
     * = +inf, format-independent (a JPEG and the PNG re-encode of its

@@ -666,4 +666,83 @@ object Multimodal {
     w8(0xff); w8(0xd9) // EOI
     out.toByteArray
   }
+
+  val orientNormalizeSchema: StructType = StructType(Seq(
+    StructField("media_id", StringType),
+    StructField("bytes", BinaryType),
+    StructField("w", IntegerType),
+    StructField("h", IntegerType),
+    StructField("error", StringType)))
+
+  /** Orientation normalization — the corpus stage between decode and
+    * perceptual hashing: rotate/flip each raster upright per its EXIF
+    * orientation (1-8) so pHash/dHash see every burst shot the same
+    * way. Orientation comes from an `orientation` column when the
+    * input has one (the [[exifMeta]] join shape); otherwise it is
+    * parsed from the bytes' own APP1 segment in the same pass (one
+    * decode, no extra scan). Orientation 1 / null / missing-EXIF
+    * passes bytes through UNTOUCHED (no decode-re-encode churn, and
+    * for JPEG no generation loss); 2-8 re-encode in the sniffed
+    * format. Pixels stay inside the partition — nothing here
+    * shuffles. */
+  def orientNormalize(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bIdx = media.schema.fieldIndex("bytes")
+    val oIdx =
+      if (media.schema.fieldNames.contains("orientation"))
+        media.schema.fieldIndex("orientation")
+      else -1
+    media.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getString(idIdx)
+        val bytes = r.getAs[Array[Byte]](bIdx)
+        try {
+          val o =
+            if (oIdx >= 0) { if (r.isNullAt(oIdx)) 1 else r.getInt(oIdx) }
+            else parseExif(bytes)._1.getOrElse(1)
+          if (o == 1) {
+            val img = ImageCodec.decode(bytes)
+            Row(id, bytes, img.getWidth, img.getHeight, null)
+          } else {
+            val up = ImageCodec.applyOrientation(ImageCodec.decode(bytes), o)
+            val fmt = ImageCodec.formatOf(
+              ImageCodec.sniffContentType(bytes).getOrElse("image/png"))
+            Row(id, ImageCodec.encode(up, fmt), up.getWidth, up.getHeight, null)
+          }
+        } catch {
+          case e: Exception => Row(id, null, null, null, e.toString)
+        }
+      }
+    }(Encoders.row(orientNormalizeSchema))
+  }
+
+  val pixelRowsSchema: StructType = StructType(Seq(
+    StructField("media_id", StringType),
+    StructField("x", IntegerType),
+    StructField("y", IntegerType),
+    StructField("r", IntegerType),
+    StructField("g", IntegerType),
+    StructField("b", IntegerType)))
+
+  /** Raster→vector explode: one row per pixel (x, y, r, g, b). The
+    * bridge from opaque image bytes to relational column math — pixel
+    * oracles (q79), per-channel stats, rasterize round-trips. Row
+    * volume is w·h per image, so this belongs after a crop/resize
+    * stage, not on raw corpus rasters. */
+  def pixelRows(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getString(idIdx)
+        val img = ImageCodec.decode(r.getAs[Array[Byte]](bIdx))
+        val w = img.getWidth
+        val px = img.getRGB(0, 0, w, img.getHeight, null, 0, w)
+        px.indices.iterator.map { i =>
+          val p = px(i)
+          Row(id, i % w, i / w, (p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+        }
+      }
+    }(Encoders.row(pixelRowsSchema))
+  }
 }

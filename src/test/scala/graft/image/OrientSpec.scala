@@ -1,0 +1,126 @@
+package graft.image
+
+import java.awt.image.BufferedImage
+
+import graft.SparkTestBase
+import graft.multimodal.Multimodal
+
+/** EXIF orientation semantics pinned by hand-derived goldens (all 8
+  * orientations on a 3×2 raster, values worked out from the TIFF tag
+  * 0x0112 definitions — NOT from the code), plus the bijection
+  * round-trip, the lossy-path PSNR invariant, and the integrated
+  * parse-orientation-from-bytes DataFrame path over a real JPEG with a
+  * spliced APP1 segment. */
+class OrientSpec extends SparkTestBase {
+
+  /** 3×2 stored raster, pixel value y*3+x+1 in the red channel:
+    * row 0 = 1 2 3, row 1 = 4 5 6. */
+  private def stored32(): BufferedImage = {
+    val img = new BufferedImage(3, 2, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 3) img.setRGB(x, y, (y * 3 + x + 1) << 16)
+    img
+  }
+
+  private def values(img: BufferedImage): Seq[Seq[Int]] =
+    (0 until img.getHeight).map(y =>
+      (0 until img.getWidth).map(x => (img.getRGB(x, y) >> 16) & 0xff))
+
+  test("all 8 orientations match the hand-derived EXIF-spec goldens") {
+    // Derived by hand from "row0 is visually <side>, col0 is visually
+    // <side>": 2 mirror-H, 3 rot180, 4 mirror-V, 5 transpose,
+    // 6 rot90CW, 7 transverse, 8 rot270CW.
+    val expected = Map(
+      1 -> Seq(Seq(1, 2, 3), Seq(4, 5, 6)),
+      2 -> Seq(Seq(3, 2, 1), Seq(6, 5, 4)),
+      3 -> Seq(Seq(6, 5, 4), Seq(3, 2, 1)),
+      4 -> Seq(Seq(4, 5, 6), Seq(1, 2, 3)),
+      5 -> Seq(Seq(1, 4), Seq(2, 5), Seq(3, 6)),
+      6 -> Seq(Seq(4, 1), Seq(5, 2), Seq(6, 3)),
+      7 -> Seq(Seq(6, 3), Seq(5, 2), Seq(4, 1)),
+      8 -> Seq(Seq(3, 6), Seq(2, 5), Seq(1, 4)))
+    for (o <- 1 to 8) {
+      val got = values(ImageCodec.applyOrientation(stored32(), o))
+      assert(got == expected(o), s"orientation $o")
+    }
+  }
+
+  test("inverse orientation round-trips pixel-exactly for all 8") {
+    val img = ImageCodec.photoImage(37, seed = 7L) // odd size: no aliasing
+    val ref = ImageCodec.encode(img, "png")
+    for (o <- 1 to 8) {
+      val storedO = ImageCodec.applyOrientation(
+        img, ImageCodec.inverseOrientation(o))
+      val back = ImageCodec.applyOrientation(storedO, o)
+      assert(
+        ImageCodec.pixelsEqual(ref, ImageCodec.encode(back, "png")),
+        s"orientation $o round trip")
+      // quarter turns swap dims, everything else keeps them
+      if (o >= 5) assert(storedO.getWidth == 37 && storedO.getHeight == 37)
+    }
+  }
+
+  test("lossy path: normalize(jpeg-stored rotated shot) recovers the upright scene at PSNR >= 40 dB") {
+    val upright = ImageCodec.photoImage(64, seed = 11L)
+    for (o <- Seq(3, 6, 8)) {
+      val storedJpeg = ImageCodec.encodeJpeg(
+        ImageCodec.applyOrientation(upright, ImageCodec.inverseOrientation(o)),
+        quality = 0.9f)
+      val norm = ImageCodec.applyOrientation(ImageCodec.decode(storedJpeg), o)
+      assert(ImageCodec.psnr(upright, norm) >= 40.0, s"orientation $o")
+    }
+  }
+
+  /** A real decodable JPEG carrying a real APP1 EXIF segment: splice
+    * synthExifJpeg's APP1 right after the carrier's SOI — exactly where
+    * cameras put it. */
+  private def jpegWithExif(img: BufferedImage, orientation: Int): Array[Byte] = {
+    val carrier = ImageCodec.encodeJpeg(img, quality = 0.9f)
+    val exif = Multimodal.synthExifJpeg(orientation, "cam", "2024:01:01 00:00:00",
+      littleEndian = orientation % 2 == 0)
+    val app1Len = 2 + (((exif(4) & 0xff) << 8) | (exif(5) & 0xff))
+    val app1 = exif.slice(2, 2 + app1Len)
+    carrier.take(2) ++ app1 ++ carrier.drop(2)
+  }
+
+  test("orientNormalize parses orientation from the bytes' own APP1 when no column is given") {
+    val s = spark
+    import s.implicits._
+    val upright = ImageCodec.photoImage(48, seed = 3L)
+    val half = ImageCodec.crop(upright, 0, 0, 48, 24) // 48×24: dims must swap
+    val df = Seq(
+      ("jr6", jpegWithExif(ImageCodec.applyOrientation(
+        half, ImageCodec.inverseOrientation(6)), 6)),
+      ("jr1", jpegWithExif(half, 1)),
+      ("bad", Array[Byte](1, 2, 3))).toDF("media_id", "bytes")
+    val out = Multimodal.orientNormalize(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("jr6").getInt(2) == 48 && out("jr6").getInt(3) == 24)
+    val normed = ImageCodec.decode(out("jr6").getAs[Array[Byte]](1))
+    assert(ImageCodec.psnr(half, normed) >= 40.0)
+    // orientation 1: bytes pass through untouched (no generation loss)
+    assert(java.util.Arrays.equals(
+      out("jr1").getAs[Array[Byte]](1), jpegWithExif(half, 1)))
+    assert(out("bad").isNullAt(1) && out("bad").getString(4) != null)
+  }
+
+  test("exifMeta reads the spliced APP1 on a real decodable JPEG") {
+    val s = spark
+    import s.implicits._
+    val img = ImageCodec.photoImage(16, seed = 1L)
+    val df = Seq(("j", jpegWithExif(img, 7))).toDF("media_id", "bytes")
+    val row = Multimodal.exifMeta(df).collect().head
+    assert(row.getInt(1) == 7 && row.getString(2) == "cam")
+    assert(ImageCodec.decode(jpegWithExif(img, 7)).getWidth == 16)
+  }
+
+  test("pixelRows explodes the raster losslessly") {
+    val s = spark
+    import s.implicits._
+    val img = stored32()
+    val df = Seq(("p", ImageCodec.encode(img, "png"))).toDF("media_id", "bytes")
+    val rows = Multimodal.pixelRows(df).collect()
+      .map(r => (r.getInt(1), r.getInt(2)) -> r.getInt(3)).toMap
+    assert(rows.size == 6)
+    for (y <- 0 until 2; x <- 0 until 3) assert(rows((x, y)) == y * 3 + x + 1)
+  }
+}
