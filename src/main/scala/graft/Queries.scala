@@ -2464,7 +2464,62 @@ $spatialSceneSql
         |FROM generate_series(0, 159) d(i)
         |CROSS JOIN generate_series(0, 10) xs(x)
         |CROSS JOIN generate_series(0, 6) ys(y)
-        |ORDER BY media_id, y, x""".stripMargin))
+        |ORDER BY media_id, y, x""".stripMargin)),
+
+    // Burst-photo grouping end to end from REAL EXIF bytes: 360 JPEG
+    // payloads (3 devices × 120 shots, alternating endianness) carry
+    // capture times t = j*4 + 60*(j/5) seconds — runs of five 4s-apart
+    // shots separated by 64s jumps, so gap=10 yields bursts of exactly
+    // five. exifMeta parses the APP1 DateTime, burstSessionize
+    // sessionizes per device, and the keep flag marks each burst's
+    // earliest frame. The oracle replays the identical lattice (break
+    // flag via lag, running-sum burst ids, ranked keep) in DuckDB from
+    // the closed-form times — so the EXIF parse, timestamp decode, and
+    // both window passes all have to agree.
+    ("q80_burst_groups",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val media = s.range(360).map { i =>
+          val ii = i.toInt
+          val j = ii / 3
+          val t = j * 4 + 60 * (j / 5)
+          (f"bp$ii%06d", graft.multimodal.Multimodal.synthExifJpeg(
+            1, s"cam${ii % 3}",
+            f"2024:01:01 ${t / 3600}%02d:${t / 60 % 60}%02d:${t % 60}%02d",
+            ii % 2 == 0))
+        }.toDF("media_id", "bytes")
+        val meta = graft.multimodal.Multimodal.exifMeta(media)
+          .select(
+            col("media_id"), col("model").as("device"),
+            to_timestamp(col("taken_at"), "yyyy:MM:dd HH:mm:ss").as("ts"))
+        val bursts = graft.dedup.Dedup.burstSessionize(
+          meta, "media_id", "device", "ts", gapSeconds = 10L)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("device", "burst_seq").orderBy("ts", "media_id")
+        bursts
+          .withColumn("keep", row_number().over(w) === 1)
+          .select("media_id", "device", "burst_seq", "keep")
+          .orderBy("media_id")
+      },
+      Some("""WITH m AS (
+        |  SELECT printf('bp%06d', g.i) AS media_id,
+        |    'cam' || (g.i % 3) AS device,
+        |    (g.i // 3) * 4 + 60 * ((g.i // 3) // 5) AS t
+        |  FROM generate_series(0, 359) g(i)),
+        |b AS (
+        |  SELECT media_id, device, t,
+        |    CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 10
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM m WINDOW w AS (PARTITION BY device ORDER BY t, media_id)),
+        |s AS (
+        |  SELECT media_id, device, t,
+        |    sum(brk) OVER (PARTITION BY device ORDER BY t, media_id
+        |                   ROWS UNBOUNDED PRECEDING) AS burst_seq
+        |  FROM b)
+        |SELECT media_id, device, CAST(burst_seq AS BIGINT) AS burst_seq,
+        |  (row_number() OVER (PARTITION BY device, burst_seq
+        |                      ORDER BY t, media_id) = 1) AS keep
+        |FROM s ORDER BY media_id""".stripMargin))
   )
 
   /** q71's oracle: the Hilbert xy→d loop unrolled for z <= 7 — one

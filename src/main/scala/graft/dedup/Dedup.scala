@@ -852,6 +852,43 @@ object Dedup {
       .select(col("id"), col("cluster_id"), (col("__rk") === 1).as("keep"))
   }
 
+  /** Burst-photo sessionization over capture metadata: consecutive
+    * shots from the same device whose capture times are ≤ `gapSeconds`
+    * apart share a burst (`burst_seq`, 1-based per device). The
+    * metadata-side prefilter for image near-dup — a burst is where
+    * near-identical frames concentrate, so downstream pHash pairing
+    * scoped to (or prioritized by) bursts touches a tiny fraction of
+    * the cross-device candidate space. Feed `tsCol` from
+    * [[graft.multimodal.Multimodal.exifMeta]]'s DateTime and remember
+    * to orientation-normalize before hashing — burst shots are exactly
+    * where rotated-camera frames of one scene appear.
+    *
+    * One shuffle on `deviceCol`; the break flag and its running sum
+    * share a single Window exec (same partitioning + ordering). The
+    * per-device partition is bounded by one camera's write volume
+    * (~10^5 shots); for unbounded per-device histories compose the
+    * partition key with a coarse time bucket (bursts don't span days)
+    * exactly as the streaming sessionizer does with watermarks. */
+  def burstSessionize(
+      media: DataFrame,
+      idCol: String,
+      deviceCol: String,
+      tsCol: String,
+      gapSeconds: Long = 10L): DataFrame = {
+    val w = Window.partitionBy(deviceCol).orderBy(col(tsCol), col(idCol))
+    val prev = lag(col(tsCol).cast("long"), 1).over(w)
+    val brk = when(
+      prev.isNull || col(tsCol).cast("long") - prev > gapSeconds, 1L)
+      .otherwise(0L)
+    media
+      .withColumn("__brk", brk)
+      .withColumn(
+        "burst_seq",
+        sum(col("__brk"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__brk")
+  }
+
   /** SimHash near-dup pairs: 60-bit signatures blocked on 15-bit bands
     * (a pair within hamming distance 3 shares at least one of 4 bands),
     * verified by hamming distance — the `maxHamming = 3` instance of

@@ -667,6 +667,19 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Splice the APP1 EXIF segment of `exifJpeg` (a [[synthExifJpeg]]
+    * payload) into a real JPEG right after its SOI — the layout cameras
+    * write: one decodable payload carrying pixels AND metadata. The
+    * fixture writer for pipelines that exercise [[exifMeta]] and
+    * [[orientNormalize]] end to end. */
+  def spliceExif(carrier: Array[Byte], exifJpeg: Array[Byte]): Array[Byte] = {
+    require(
+      carrier.length >= 2 && (carrier(0) & 0xff) == 0xff &&
+        (carrier(1) & 0xff) == 0xd8, "carrier is not a JPEG")
+    val app1Len = 2 + (((exifJpeg(4) & 0xff) << 8) | (exifJpeg(5) & 0xff))
+    carrier.take(2) ++ exifJpeg.slice(2, 2 + app1Len) ++ carrier.drop(2)
+  }
+
   val orientNormalizeSchema: StructType = StructType(Seq(
     StructField("media_id", StringType),
     StructField("bytes", BinaryType),

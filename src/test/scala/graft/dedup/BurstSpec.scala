@@ -1,0 +1,86 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.image.ImageCodec
+import graft.multimodal.Multimodal
+
+/** The burst-photo near-dup story end to end from REAL camera-layout
+  * payloads (decodable JPEG + spliced APP1 EXIF): metadata
+  * sessionization concentrates the candidates, and orientation
+  * normalization is what lets the rotated frame of a burst pair at all
+  * — the raw pHash of a quarter-turned raster is a stranger to its own
+  * scene. */
+class BurstSpec extends SparkTestBase {
+
+  private def shot(
+      id: String,
+      img: java.awt.image.BufferedImage,
+      orientation: Int,
+      t: Int): (String, Array[Byte]) =
+    (id, Multimodal.spliceExif(
+      ImageCodec.encodeJpeg(img, quality = 0.9f),
+      Multimodal.synthExifJpeg(
+        orientation, "cam0", f"2024:01:01 00:${t / 60}%02d:${t % 60}%02d",
+        littleEndian = t % 2 == 0)))
+
+  private def d(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("rotated burst frame pairs with its scene only after orientation normalization") {
+    val s = spark
+    import s.implicits._
+    val scene = ImageCodec.photoImage(64, seed = 5L)
+    val rows = Seq(
+      shot("a1", scene, 1, 0),
+      shot("a2",
+        ImageCodec.decode(ImageCodec.encodeJpeg(scene, quality = 0.85f)), 1, 4),
+      shot("a3", ImageCodec.applyOrientation(
+        scene, ImageCodec.inverseOrientation(6)), 6, 8),
+      shot("b1", ImageCodec.photoImage(64, seed = 9L), 1, 120))
+      .toDF("media_id", "bytes")
+
+    // raw hashes: the stored-rotated frame is far outside the banded
+    // pairing threshold (7) — skipping normalization loses the pair
+    val raw = Multimodal.imagePhash(rows).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d(raw("a1"), raw("a3")) > 7,
+      s"rotated raw distance ${d(raw("a1"), raw("a3"))}")
+
+    // normalized hashes: same frame lands inside it
+    val withO = rows.join(
+      Multimodal.exifMeta(rows).select("media_id", "orientation"),
+      Seq("media_id"))
+    val norm = Multimodal.orientNormalize(withO).select("media_id", "bytes")
+    val fixed = Multimodal.imagePhash(norm).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d(fixed("a1"), fixed("a3")) <= 7,
+      s"normalized distance ${d(fixed("a1"), fixed("a3"))}")
+    assert(d(fixed("a1"), fixed("a2")) <= 7)
+    assert(d(fixed("a1"), fixed("b1")) > 7)
+
+    // and the banded pair operator finds exactly the one scene's pairs
+    val pairs = Dedup.phashPairs(Multimodal.imagePhash(norm))
+      .select("da", "db").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(("a1", "a3")))
+    assert(!pairs.exists { case (x, y) => x.startsWith("b") || y.startsWith("b") })
+  }
+
+  test("burstSessionize groups the 4s-apart shots and isolates the later scene") {
+    val s = spark
+    import s.implicits._
+    val scene = ImageCodec.photoImage(32, seed = 5L)
+    val rows = Seq(
+      shot("a1", scene, 1, 0), shot("a2", scene, 1, 4),
+      shot("a3", scene, 1, 8), shot("b1", scene, 1, 120))
+      .toDF("media_id", "bytes")
+    val ts = Multimodal.exifMeta(rows).select(
+      col("media_id"), col("model").as("device"),
+      to_timestamp(col("taken_at"), "yyyy:MM:dd HH:mm:ss").as("ts"))
+    val bursts = Dedup.burstSessionize(ts, "media_id", "device", "ts")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("burst_seq")).toMap
+    assert(bursts("a1") == 1L && bursts("a2") == 1L && bursts("a3") == 1L)
+    assert(bursts("b1") == 2L)
+  }
+}

@@ -73,14 +73,11 @@ class OrientSpec extends SparkTestBase {
   /** A real decodable JPEG carrying a real APP1 EXIF segment: splice
     * synthExifJpeg's APP1 right after the carrier's SOI — exactly where
     * cameras put it. */
-  private def jpegWithExif(img: BufferedImage, orientation: Int): Array[Byte] = {
-    val carrier = ImageCodec.encodeJpeg(img, quality = 0.9f)
-    val exif = Multimodal.synthExifJpeg(orientation, "cam", "2024:01:01 00:00:00",
-      littleEndian = orientation % 2 == 0)
-    val app1Len = 2 + (((exif(4) & 0xff) << 8) | (exif(5) & 0xff))
-    val app1 = exif.slice(2, 2 + app1Len)
-    carrier.take(2) ++ app1 ++ carrier.drop(2)
-  }
+  private def jpegWithExif(img: BufferedImage, orientation: Int): Array[Byte] =
+    Multimodal.spliceExif(
+      ImageCodec.encodeJpeg(img, quality = 0.9f),
+      Multimodal.synthExifJpeg(orientation, "cam", "2024:01:01 00:00:00",
+        littleEndian = orientation % 2 == 0))
 
   test("orientNormalize parses orientation from the bytes' own APP1 when no column is given") {
     val s = spark
