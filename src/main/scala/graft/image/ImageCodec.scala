@@ -170,6 +170,37 @@ object ImageCodec {
     g.dispose()
   }
 
+  /** Image dimensions from the header alone — PNG IHDR or the first
+    * JPEG SOF marker — no pixel decode. Lets pass-through paths (e.g.
+    * [[graft.multimodal.Multimodal.orientNormalize]]'s orientation-1
+    * rows, the dominant case in a real photo corpus) report dims at
+    * header-peek cost instead of decoding the raster. The JPEG walk
+    * skips APP/COM segments, so EXIF-carrying files resolve too. */
+  def dimsOf(data: Array[Byte]): Option[(Int, Int)] = {
+    if (data.length >= 24 && (data(0) & 0xff) == 0x89 && data(1) == 'P')
+      // PNG: IHDR is mandated first; width/height big-endian at 16/20
+      Some((
+        ((data(16) & 0xff) << 24) | ((data(17) & 0xff) << 16) |
+          ((data(18) & 0xff) << 8) | (data(19) & 0xff),
+        ((data(20) & 0xff) << 24) | ((data(21) & 0xff) << 16) |
+          ((data(22) & 0xff) << 8) | (data(23) & 0xff)))
+    else if (data.length >= 4 && (data(0) & 0xff) == 0xff &&
+        (data(1) & 0xff) == 0xd8) {
+      var p = 2
+      while (p + 9 <= data.length && (data(p) & 0xff) == 0xff) {
+        val m = data(p + 1) & 0xff
+        // SOF0-15 minus the non-frame DHT/JPG/DAC markers
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          return Some((
+            ((data(p + 7) & 0xff) << 8) | (data(p + 8) & 0xff),
+            ((data(p + 5) & 0xff) << 8) | (data(p + 6) & 0xff)))
+        if (m == 0xd9 || m == 0xda) return None
+        p += 2 + (((data(p + 2) & 0xff) << 8) | (data(p + 3) & 0xff))
+      }
+      None
+    } else None
+  }
+
   /** EXIF orientation 1-8 applied to a STORED raster, producing the
     * upright display image (TIFF/EXIF tag 0x0112 semantics: 2=mirror-H,
     * 3=rot180, 4=mirror-V, 5=transpose, 6=rot90CW, 7=transverse,

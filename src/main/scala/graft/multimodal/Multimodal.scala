@@ -694,10 +694,11 @@ object Multimodal {
     * input has one (the [[exifMeta]] join shape); otherwise it is
     * parsed from the bytes' own APP1 segment in the same pass (one
     * decode, no extra scan). Orientation 1 / null / missing-EXIF
-    * passes bytes through UNTOUCHED (no decode-re-encode churn, and
-    * for JPEG no generation loss); 2-8 re-encode in the sniffed
-    * format. Pixels stay inside the partition — nothing here
-    * shuffles. */
+    * passes bytes through UNTOUCHED — dims come from a header peek
+    * ([[graft.image.ImageCodec.dimsOf]]), so the dominant upright-photo
+    * path never decodes a raster and suffers no JPEG generation loss;
+    * 2-8 re-encode in the sniffed format. Pixels stay inside the
+    * partition — nothing here shuffles. */
   def orientNormalize(media: DataFrame): DataFrame = {
     val idIdx = media.schema.fieldIndex("media_id")
     val bIdx = media.schema.fieldIndex("bytes")
@@ -714,8 +715,11 @@ object Multimodal {
             if (oIdx >= 0) { if (r.isNullAt(oIdx)) 1 else r.getInt(oIdx) }
             else parseExif(bytes)._1.getOrElse(1)
           if (o == 1) {
-            val img = ImageCodec.decode(bytes)
-            Row(id, bytes, img.getWidth, img.getHeight, null)
+            val (w, h) = ImageCodec.dimsOf(bytes).getOrElse {
+              val img = ImageCodec.decode(bytes)
+              (img.getWidth, img.getHeight)
+            }
+            Row(id, bytes, w, h, null)
           } else {
             val up = ImageCodec.applyOrientation(ImageCodec.decode(bytes), o)
             val fmt = ImageCodec.formatOf(

@@ -110,6 +110,19 @@ class OrientSpec extends SparkTestBase {
     assert(ImageCodec.decode(jpegWithExif(img, 7)).getWidth == 16)
   }
 
+  test("dimsOf reads header dims without decoding, through APP1 segments") {
+    val img = ImageCodec.photoImage(48, seed = 2L)
+    val wide = ImageCodec.crop(img, 0, 0, 48, 20)
+    assert(ImageCodec.dimsOf(ImageCodec.encode(wide, "png")).contains((48, 20)))
+    assert(ImageCodec.dimsOf(
+      ImageCodec.encodeJpeg(wide, quality = 0.9f)).contains((48, 20)))
+    assert(ImageCodec.dimsOf(jpegWithExif(wide, 1)).contains((48, 20)))
+    assert(ImageCodec.dimsOf(Array[Byte](1, 2, 3)).isEmpty)
+    // EXIF-only payload (no SOF frame): resolves to None, not garbage
+    assert(ImageCodec.dimsOf(
+      Multimodal.synthExifJpeg(1, "m", "2024:01:01 00:00:00", true)).isEmpty)
+  }
+
   test("pixelRows explodes the raster losslessly") {
     val s = spark
     import s.implicits._
