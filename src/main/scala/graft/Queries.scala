@@ -2519,7 +2519,54 @@ $spatialSceneSql
         |SELECT media_id, device, CAST(burst_seq AS BIGINT) AS burst_seq,
         |  (row_number() OVER (PARTITION BY device, burst_seq
         |                      ORDER BY t, media_id) = 1) AS keep
-        |FROM s ORDER BY media_id""".stripMargin))
+        |FROM s ORDER BY media_id""".stripMargin)),
+
+    // Video near-dup by shared-frame signatures: 60 REAL MP4 containers
+    // (20 × 16-byte frames each, planted payloads) where every odd
+    // video shares 16 of its 20 frames with its even predecessor — a
+    // re-muxed copy with 4 frames swapped. mp4FrameBytes walks the
+    // stsz/stco tables and slices true frame payloads, md5 digests
+    // them in the projection directly above (frames never shuffle),
+    // and sharedKeyPairs finds pairs with ≥10 shared distinct frames.
+    // The oracle regenerates the frame strings closed-form, md5s them
+    // in DuckDB, and replays the full lattice — so the container walk,
+    // the byte slicing, and the pair lattice all have to agree.
+    ("q81_video_neardup",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val vids = s.range(60).map { v =>
+          val vi = v.toInt
+          val payloads = (0 until 20).map { j =>
+            val (sv, sj) = if (vi % 2 == 1 && j < 16) (vi - 1, j) else (vi, j)
+            f"fr$sv%05d_$sj%05d###".getBytes("US-ASCII")
+          }
+          (f"vid$vi%04d", graft.multimodal.Multimodal.synthMp4(
+            frames = 20, frameSize = 16,
+            nChunks = 1 + vi % 3, chunkGap = vi % 2,
+            framePayloads = payloads))
+        }.toDF("media_id", "bytes")
+        val sigs = graft.multimodal.Multimodal.mp4FrameBytes(vids, everyK = 1)
+          .select(col("media_id"), md5(col("frame_bytes")).as("fh"))
+        graft.dedup.Dedup.sharedKeyPairs(
+          sigs, "media_id", "fh", minShared = 10L)
+          .orderBy("da", "db")
+      },
+      Some("""WITH f AS (
+        |  SELECT printf('vid%04d', v.i) AS id,
+        |    md5(printf('fr%05d_%05d###',
+        |      CASE WHEN v.i % 2 = 1 AND j.j < 16 THEN v.i - 1 ELSE v.i END,
+        |      j.j)) AS k
+        |  FROM generate_series(0, 59) v(i)
+        |  CROSS JOIN generate_series(0, 19) j(j)),
+        |d AS (SELECT DISTINCT id, k FROM f),
+        |kept AS (SELECT d.* FROM d
+        |         JOIN (SELECT k FROM d GROUP BY k HAVING count(*) <= 1000) c
+        |         USING (k)),
+        |p AS (SELECT a.id AS da, b.id AS db, count(*) AS shared
+        |      FROM kept a JOIN kept b ON a.k = b.k AND a.id < b.id
+        |      GROUP BY 1, 2)
+        |SELECT da, db, shared FROM p WHERE shared >= 10
+        |ORDER BY da, db""".stripMargin))
   )
 
   /** q71's oracle: the Hilbert xy→d loop unrolled for z <= 7 — one

@@ -889,6 +889,37 @@ object Dedup {
       .drop("__brk")
   }
 
+  /** Pairs of ids sharing at least `minShared` distinct keys — the
+    * [[graft.text.TextOps.winnowPairs]] lattice generalized to any
+    * (id, key) relation: distinct per id, a document-frequency cap
+    * dropping keys present in more than `dfCap` ids BEFORE the
+    * self-join (the boilerplate guard — for video frames that is the
+    * black frame / studio intro every file carries), key self-join,
+    * pair count, threshold. The df-cap window rides the exchange the
+    * self-join needs, so the whole lattice is one shuffle on the key
+    * plus one on the pair. Video near-dup (q81) feeds it md5 digests
+    * of sampled frame payloads: re-muxed, trimmed, or re-captioned
+    * copies of a clip share raw frame bytes, and frame-set overlap
+    * finds them before any visual decode. */
+  def sharedKeyPairs(
+      df: DataFrame,
+      idCol: String,
+      keyCol: String,
+      minShared: Long,
+      dfCap: Long = 1000L): DataFrame = {
+    val d = df.select(col(idCol).as("id"), col(keyCol).as("k")).distinct()
+    val kept = d
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("k")))
+      .where(col("__df") <= dfCap)
+      .drop("__df")
+    kept.select(col("id").as("da"), col("k"))
+      .join(kept.select(col("id").as("db"), col("k")), "k")
+      .where(col("da") < col("db"))
+      .groupBy("da", "db")
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
   /** SimHash near-dup pairs: 60-bit signatures blocked on 15-bit bands
     * (a pair within hamming distance 3 shares at least one of 4 bands),
     * verified by hamming distance — the `maxHamming = 3` instance of

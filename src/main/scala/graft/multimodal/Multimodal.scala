@@ -404,7 +404,10 @@ object Multimodal {
     * dialects the parser must handle: `mvhdVersion = 1` emits 64-bit
     * times, `co64 = true` emits 64-bit chunk offsets, and `nChunks > 1`
     * splits the samples across chunks with an stsc run-length map
-    * (runs are compressed exactly as the spec requires). */
+    * (runs are compressed exactly as the spec requires).
+    * `framePayloads` overrides the seeded runs with explicit per-frame
+    * bytes (each exactly `frameSize`) — the fixture hook for planting
+    * shared frames across videos (q81 near-dup). */
   def synthMp4(
       frames: Int,
       frameSize: Int = 64,
@@ -413,9 +416,15 @@ object Multimodal {
       mvhdVersion: Int = 0,
       co64: Boolean = false,
       nChunks: Int = 1,
-      chunkGap: Int = 0): Array[Byte] = {
+      chunkGap: Int = 0,
+      framePayloads: Seq[Array[Byte]] = Nil): Array[Byte] = {
     require(mvhdVersion == 0 || mvhdVersion == 1, s"mvhd v$mvhdVersion")
     require(nChunks >= 1 && nChunks <= math.max(frames, 1), s"nChunks $nChunks")
+    require(
+      framePayloads.isEmpty ||
+        (framePayloads.length == frames &&
+          framePayloads.forall(_.length == frameSize)),
+      s"framePayloads must be $frames × $frameSize bytes")
     def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
       val out = new Array[Byte](8 + payload.length)
       val size = out.length.toLong
@@ -445,7 +454,9 @@ object Multimodal {
     // back-to-back with `chunkGap` filler bytes BETWEEN chunks (a
     // non-zero gap makes chunk bases disagree with naive cumulative
     // sizes — exactly what exercises the stsc/stco mapping)
-    val allFrames = Array.tabulate(frames * frameSize)(i => (i % 251).toByte)
+    val allFrames =
+      if (framePayloads.nonEmpty) framePayloads.flatten.toArray
+      else Array.tabulate(frames * frameSize)(i => (i % 251).toByte)
     val spc = Array.tabulate(nChunks)(i =>
       frames / nChunks + (if (i < frames % nChunks) 1 else 0))
     val mdatPayloadOffset = ftyp.length + 8L
@@ -485,6 +496,41 @@ object Multimodal {
     val trak = box("trak", mdia)
     val moov = box("moov", mvhd ++ trak)
     ftyp ++ mdat ++ moov
+  }
+
+  val mp4FrameBytesSchema: StructType = StructType(Seq(
+    StructField("media_id", StringType),
+    StructField("frame_idx", IntegerType),
+    StructField("frame_bytes", BinaryType),
+    StructField("error", StringType)))
+
+  /** Every k-th frame's PAYLOAD sliced out of the container —
+    * [[mp4FrameSample]]'s byte-materializing sibling for pipelines that
+    * hash or decode frames rather than plan reads. The container bytes
+    * are already in hand, so the slice is free; hash the frame in the
+    * projection directly above this (e.g. `md5(frame_bytes)`) so the
+    * downstream shuffle carries 16-byte digests and frame payloads
+    * never leave the partition. */
+  def mp4FrameBytes(media: DataFrame, everyK: Int = 30): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val bIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getString(idIdx)
+        val bytes = r.getAs[Array[Byte]](bIdx)
+        try {
+          val info = parseMp4(bytes)
+          val offsets = info.sampleOffsets
+          (0 until info.frameSizes.length by everyK).map { f =>
+            val off = offsets(f).toInt
+            Row(id, f, java.util.Arrays.copyOfRange(
+              bytes, off, off + info.frameSizes(f).toInt), null)
+          }
+        } catch {
+          case e: Exception => Seq(Row(id, null, null, e.toString))
+        }
+      }
+    }(Encoders.row(mp4FrameBytesSchema))
   }
 
   /** STUB video frame sampling for non-MP4 containers — emits every

@@ -1,0 +1,66 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.multimodal.Multimodal
+
+/** Video near-dup by shared-frame signatures: frame payloads sliced out
+  * of real MP4 containers (across chunking dialects), digested, and
+  * paired on frame-set overlap. */
+class VideoDedupSpec extends SparkTestBase {
+
+  private def frame(v: Int, j: Int): Array[Byte] =
+    f"fr$v%05d_$j%05d###".getBytes("US-ASCII")
+
+  test("mp4FrameBytes slices exactly the planted payloads across dialects") {
+    val s = spark
+    import s.implicits._
+    val payloads = (0 until 9).map(frame(1, _))
+    val vids = Seq(
+      ("flat", Multimodal.synthMp4(9, 16, framePayloads = payloads)),
+      ("chunked", Multimodal.synthMp4(9, 16, nChunks = 4, chunkGap = 7,
+        framePayloads = payloads)),
+      ("co64", Multimodal.synthMp4(9, 16, mvhdVersion = 1, co64 = true,
+        nChunks = 2, framePayloads = payloads)),
+      ("junk", Array[Byte](9, 9, 9))).toDF("media_id", "bytes")
+    val out = Multimodal.mp4FrameBytes(vids, everyK = 1).collect()
+    val ok = out.filter(_.getString(3) == null)
+    assert(ok.length == 27)
+    ok.foreach { r =>
+      assert(java.util.Arrays.equals(
+        r.getAs[Array[Byte]]("frame_bytes"), frame(1, r.getInt(1))),
+        s"${r.getString(0)} frame ${r.getInt(1)}")
+    }
+    assert(out.exists(r => r.getString(0) == "junk" && r.getString(3) != null))
+  }
+
+  test("shared-frame pairs find the re-muxed copy; df-cap kills the ubiquitous black frame") {
+    val s = spark
+    import s.implicits._
+    val black = Array.fill(16)(0.toByte)
+    // 12 videos of 10 frames; every video opens with the SAME black
+    // frame; videos 4 and 5 share frames 1-8 (a trimmed copy)
+    val vids = (0 until 12).map { v =>
+      val payloads = (0 until 10).map { j =>
+        if (j == 0) black
+        else if (v == 5 && j < 9) frame(4, j)
+        else frame(v, j)
+      }
+      (f"v$v%02d", Multimodal.synthMp4(10, 16, nChunks = 1 + v % 3,
+        framePayloads = payloads))
+    }.toDF("media_id", "bytes")
+    val sigs = Multimodal.mp4FrameBytes(vids, everyK = 1)
+      .select(col("media_id"), md5(col("frame_bytes")).as("fh"))
+    // dfCap 5 < 12: the black frame is boilerplate and produces no pairs
+    val pairs = Dedup.sharedKeyPairs(sigs, "media_id", "fh",
+      minShared = 5L, dfCap = 5L).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq(("v04", "v05", 8L)))
+    // without the planted copy the black frame alone pairs NOTHING even
+    // at a permissive threshold, because the cap drops it pre-join
+    val loose = Dedup.sharedKeyPairs(sigs, "media_id", "fh",
+      minShared = 1L, dfCap = 5L).collect()
+    assert(loose.forall(r => r.getString(0) == "v04" && r.getString(1) == "v05"))
+  }
+}
