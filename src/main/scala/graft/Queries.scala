@@ -2566,7 +2566,55 @@ $spatialSceneSql
         |      FROM kept a JOIN kept b ON a.k = b.k AND a.id < b.id
         |      GROUP BY 1, 2)
         |SELECT da, db, shared FROM p WHERE shared >= 10
-        |ORDER BY da, db""".stripMargin))
+        |ORDER BY da, db""".stripMargin)),
+
+    // Geo × image, end to end: 4096 EXIF payloads carry REAL GPS
+    // sub-IFDs (deg/min/sec RATIONALs, N/S/E/W refs, both byte
+    // orders), exifMeta converts them to decimal degrees, mercatorX/Y
+    // project 4326→3857, and tileOfPoint assigns each photo a z=6
+    // tile. The oracle replays the rational arithmetic in the parser's
+    // exact op order, the identical projection formulas, and q02's
+    // trunc-based tile math — so a sign flip, an endianness slip, a
+    // min/sec swap, or a projection error all mismatch. (The oracle
+    // compares the ASSIGNED TILE, not raw meters: libm tan/ln may
+    // differ by an ulp across engines; a z=6 tile is ~626 km wide.)
+    ("q82_exif_gps_tiles",
+      (s: SparkSession, dir: String) => {
+        import s.implicits._
+        val media = s.range(4096).map { i =>
+          val ii = i.toInt
+          (f"gp$ii%06d", graft.multimodal.Multimodal.synthExifJpeg(
+            1, s"cam${ii % 5}", "2024:01:01 00:00:00", ii % 2 == 0,
+            gps = Some((
+              if (ii % 4 < 2) "N" else "S",
+              Seq(((ii % 80).toLong, 1L), ((ii % 60).toLong, 1L),
+                (((ii * 7) % 6000).toLong, 100L)),
+              if (ii % 2 == 0) "E" else "W",
+              Seq(((ii % 179).toLong, 1L), (((ii * 3) % 60).toLong, 1L),
+                (((ii * 11) % 6000).toLong, 100L))))))
+        }.toDF("media_id", "bytes")
+        graft.multimodal.Multimodal.exifMeta(media)
+          .select(
+            col("media_id"),
+            tileOfPointX(mercatorX(col("lon")), lit(6)).as("x"),
+            tileOfPointY(mercatorY(col("lat")), lit(6)).as("y"))
+          .orderBy("media_id")
+      },
+      Some("""WITH g AS (
+        |  SELECT v.i AS i,
+        |    (CASE WHEN v.i % 4 < 2 THEN 1 ELSE -1 END) *
+        |      ((v.i % 80) + (v.i % 60)/60.0 + ((v.i*7) % 6000)/100.0/3600.0) AS lat,
+        |    (CASE WHEN v.i % 2 = 0 THEN 1 ELSE -1 END) *
+        |      ((v.i % 179) + ((v.i*3) % 60)/60.0 + ((v.i*11) % 6000)/100.0/3600.0) AS lon
+        |  FROM generate_series(0, 4095) v(i)),
+        |m AS (
+        |  SELECT i, lon * (pi() * 6378137.0 / 180.0) AS px,
+        |    6378137.0 * ln(tan(pi() / 4.0 + lat * (pi() / 360.0))) AS py
+        |  FROM g)
+        |SELECT printf('gp%06d', i) AS media_id,
+        |  CAST(trunc(((px - (-20037508.34)) * (1::BIGINT << 6)) / (20037508.34 - (-20037508.34))) AS BIGINT) AS x,
+        |  (1::BIGINT << 6) - CAST(trunc(((py - (-20037508.34)) * (1::BIGINT << 6)) / (20037508.34 - (-20037508.34))) AS BIGINT) - 1 AS y
+        |FROM m ORDER BY media_id""".stripMargin))
   )
 
   /** q71's oracle: the Hilbert xy→d loop unrolled for z <= 7 — one

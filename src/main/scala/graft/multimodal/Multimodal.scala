@@ -566,11 +566,26 @@ object Multimodal {
   // near-dup grouping next to pHash.
   // ------------------------------------------------------------------ //
 
+  /** Parsed EXIF signals. `lat`/`lon` are decimal degrees from the GPS
+    * sub-IFD (deg + min/60 + sec/3600, sign from the N/S/E/W refs) —
+    * the field that joins a photo corpus to the tile grid. */
+  case class ExifInfo(
+      orientation: Option[Int],
+      model: Option[String],
+      takenAt: Option[String],
+      lat: Option[Double],
+      lon: Option[Double])
+  object ExifInfo {
+    val Empty: ExifInfo = ExifInfo(None, None, None, None, None)
+  }
+
   val exifMetaSchema: StructType = StructType(Seq(
     StructField("media_id", StringType),
     StructField("orientation", IntegerType),
     StructField("model", StringType),
     StructField("taken_at", StringType),
+    StructField("lat", DoubleType),
+    StructField("lon", DoubleType),
     StructField("error", StringType)))
 
   /** EXIF fields from a JPEG's APP1 segment, per-partition batch like
@@ -585,25 +600,27 @@ object Multimodal {
         val id = r.getString(idIdx)
         val bytes = r.getAs[Array[Byte]](bIdx)
         try {
-          val (o, m, t) = parseExif(bytes)
-          Row(id, o.map(Int.box).orNull, m.orNull, t.orNull, null)
+          val e = parseExif(bytes)
+          Row(id, e.orientation.map(Int.box).orNull, e.model.orNull,
+            e.takenAt.orNull, e.lat.map(Double.box).orNull,
+            e.lon.map(Double.box).orNull, null)
         } catch {
-          case e: Exception => Row(id, null, null, null, e.toString)
+          case e: Exception => Row(id, null, null, null, null, null, e.toString)
         }
       }
     }(Encoders.row(exifMetaSchema))
   }
 
-  /** (orientation, model, dateTime) from the first APP1 Exif segment;
-    * all-None when the JPEG simply has no EXIF. Throws on structural
-    * violations. */
-  def parseExif(b: Array[Byte]): (Option[Int], Option[String], Option[String]) = {
+  /** Orientation, model, dateTime, and GPS position from the first
+    * APP1 Exif segment; all-None when the JPEG simply has no EXIF.
+    * Throws on structural violations. */
+  def parseExif(b: Array[Byte]): ExifInfo = {
     require(b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8,
       "not a JPEG (no SOI)")
     var p = 2
     while (p + 4 <= b.length && (b(p) & 0xff) == 0xff) {
       val marker = b(p + 1) & 0xff
-      if (marker == 0xd9 || marker == 0xda) return (None, None, None)
+      if (marker == 0xd9 || marker == 0xda) return ExifInfo.Empty
       val len = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
       require(len >= 2 && p + 2 + len <= b.length, s"truncated segment 0x$marker%02x")
       if (marker == 0xe1 && len >= 8 &&
@@ -612,12 +629,12 @@ object Multimodal {
         return parseTiff(b, p + 10, len - 8)
       p += 2 + len
     }
-    (None, None, None)
+    ExifInfo.Empty
   }
 
   private def parseTiff(
       b: Array[Byte], base: Int,
-      tiffLen: Int): (Option[Int], Option[String], Option[String]) = {
+      tiffLen: Int): ExifInfo = {
     require(tiffLen >= 8, "truncated TIFF header")
     val le = (b(base) & 0xff, b(base + 1) & 0xff) match {
       case ('I', 'I') => true
@@ -647,6 +664,7 @@ object Multimodal {
       val stop = if (end > at && b(end - 1) == 0) end - 1 else end
       new String(b, at, stop - at, "US-ASCII")
     }
+    var gpsOff: Option[Int] = None
     var i = 0
     while (i < n) {
       val e = ifd + 2 + 12 * i
@@ -657,11 +675,48 @@ object Multimodal {
         case 0x0112 if typ == 3 && cnt == 1 => orientation = Some(u16(e + 8))
         case 0x0110 if typ == 2 => model = Some(ascii(cnt, e + 8))
         case 0x0132 if typ == 2 => taken = Some(ascii(cnt, e + 8))
+        case 0x8825 if typ == 4 && cnt == 1 => gpsOff = Some(u32(e + 8).toInt)
         case _ => ()
       }
       i += 1
     }
-    (orientation, model, taken)
+    // GPS sub-IFD (tag 0x8825 pointer): GPSLatitudeRef/GPSLatitude/
+    // GPSLongitudeRef/GPSLongitude. Coordinates are 3 RATIONALs
+    // (deg, min, sec; each num/den u32 pairs, always offset-addressed
+    // at 24 bytes); decimal = d + m/60 + s/3600, negated for S/W.
+    var lat: Option[Double] = None
+    var lon: Option[Double] = None
+    gpsOff.foreach { off =>
+      val g = base + off
+      require(g + 2 <= base + tiffLen, "GPS IFD offset out of range")
+      val gn = u16(g)
+      require(g + 2 + 12 * gn + 4 <= base + tiffLen, "truncated GPS IFD")
+      def rational3(valuePos: Int): Double = {
+        val at = base + u32(valuePos).toInt
+        require(at + 24 <= base + tiffLen, "GPS rational out of range")
+        val dv = u32(at).toDouble / u32(at + 4).toDouble
+        val mv = u32(at + 8).toDouble / u32(at + 12).toDouble
+        val sv = u32(at + 16).toDouble / u32(at + 20).toDouble
+        dv + mv / 60.0 + sv / 3600.0
+      }
+      var latRef, lonRef = "N"
+      var latRaw, lonRaw: Option[Double] = None
+      var j = 0
+      while (j < gn) {
+        val e = g + 2 + 12 * j
+        (u16(e), u16(e + 2)) match {
+          case (0x0001, 2) => latRef = ascii(u32(e + 4).toInt, e + 8)
+          case (0x0002, 5) if u32(e + 4) == 3L => latRaw = Some(rational3(e + 8))
+          case (0x0003, 2) => lonRef = ascii(u32(e + 4).toInt, e + 8)
+          case (0x0004, 5) if u32(e + 4) == 3L => lonRaw = Some(rational3(e + 8))
+          case _ => ()
+        }
+        j += 1
+      }
+      lat = latRaw.map(v => if (latRef == "S") -v else v)
+      lon = lonRaw.map(v => if (lonRef == "W") -v else v)
+    }
+    ExifInfo(orientation, model, taken, lat, lon)
   }
 
   /** Deterministic JPEG carrying exactly the EXIF fields given — SOI +
@@ -672,10 +727,20 @@ object Multimodal {
       orientation: Int,
       model: String,
       dateTime: String,
-      littleEndian: Boolean): Array[Byte] = {
+      littleEndian: Boolean,
+      gps: Option[(String, Seq[(Long, Long)], String, Seq[(Long, Long)])] =
+        None): Array[Byte] = {
+    gps.foreach { case (_, la, _, lo) =>
+      require(la.length == 3 && lo.length == 3, "GPS needs 3 rationals per axis")
+    }
     val modelBytes = (model + "\u0000").getBytes("US-ASCII")
     val dateBytes = (dateTime + "\u0000").getBytes("US-ASCII")
-    val dataStart = 8 + 2 + 3 * 12 + 4 // TIFF header + count + entries + next-IFD
+    val nE0 = if (gps.isDefined) 4 else 3
+    // TIFF header + count + entries + next-IFD
+    val dataStart = 8 + 2 + nE0 * 12 + 4
+    val modelExtra = if (modelBytes.length <= 4) 0 else modelBytes.length
+    val gpsIfdOff = dataStart + modelExtra + dateBytes.length
+    val gpsDataOff = gpsIfdOff + 2 + 4 * 12 + 4
     val tiff = new java.io.ByteArrayOutputStream()
     def t8(v: Int): Unit = tiff.write(v & 0xff)
     def t16(v: Int): Unit =
@@ -685,7 +750,7 @@ object Multimodal {
       else { t8((v >> 24).toInt); t8((v >> 16).toInt); t8((v >> 8).toInt); t8(v.toInt) }
     t8(if (littleEndian) 'I' else 'M'); t8(if (littleEndian) 'I' else 'M')
     t16(42); t32(8L) // IFD0 directly after the header
-    t16(3) // entry count, tags ascending (the spec's ordering rule)
+    t16(nE0) // entry count, tags ascending (the spec's ordering rule)
     // 0x0110 Model, ASCII
     t16(0x0110); t16(2); t32(modelBytes.length.toLong)
     if (modelBytes.length <= 4) { tiff.write(modelBytes); (modelBytes.length until 4).foreach(_ => t8(0)) }
@@ -693,11 +758,24 @@ object Multimodal {
     // 0x0112 Orientation, SHORT
     t16(0x0112); t16(3); t32(1L); t16(orientation); t16(0)
     // 0x0132 DateTime, ASCII (always offset-addressed: 20 bytes)
-    val dateOff = dataStart + (if (modelBytes.length <= 4) 0 else modelBytes.length)
+    val dateOff = dataStart + modelExtra
     t16(0x0132); t16(2); t32(dateBytes.length.toLong); t32(dateOff.toLong)
+    // 0x8825 GPS Info IFD pointer, LONG
+    gps.foreach { _ => t16(0x8825); t16(4); t32(1L); t32(gpsIfdOff.toLong) }
     t32(0L) // next IFD
     if (modelBytes.length > 4) tiff.write(modelBytes)
     tiff.write(dateBytes)
+    // GPS sub-IFD: refs inline, coordinates as 3 offset-addressed
+    // RATIONALs per axis — the layout cameras write
+    gps.foreach { case (laRef, la, loRef, lo) =>
+      t16(4)
+      t16(0x0001); t16(2); t32(2L); t8(laRef.charAt(0)); t8(0); t8(0); t8(0)
+      t16(0x0002); t16(5); t32(3L); t32(gpsDataOff.toLong)
+      t16(0x0003); t16(2); t32(2L); t8(loRef.charAt(0)); t8(0); t8(0); t8(0)
+      t16(0x0004); t16(5); t32(3L); t32((gpsDataOff + 24).toLong)
+      t32(0L)
+      (la ++ lo).foreach { case (num, den) => t32(num); t32(den) }
+    }
     val tiffBytes = tiff.toByteArray
 
     // JPEG wrapper
@@ -759,7 +837,7 @@ object Multimodal {
         try {
           val o =
             if (oIdx >= 0) { if (r.isNullAt(oIdx)) 1 else r.getInt(oIdx) }
-            else parseExif(bytes)._1.getOrElse(1)
+            else parseExif(bytes).orientation.getOrElse(1)
           if (o == 1) {
             val (w, h) = ImageCodec.dimsOf(bytes).getOrElse {
               val img = ImageCodec.decode(bytes)

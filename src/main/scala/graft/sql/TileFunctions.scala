@@ -110,6 +110,23 @@ object TileFunctions {
     if (grid.flipY) ty else pow2(z) - ty - 1L
   }
 
+  /** EPSG:4326 → EPSG:3857 spherical WebMercator X (meters), R=6378137.
+    * The bridge from GPS degrees (e.g.
+    * [[graft.multimodal.Multimodal.exifMeta]]'s lat/lon) to the grid's
+    * projected extent: x = λ·πR/180. Pure codegen column math; the
+    * constant is built as `π·6378137/180` so a SQL oracle computing
+    * `pi()*6378137.0/180.0` lands on the identical double. */
+  def mercatorX(lonDeg: Column): Column =
+    lonDeg * lit(math.Pi * 6378137.0 / 180.0)
+
+  /** EPSG:4326 → EPSG:3857 Y (meters): y = R·ln(tan(π/4 + φπ/360)).
+    * Valid for |φ| < 85.0511° (the WebMercator square's edge). libm
+    * `tan`/`ln` may differ from another engine's by an ulp — harmless
+    * for tile assignment (tiles are km wide), so oracles should compare
+    * the ASSIGNED TILE, not the raw meters. */
+  def mercatorY(latDeg: Column): Column =
+    lit(6378137.0) * log(tan(lit(math.Pi / 4.0) + latDeg * lit(math.Pi / 360.0)))
+
   /** Tile extent (minX, minY, maxX, maxY) columns for a quad grid
     * (reference grid/quad.py:31-48). */
   def tileExtent(

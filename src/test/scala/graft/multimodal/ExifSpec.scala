@@ -13,15 +13,16 @@ class ExifSpec extends SparkTestBase {
     for (le <- Seq(true, false)) {
       // long model (> 4 bytes with NUL): offset-addressed
       val jpg = Multimodal.synthExifJpeg(6, "PixelCam 9", "2024:03:15 10:20:30", le)
-      val (o, m, t) = Multimodal.parseExif(jpg)
-      assert(o.contains(6) && m.contains("PixelCam 9") &&
-        t.contains("2024:03:15 10:20:30"), s"le=$le offset-addressed")
+      val e = Multimodal.parseExif(jpg)
+      assert(e.orientation.contains(6) && e.model.contains("PixelCam 9") &&
+        e.takenAt.contains("2024:03:15 10:20:30"), s"le=$le offset-addressed")
+      assert(e.lat.isEmpty && e.lon.isEmpty, "no GPS planted")
 
       // short model ("abc" + NUL = 4 bytes): inline in the value slot
       val jpg2 = Multimodal.synthExifJpeg(1, "abc", "2020:01:01 00:00:00", le)
-      val (o2, m2, t2) = Multimodal.parseExif(jpg2)
-      assert(o2.contains(1) && m2.contains("abc") &&
-        t2.contains("2020:01:01 00:00:00"), s"le=$le inline")
+      val e2 = Multimodal.parseExif(jpg2)
+      assert(e2.orientation.contains(1) && e2.model.contains("abc") &&
+        e2.takenAt.contains("2020:01:01 00:00:00"), s"le=$le inline")
     }
   }
 
@@ -29,7 +30,7 @@ class ExifSpec extends SparkTestBase {
     // a real corpus JPEG has no APP1 Exif segment
     val plain = graft.engine.Corpus.generate(spark, 10L).toDF()
       .where(col("fmt") === "jpeg").select("bytes").head.getAs[Array[Byte]](0)
-    assert(Multimodal.parseExif(plain) == ((None, None, None)))
+    assert(Multimodal.parseExif(plain) == Multimodal.ExifInfo.Empty)
 
     intercept[IllegalArgumentException] {
       Multimodal.parseExif("not a jpeg".getBytes)
@@ -53,10 +54,45 @@ class ExifSpec extends SparkTestBase {
     val got = Multimodal.exifMeta(rows.toDF("media_id", "bytes"))
       .orderBy("media_id").collect()
     assert(got(0).getInt(1) == 3 && got(0).getString(2) == "CamA" &&
-      got(0).getString(3) == "2021:06:01 08:00:00" && got(0).isNullAt(4))
-    assert(got(1).getInt(1) == 8 && got(1).getString(2) == "CamB" && got(1).isNullAt(4))
-    assert(got(2).isNullAt(1) && got(2).isNullAt(2) && got(2).isNullAt(4),
+      got(0).getString(3) == "2021:06:01 08:00:00" && got(0).isNullAt(6))
+    assert(got(1).getInt(1) == 8 && got(1).getString(2) == "CamB" && got(1).isNullAt(6))
+    assert(got(2).isNullAt(1) && got(2).isNullAt(2) && got(2).isNullAt(6),
       "EXIF-less JPEG is nulls with NO error")
-    assert(!got(3).isNullAt(4), "garbage lands in the error column")
+    assert(!got(3).isNullAt(6), "garbage lands in the error column")
+  }
+
+  test("GPS sub-IFD: deg/min/sec rationals to decimal degrees, refs sign, both endians") {
+    for (le <- Seq(true, false)) {
+      // 48° 51' 29.52" N, 2° 21' 3.00" E (hand-derived decimals)
+      val jpg = Multimodal.synthExifJpeg(1, "cam", "2024:01:01 00:00:00", le,
+        gps = Some(("N", Seq((48L, 1L), (51L, 1L), (2952L, 100L)),
+          "E", Seq((2L, 1L), (21L, 1L), (300L, 100L)))))
+      val e = Multimodal.parseExif(jpg)
+      val expLat = 48.0 + 51.0 / 60.0 + 29.52 / 3600.0
+      val expLon = 2.0 + 21.0 / 60.0 + 3.0 / 3600.0
+      assert(e.lat.contains(expLat) && e.lon.contains(expLon), s"le=$le")
+      assert(e.orientation.contains(1) && e.model.contains("cam"),
+        "IFD0 fields survive the 4th entry")
+
+      // southern/western hemisphere: refs negate
+      val jpg2 = Multimodal.synthExifJpeg(1, "cam", "2024:01:01 00:00:00", le,
+        gps = Some(("S", Seq((33L, 1L), (52L, 1L), (0L, 100L)),
+          "W", Seq((151L, 1L), (12L, 1L), (0L, 100L)))))
+      val e2 = Multimodal.parseExif(jpg2)
+      assert(e2.lat.contains(-(33.0 + 52.0 / 60.0 + 0.0 / 3600.0)))
+      assert(e2.lon.contains(-(151.0 + 12.0 / 60.0 + 0.0 / 3600.0)))
+    }
+  }
+
+  test("GPS decimal matches an independent double computation (not just the synth round trip)") {
+    // 37°48'59.88"S 144°57'47.16"E — check against values computed a
+    // DIFFERENT way (sec-as-double first), to ~1e-12°, so a den/num
+    // swap or a 60/3600 slip cannot cancel out
+    val jpg = Multimodal.synthExifJpeg(1, "m", "2024:01:01 00:00:00", true,
+      gps = Some(("S", Seq((37L, 1L), (48L, 1L), (5988L, 100L)),
+        "E", Seq((144L, 1L), (57L, 1L), (4716L, 100L)))))
+    val e = Multimodal.parseExif(jpg)
+    assert(math.abs(e.lat.get - (-37.81663333333333)) < 1e-10)
+    assert(math.abs(e.lon.get - 144.96310000000001) < 1e-10)
   }
 }
