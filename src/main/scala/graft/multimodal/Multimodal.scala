@@ -523,8 +523,13 @@ object Multimodal {
           val offsets = info.sampleOffsets
           (0 until info.frameSizes.length by everyK).map { f =>
             val off = offsets(f).toInt
-            Row(id, f, java.util.Arrays.copyOfRange(
-              bytes, off, off + info.frameSizes(f).toInt), null)
+            val len = info.frameSizes(f).toInt
+            // copyOfRange silently zero-pads past the array end — a
+            // truncated container would then hash identically to other
+            // truncated files and fabricate near-dup pairs
+            require(off >= 0 && len >= 0 && off + len <= bytes.length,
+              f"frame $f range [$off,${off + len}) outside ${bytes.length}-byte container")
+            Row(id, f, java.util.Arrays.copyOfRange(bytes, off, off + len), null)
           }
         } catch {
           case e: Exception => Seq(Row(id, null, null, e.toString))
@@ -622,7 +627,7 @@ object Multimodal {
       val marker = b(p + 1) & 0xff
       if (marker == 0xd9 || marker == 0xda) return ExifInfo.Empty
       val len = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
-      require(len >= 2 && p + 2 + len <= b.length, s"truncated segment 0x$marker%02x")
+      require(len >= 2 && p + 2 + len <= b.length, f"truncated segment 0x$marker%02x")
       if (marker == 0xe1 && len >= 8 &&
           b(p + 4) == 'E' && b(p + 5) == 'x' && b(p + 6) == 'i' &&
           b(p + 7) == 'f' && b(p + 8) == 0 && b(p + 9) == 0)
@@ -651,7 +656,11 @@ object Multimodal {
         ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
     require(u16(base + 2) == 42, "bad TIFF magic")
     val ifd = base + u32(base + 4).toInt
-    require(ifd + 2 <= base + tiffLen, "IFD0 offset out of range")
+    // both bounds: a corrupt 32-bit offset can wrap negative after
+    // .toInt and would otherwise read JPEG bytes BEFORE the TIFF
+    // header as silently-wrong field values
+    require(ifd >= base + 8 && ifd + 2 <= base + tiffLen,
+      "IFD0 offset out of range")
     val n = u16(ifd)
     require(ifd + 2 + 12 * n + 4 <= base + tiffLen, "truncated IFD0")
     var orientation: Option[Int] = None
@@ -659,7 +668,8 @@ object Multimodal {
     var taken: Option[String] = None
     def ascii(cnt: Int, valuePos: Int): String = {
       val at = if (cnt <= 4) valuePos else base + u32(valuePos).toInt
-      require(at + cnt <= base + tiffLen, "ASCII value out of range")
+      require(at >= base && at + cnt <= base + tiffLen,
+        "ASCII value out of range")
       val end = at + cnt
       val stop = if (end > at && b(end - 1) == 0) end - 1 else end
       new String(b, at, stop - at, "US-ASCII")
@@ -688,12 +698,14 @@ object Multimodal {
     var lon: Option[Double] = None
     gpsOff.foreach { off =>
       val g = base + off
-      require(g + 2 <= base + tiffLen, "GPS IFD offset out of range")
+      require(g >= base + 8 && g + 2 <= base + tiffLen,
+        "GPS IFD offset out of range")
       val gn = u16(g)
       require(g + 2 + 12 * gn + 4 <= base + tiffLen, "truncated GPS IFD")
       def rational3(valuePos: Int): Double = {
         val at = base + u32(valuePos).toInt
-        require(at + 24 <= base + tiffLen, "GPS rational out of range")
+        require(at >= base && at + 24 <= base + tiffLen,
+          "GPS rational out of range")
         val dv = u32(at).toDouble / u32(at + 4).toDouble
         val mv = u32(at + 8).toDouble / u32(at + 12).toDouble
         val sv = u32(at + 16).toDouble / u32(at + 20).toDouble
@@ -876,13 +888,19 @@ object Multimodal {
     media.mapPartitions { it =>
       it.flatMap { r =>
         val id = r.getString(idIdx)
-        val img = ImageCodec.decode(r.getAs[Array[Byte]](bIdx))
-        val w = img.getWidth
-        val px = img.getRGB(0, 0, w, img.getHeight, null, 0, w)
-        px.indices.iterator.map { i =>
-          val p = px(i)
-          Row(id, i % w, i / w, (p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
-        }
+        // undecodable/null payloads (e.g. an upstream error row with
+        // bytes = null) contribute zero pixel rows rather than failing
+        // the task — the resizeImages skip posture; callers that need
+        // the error detail read it off the upstream operator's column
+        try {
+          val img = ImageCodec.decode(r.getAs[Array[Byte]](bIdx))
+          val w = img.getWidth
+          val px = img.getRGB(0, 0, w, img.getHeight, null, 0, w)
+          px.indices.iterator.map { i =>
+            val p = px(i)
+            Row(id, i % w, i / w, (p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+          }
+        } catch { case _: Exception => Iterator.empty }
       }
     }(Encoders.row(pixelRowsSchema))
   }

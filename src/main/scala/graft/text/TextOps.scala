@@ -273,21 +273,12 @@ object TextOps {
       w: Int,
       minShared: Long,
       dfCap: Long): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val fps = winnowFingerprints(df.select(idCol, textCol), textCol, k, w)
       .select(col(idCol).as("id"), explode_outer(col("winnow")).as("wf"))
       .where(col("wf").isNotNull)
       .select(col("id"), col("wf.fp").as("fp"))
-      .distinct()
-    val kept = fps
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy("fp")))
-      .where(col("__df") <= dfCap)
-      .drop("__df")
-    kept.select(col("id").as("da"), col("fp"))
-      .join(kept.select(col("id").as("db"), col("fp")), "fp")
-      .where(col("da") < col("db"))
-      .groupBy("da", "db")
-      .agg(count(lit(1)).as("shared"))
-      .where(col("shared") >= minShared)
+    // the pair lattice itself (distinct → df-cap window riding the
+    // self-join exchange → count ≥ threshold) is the shared one
+    graft.dedup.Dedup.sharedKeyPairs(fps, "id", "fp", minShared, dfCap)
   }
 }
