@@ -1,0 +1,90 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.dedup.Dedup
+import graft.image.ImageCodec
+import graft.multimodal.Multimodal
+
+/** The image-corpus build chain end to end, from raw camera-layout
+  * payloads: EXIF parse → orientation normalize → pHash → near-dup
+  * pairs → keep policy → GPS tile assignment. Ground truth is
+  * independent at both ends: planted scene membership on the dedup
+  * side, and PUBLICLY KNOWN WebMercator z=6 tiles (Paris 6/32/22,
+  * Sydney 6/58/38) on the geo side — so the whole GPS → mercator →
+  * tile chain is checked against the map, not against itself. */
+class ImagePipelineSpec extends SparkTestBase {
+
+  private def gps(latRef: String, d: Long, m: Long, s100: Long,
+      lonRef: String, dLon: Long, mLon: Long, s100Lon: Long) =
+    Some((latRef, Seq((d, 1L), (m, 1L), (s100, 100L)),
+      lonRef, Seq((dLon, 1L), (mLon, 1L), (s100Lon, 100L))))
+
+  private def shot(
+      id: String,
+      img: java.awt.image.BufferedImage,
+      device: String,
+      orientation: Int,
+      t: Int,
+      g: Option[(String, Seq[(Long, Long)], String, Seq[(Long, Long)])]): (String, Array[Byte]) =
+    (id, Multimodal.spliceExif(
+      ImageCodec.encodeJpeg(img, quality = 0.9f),
+      Multimodal.synthExifJpeg(orientation, device,
+        f"2024:01:01 00:${t / 60}%02d:${t % 60}%02d",
+        littleEndian = t % 2 == 0, gps = g)))
+
+  test("corpus build: dedup keeps one shot per scene and the kept shots land on the public map tiles") {
+    val s = spark
+    import s.implicits._
+    val sceneA = ImageCodec.photoImage(64, seed = 1L)
+    val sceneB = ImageCodec.photoImage(64, seed = 2L)
+    // Paris 48°51'28.8"N 2°21'3.6"E = (48.858, 2.351); Sydney
+    // 33°52'4.8"S 151°12'25.2"E = (-33.868, 151.207)
+    val paris = gps("N", 48L, 51L, 2880L, "E", 2L, 21L, 360L)
+    val sydney = gps("S", 33L, 52L, 480L, "E", 151L, 12L, 2520L)
+    val a1 = shot("a1", sceneA, "cam0", 1, 0, paris)
+    val rows = Seq(
+      a1,
+      ("a1dup", a1._2), // byte-exact duplicate upload
+      shot("a2", ImageCodec.decode(
+        ImageCodec.encodeJpeg(sceneA, quality = 0.85f)), "cam0", 1, 4, paris),
+      shot("a3", ImageCodec.applyOrientation(
+        sceneA, ImageCodec.inverseOrientation(6)), "cam0", 6, 8, paris),
+      shot("b1", sceneB, "cam1", 1, 100, sydney))
+      .toDF("media_id", "bytes")
+
+    // 1. metadata + orientation from the bytes themselves
+    val meta = Multimodal.exifMeta(rows)
+    val withO = rows.join(meta.select("media_id", "orientation"), Seq("media_id"))
+    val norm = Multimodal.orientNormalize(withO).select("media_id", "bytes")
+
+    // 2. perceptual hash → banded pairs → keep the largest payload
+    val pairs = Dedup.phashPairs(Multimodal.imagePhash(norm))
+    val scored = norm.select(col("media_id"), length(col("bytes")).as("sz"))
+    val kept = Dedup.keepRepresentatives(scored, pairs, "media_id", "sz")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getBoolean(2))).toMap
+
+    // scene A (incl. the exact dup and the rotated frame) is ONE
+    // cluster; exactly one kept; b1 is its own cluster and kept
+    val aCluster = kept("a1")._1
+    assert(Seq("a1dup", "a2", "a3").forall(kept(_)._1 == aCluster),
+      s"scene A fragments: $kept")
+    assert(kept("b1")._1 != aCluster)
+    val keptA = Seq("a1", "a1dup", "a2", "a3").filter(kept(_)._2)
+    assert(keptA.length == 1 && kept("b1")._2)
+
+    // 3. GPS → mercator → tile for the kept set: the PUBLIC map tiles
+    val tiles = Multimodal.exifMeta(
+      rows.where(col("media_id").isin(keptA.head, "b1")))
+      .select(
+        col("media_id"),
+        graft.sql.TileFunctions.tileOfPointX(
+          graft.sql.TileFunctions.mercatorX(col("lon")), lit(6)).as("x"),
+        graft.sql.TileFunctions.tileOfPointY(
+          graft.sql.TileFunctions.mercatorY(col("lat")), lit(6)).as("y"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(tiles(keptA.head) == ((32L, 22L)), s"Paris tile: $tiles")
+    assert(tiles("b1") == ((58L, 38L)), s"Sydney tile: $tiles")
+  }
+}
