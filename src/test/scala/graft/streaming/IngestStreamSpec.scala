@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkTestBase
+import graft.image.ImageCodec
+import graft.multimodal.Multimodal
+
+/** The multimodal ingest stages are stateless partition-batch maps, so
+  * they must compose with Structured Streaming unchanged — a corpus
+  * ingest pipeline is a stream of arriving payloads, not a static
+  * table. Checks exifMeta → orientNormalize → imagePhash over
+  * micro-batches against the batch run of the identical rows. */
+class IngestStreamSpec extends SparkTestBase {
+
+  private def shot(id: String, seed: Long, orientation: Int): (String, Array[Byte]) = {
+    val img0 = ImageCodec.photoImage(48, seed)
+    val img =
+      if (orientation == 1) img0
+      else ImageCodec.applyOrientation(img0, ImageCodec.inverseOrientation(orientation))
+    (id, Multimodal.spliceExif(
+      ImageCodec.encodeJpeg(img, quality = 0.9f),
+      Multimodal.synthExifJpeg(orientation, "cam", "2024:01:01 00:00:00",
+        littleEndian = seed % 2 == 0)))
+  }
+
+  test("exifMeta -> orientNormalize -> imagePhash streams; micro-batch results equal batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val batch1 = Seq(shot("s1", 1L, 1), shot("s2", 2L, 6))
+    val batch2 = Seq(shot("s3", 3L, 3), shot("s4", 1L, 8)) // s4 = rotated s1 scene
+
+    def chain(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.imagePhash(
+        Multimodal.orientNormalize(df).select("media_id", "bytes"))
+
+    val mem = MemoryStream[(String, Array[Byte])]
+    val q = chain(mem.toDF().toDF("media_id", "bytes"))
+      .writeStream.format("memory").queryName("ingest_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(batch1)
+      q.processAllAvailable()
+      assert(spark.table("ingest_out").count() == 2, "first micro-batch emitted")
+      mem.addData(batch2)
+      q.processAllAvailable()
+
+      val streamed = spark.table("ingest_out")
+        .select("media_id", "phash").as[(String, Long)].collect().toMap
+      val batched = chain((batch1 ++ batch2).toDF("media_id", "bytes"))
+        .select("media_id", "phash").as[(String, Long)].collect().toMap
+      assert(streamed == batched && streamed.size == 4)
+      // the cross-micro-batch near-dup is visible downstream: s4 is the
+      // same scene as s1 once both were normalized on arrival
+      assert(java.lang.Long.bitCount(streamed("s1") ^ streamed("s4")) <= 7)
+    } finally q.stop()
+  }
+}
