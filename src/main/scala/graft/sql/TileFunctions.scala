@@ -127,6 +127,19 @@ object TileFunctions {
   def mercatorY(latDeg: Column): Column =
     lit(6378137.0) * log(tan(lit(math.Pi / 4.0) + latDeg * lit(math.Pi / 360.0)))
 
+  /** EPSG:3857 → 4326 longitude (degrees): λ = x·180/(πR) — the
+    * inverse of [[mercatorX]], for reporting tile/join outputs back in
+    * GPS terms. */
+  def inverseMercatorLon(x: Column): Column =
+    x / lit(math.Pi * 6378137.0 / 180.0)
+
+  /** EPSG:3857 → 4326 latitude (degrees):
+    * φ = (2·atan(exp(y/R)) − π/2)·180/π — the inverse of
+    * [[mercatorY]]. Round-trips with it to ~1e-12° (one atan/exp ulp). */
+  def inverseMercatorLat(y: Column): Column =
+    (atan(exp(y / lit(6378137.0))) * lit(2.0) - lit(math.Pi / 2.0)) *
+      lit(180.0 / math.Pi)
+
   /** Tile extent (minX, minY, maxX, maxY) columns for a quad grid
     * (reference grid/quad.py:31-48). */
   def tileExtent(

@@ -352,6 +352,40 @@ class TileFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("mercator 4326<->3857 round-trips GPS degrees and hits known meter values") {
+    val s = spark
+    import s.implicits._
+    val pts = Seq((48.858, 2.351), (-33.868, 151.207), (0.0, 0.0),
+      (84.9, -179.9), (-84.9, 0.001)).toDF("lat", "lon")
+    val got = pts.select(
+      col("lat"), col("lon"),
+      TileFunctions.mercatorX(col("lon")).as("x"),
+      TileFunctions.mercatorY(col("lat")).as("y"),
+      TileFunctions.inverseMercatorLon(
+        TileFunctions.mercatorX(col("lon"))).as("lon2"),
+      TileFunctions.inverseMercatorLat(
+        TileFunctions.mercatorY(col("lat"))).as("lat2")).collect()
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(5)) < 1e-9, s"lat $r")
+      assert(math.abs(r.getDouble(1) - r.getDouble(4)) < 1e-9, s"lon $r")
+    }
+    // independent anchor: the spherical-mercator formula evaluated in
+    // CPython's libm (a different implementation than the JVM's):
+    // (48.858N, 2.351E) -> x=261712.122855, y=6250801.222325 and
+    // (33.868S, 151.207E) -> x=16832286.244379, y=-4011091.392734
+    val paris = got.find(_.getDouble(0) == 48.858).get
+    assert(math.abs(paris.getDouble(2) - 261712.122855) < 1e-4, paris)
+    assert(math.abs(paris.getDouble(3) - 6250801.222325) < 1e-4, paris)
+    val sydney = got.find(_.getDouble(0) == -33.868).get
+    assert(math.abs(sydney.getDouble(2) - 16832286.244379) < 1e-4, sydney)
+    assert(math.abs(sydney.getDouble(3) - (-4011091.392734)) < 1e-4, sydney)
+    // projected points stay inside the grid's square extent
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(2)) <= 20037508.34 &&
+        math.abs(r.getDouble(3)) <= 20037508.34, r)
+    }
+  }
+
   test("quadkey stays inside whole-stage codegen") {
     val plan = df
       .select(quadkey(col("z"), col("x"), col("y")).as("qk"))
