@@ -187,15 +187,25 @@ object ImageCodec {
     else if (data.length >= 4 && (data(0) & 0xff) == 0xff &&
         (data(1) & 0xff) == 0xd8) {
       var p = 2
-      while (p + 9 <= data.length && (data(p) & 0xff) == 0xff) {
-        val m = data(p + 1) & 0xff
+      while (p < data.length && (data(p) & 0xff) == 0xff) {
+        // skip spec-legal 0xFF fill bytes before the marker
+        var q = p + 1
+        while (q < data.length && (data(q) & 0xff) == 0xff) q += 1
+        if (q >= data.length) return None
+        val m = data(q) & 0xff
         // SOF0-15 minus the non-frame DHT/JPG/DAC markers
-        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          if (q + 8 > data.length) return None
           return Some((
-            ((data(p + 7) & 0xff) << 8) | (data(p + 8) & 0xff),
-            ((data(p + 5) & 0xff) << 8) | (data(p + 6) & 0xff)))
+            ((data(q + 6) & 0xff) << 8) | (data(q + 7) & 0xff),
+            ((data(q + 4) & 0xff) << 8) | (data(q + 5) & 0xff)))
+        }
         if (m == 0xd9 || m == 0xda) return None
-        p += 2 + (((data(p + 2) & 0xff) << 8) | (data(p + 3) & 0xff))
+        if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) p = q + 1
+        else {
+          if (q + 2 >= data.length) return None
+          p = q + 1 + (((data(q + 1) & 0xff) << 8) | (data(q + 2) & 0xff))
+        }
       }
       None
     } else None

@@ -623,16 +623,26 @@ object Multimodal {
     require(b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8,
       "not a JPEG (no SOI)")
     var p = 2
-    while (p + 4 <= b.length && (b(p) & 0xff) == 0xff) {
-      val marker = b(p + 1) & 0xff
+    while (p < b.length && (b(p) & 0xff) == 0xff) {
+      // the spec allows any number of 0xFF fill bytes before a marker
+      var q = p + 1
+      while (q < b.length && (b(q) & 0xff) == 0xff) q += 1
+      if (q >= b.length) return ExifInfo.Empty // trailing fill only
+      val marker = b(q) & 0xff
       if (marker == 0xd9 || marker == 0xda) return ExifInfo.Empty
-      val len = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
-      require(len >= 2 && p + 2 + len <= b.length, f"truncated segment 0x$marker%02x")
-      if (marker == 0xe1 && len >= 8 &&
-          b(p + 4) == 'E' && b(p + 5) == 'x' && b(p + 6) == 'i' &&
-          b(p + 7) == 'f' && b(p + 8) == 0 && b(p + 9) == 0)
-        return parseTiff(b, p + 10, len - 8)
-      p += 2 + len
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        p = q + 1 // standalone TEM/RSTn markers carry no length field
+      } else {
+        require(q + 2 < b.length, f"truncated segment header 0x$marker%02x")
+        val len = ((b(q + 1) & 0xff) << 8) | (b(q + 2) & 0xff)
+        require(len >= 2 && q + 1 + len <= b.length,
+          f"truncated segment 0x$marker%02x")
+        if (marker == 0xe1 && len >= 8 &&
+            b(q + 3) == 'E' && b(q + 4) == 'x' && b(q + 5) == 'i' &&
+            b(q + 6) == 'f' && b(q + 7) == 0 && b(q + 8) == 0)
+          return parseTiff(b, q + 9, len - 8)
+        p = q + 1 + len
+      }
     }
     ExifInfo.Empty
   }
@@ -667,6 +677,9 @@ object Multimodal {
     var model: Option[String] = None
     var taken: Option[String] = None
     def ascii(cnt: Int, valuePos: Int): String = {
+      // a count >= 2^31 wraps negative after .toInt and must not slip
+      // through the <= 4 inline branch
+      require(cnt >= 0 && cnt <= tiffLen, s"bad ASCII count $cnt")
       val at = if (cnt <= 4) valuePos else base + u32(valuePos).toInt
       require(at >= base && at + cnt <= base + tiffLen,
         "ASCII value out of range")
@@ -750,8 +763,12 @@ object Multimodal {
     val nE0 = if (gps.isDefined) 4 else 3
     // TIFF header + count + entries + next-IFD
     val dataStart = 8 + 2 + nE0 * 12 + 4
-    val modelExtra = if (modelBytes.length <= 4) 0 else modelBytes.length
-    val gpsIfdOff = dataStart + modelExtra + dateBytes.length
+    // offset-addressed blocks pad to even length: TIFF value offsets
+    // must be word-aligned
+    def extra(n: Int): Int = if (n <= 4) 0 else n + (n % 2)
+    val modelExtra = extra(modelBytes.length)
+    val dateOff = dataStart + modelExtra
+    val gpsIfdOff = dateOff + extra(dateBytes.length)
     val gpsDataOff = gpsIfdOff + 2 + 4 * 12 + 4
     val tiff = new java.io.ByteArrayOutputStream()
     def t8(v: Int): Unit = tiff.write(v & 0xff)
@@ -769,14 +786,21 @@ object Multimodal {
     else t32(dataStart.toLong)
     // 0x0112 Orientation, SHORT
     t16(0x0112); t16(3); t32(1L); t16(orientation); t16(0)
-    // 0x0132 DateTime, ASCII (always offset-addressed: 20 bytes)
-    val dateOff = dataStart + modelExtra
-    t16(0x0132); t16(2); t32(dateBytes.length.toLong); t32(dateOff.toLong)
+    // 0x0132 DateTime, ASCII (inline when it fits the 4-byte value
+    // slot — the same TIFF rule the Model entry follows; a real EXIF
+    // DateTime is 20 bytes and goes offset-addressed)
+    t16(0x0132); t16(2); t32(dateBytes.length.toLong)
+    if (dateBytes.length <= 4) { tiff.write(dateBytes); (dateBytes.length until 4).foreach(_ => t8(0)) }
+    else t32(dateOff.toLong)
     // 0x8825 GPS Info IFD pointer, LONG
     gps.foreach { _ => t16(0x8825); t16(4); t32(1L); t32(gpsIfdOff.toLong) }
     t32(0L) // next IFD
-    if (modelBytes.length > 4) tiff.write(modelBytes)
-    tiff.write(dateBytes)
+    if (modelBytes.length > 4) {
+      tiff.write(modelBytes); if (modelBytes.length % 2 == 1) t8(0)
+    }
+    if (dateBytes.length > 4) {
+      tiff.write(dateBytes); if (dateBytes.length % 2 == 1) t8(0)
+    }
     // GPS sub-IFD: refs inline, coordinates as 3 offset-addressed
     // RATIONALs per axis — the layout cameras write
     gps.foreach { case (laRef, la, loRef, lo) =>
@@ -796,6 +820,8 @@ object Multimodal {
     w8(0xff); w8(0xd8) // SOI
     w8(0xff); w8(0xe1) // APP1
     val segLen = 2 + 6 + tiffBytes.length
+    require(segLen <= 0xffff,
+      s"EXIF payload overflows the 16-bit APP1 segment length ($segLen)")
     w8(segLen >> 8); w8(segLen) // segment length is ALWAYS big-endian
     out.write("Exif".getBytes("US-ASCII")); w8(0); w8(0)
     out.write(tiffBytes)

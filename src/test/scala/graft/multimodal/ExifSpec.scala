@@ -84,6 +84,45 @@ class ExifSpec extends SparkTestBase {
     }
   }
 
+  test("spec-legal 0xFF fill bytes before markers are skipped, not misread as markers") {
+    val jpg = Multimodal.synthExifJpeg(5, "FillCam", "2024:02:02 01:02:03", false)
+    // insert two fill bytes between SOI and the APP1 marker
+    val filled = jpg.take(2) ++ Array(0xff.toByte, 0xff.toByte) ++ jpg.drop(2)
+    val e = Multimodal.parseExif(filled)
+    assert(e.orientation.contains(5) && e.model.contains("FillCam"))
+    // dimsOf walks the same grammar on a real decodable JPEG
+    val img = graft.image.ImageCodec.photoImage(24, seed = 4L)
+    val real = graft.image.ImageCodec.encodeJpeg(img, quality = 0.9f)
+    val realFilled = real.take(2) ++ Array(0xff.toByte) ++ real.drop(2)
+    assert(graft.image.ImageCodec.dimsOf(realFilled).contains((24, 24)))
+  }
+
+  test("short ASCII values write inline (TIFF rule), and odd-length blocks pad to word alignment") {
+    for (le <- Seq(true, false)) {
+      // dateTime "ab" + NUL = 3 bytes <= 4: must round-trip inline
+      val jpg = Multimodal.synthExifJpeg(2, "LongerModelName", "ab", le)
+      val e = Multimodal.parseExif(jpg)
+      assert(e.takenAt.contains("ab") && e.model.contains("LongerModelName"),
+        s"le=$le")
+      // odd-length offset-addressed model ("abcdef"+NUL = 7): the next
+      // block must still start word-aligned, so GPS parsing after the
+      // padded model stays intact
+      val jpg2 = Multimodal.synthExifJpeg(1, "abcdef", "2024:01:01 00:00:00", le,
+        gps = Some(("N", Seq((10L, 1L), (0L, 1L), (0L, 100L)),
+          "E", Seq((20L, 1L), (0L, 1L), (0L, 100L)))))
+      val e2 = Multimodal.parseExif(jpg2)
+      assert(e2.lat.contains(10.0) && e2.lon.contains(20.0), s"le=$le aligned")
+    }
+  }
+
+  test("a count field >= 2^31 is a structural violation, not an inline read") {
+    val jpg = Multimodal.synthExifJpeg(1, "abc", "2024:01:01 00:00:00", false)
+    // Model entry count at TIFF base(12) + IFD0(8) + count(2) + tag/type(4)
+    val poked = jpg.clone()
+    (0 until 4).foreach(i => poked(12 + 8 + 2 + 4 + i) = 0xff.toByte)
+    intercept[IllegalArgumentException] { Multimodal.parseExif(poked) }
+  }
+
   test("GPS decimal matches an independent double computation (not just the synth round trip)") {
     // 37°48'59.88"S 144°57'47.16"E — check against values computed a
     // DIFFERENT way (sec-as-double first), to ~1e-12°, so a den/num
