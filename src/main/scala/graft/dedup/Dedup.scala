@@ -859,9 +859,12 @@ object Dedup {
     * near-identical frames concentrate, so downstream pHash pairing
     * scoped to (or prioritized by) bursts touches a tiny fraction of
     * the cross-device candidate space. Feed `tsCol` from
-    * [[graft.multimodal.Multimodal.exifMeta]]'s DateTime and remember
-    * to orientation-normalize before hashing — burst shots are exactly
-    * where rotated-camera frames of one scene appear.
+    * [[graft.multimodal.Multimodal.exifMeta]]'s DateTime — string
+    * columns are parsed with the EXIF "yyyy:MM:dd HH:mm:ss" format
+    * (a plain cast would null them all out silently); timestamp and
+    * numeric columns are used as-is. Remember to orientation-normalize
+    * before hashing — burst shots are exactly where rotated-camera
+    * frames of one scene appear.
     *
     * One shuffle on `deviceCol`; the break flag and its running sum
     * share a single Window exec (same partitioning + ordering). The
@@ -875,10 +878,24 @@ object Dedup {
       deviceCol: String,
       tsCol: String,
       gapSeconds: Long = 10L): DataFrame = {
-    val w = Window.partitionBy(deviceCol).orderBy(col(tsCol), col(idCol))
-    val prev = lag(col(tsCol).cast("long"), 1).over(w)
+    // EXIF DateTime arrives as the string "yyyy:MM:dd HH:mm:ss" —
+    // cast("long") on that is null for EVERY row (non-ANSI cast), which
+    // would silently make each shot its own burst. Parse string inputs
+    // with the EXIF format; numeric/timestamp inputs cast as before.
+    // Unparseable strings stay null → singleton bursts, deterministic.
+    val isString =
+      media.schema(tsCol).dataType == org.apache.spark.sql.types.StringType
+    val tsLong: Column =
+      if (isString) unix_timestamp(to_timestamp(col(tsCol), "yyyy:MM:dd HH:mm:ss"))
+      else col(tsCol).cast("long")
+    // Order by the raw column for timestamp/numeric inputs (keeps
+    // sub-second ordering); the parsed value for strings (lexicographic
+    // EXIF strings order the same, but null-parses must group first).
+    val tsOrd = if (isString) tsLong else col(tsCol)
+    val w = Window.partitionBy(deviceCol).orderBy(tsOrd, col(idCol))
+    val prev = lag(tsLong, 1).over(w)
     val brk = when(
-      prev.isNull || col(tsCol).cast("long") - prev > gapSeconds, 1L)
+      prev.isNull || tsLong - prev > gapSeconds, 1L)
       .otherwise(0L)
     media
       .withColumn("__brk", brk)
@@ -908,10 +925,20 @@ object Dedup {
       minShared: Long,
       dfCap: Long = 1000L): DataFrame = {
     val d = df.select(col(idCol).as("id"), col(keyCol).as("k")).distinct()
-    val kept = d
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy("k")))
+    // df-cap via groupBy, NOT a Window partitioned by k: the cap exists
+    // precisely because some key is boilerplate-hot (10^9 ids), and a
+    // count() OVER (PARTITION BY k) would ship every row of that key
+    // into one window task just to count them — recreating the
+    // straggler the cap prevents. groupBy's map-side partial
+    // aggregation shrinks the hot key to one row per input partition
+    // before the shuffle; the join back is on k, the same key the
+    // self-join below shuffles on.
+    val smallKeys = d
+      .groupBy("k")
+      .agg(count(lit(1)).as("__df"))
       .where(col("__df") <= dfCap)
-      .drop("__df")
+      .select("k")
+    val kept = d.join(smallKeys, "k")
     kept.select(col("id").as("da"), col("k"))
       .join(kept.select(col("id").as("db"), col("k")), "k")
       .where(col("da") < col("db"))

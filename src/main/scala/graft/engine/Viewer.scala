@@ -178,8 +178,22 @@ object Viewer {
        |</script></body></html>""".stripMargin
   }
 
+  /** JS string literal safe to interpolate inside an inline <script>
+    * block: beyond quote/backslash, `<` and `>` are \u-escaped so a
+    * layer name containing "</script><script>…" (names come straight
+    * from CLI store URIs) cannot terminate the script element and
+    * inject markup; control chars are escaped for the same reason
+    * (U+2028/U+2029 are line terminators in JS source). */
   private def jsString(s: String): String =
-    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    "'" + s.flatMap {
+      case '\\'                               => "\\\\"
+      case '\''                               => "\\'"
+      case '<'                                => "\\u003c"
+      case '>'                                => "\\u003e"
+      case '&'                                => "\\u0026"
+      case c if c < ' ' || c == '\u2028' || c == '\u2029' => f"\\u${c.toInt}%04x"
+      case c                                  => c.toString
+    } + "'"
 
   private def jsonString(s: String): String =
     "\"" + s.flatMap {

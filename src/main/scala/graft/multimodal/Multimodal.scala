@@ -719,6 +719,13 @@ object Multimodal {
         val at = base + u32(valuePos).toInt
         require(at >= base && at + 24 <= base + tiffLen,
           "GPS rational out of range")
+        // A zero denominator is a structural violation, not a value:
+        // x/0.0 would emit Infinity (0/0.0 NaN) into the lat/lon DATA
+        // column with error=null, and mercator math downstream turns
+        // that NaN into poisoned tile coordinates. Route it to the
+        // error channel like every other malformed-TIFF case.
+        require(u32(at + 4) != 0L && u32(at + 12) != 0L && u32(at + 20) != 0L,
+          "GPS rational zero denominator")
         val dv = u32(at).toDouble / u32(at + 4).toDouble
         val mv = u32(at + 8).toDouble / u32(at + 12).toDouble
         val sv = u32(at + 16).toDouble / u32(at + 20).toDouble

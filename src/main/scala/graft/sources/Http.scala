@@ -17,16 +17,34 @@ private[sources] object Http {
     * an EMPTY array still opens the output stream so the request
     * carries `Content-Length: 0` — zero-byte payloads are legal
     * objects (e.g. empty transparent tiles) and S3/Azure reject a PUT
-    * with no Content-Length (411). The connection is released on
-    * EVERY exit path, including a failure while writing the request
-    * body (a mid-write reset must not leak the socket across a long
-    * per-partition sweep). */
+    * with no Content-Length (411).
+    *
+    * Connection lifecycle: on the SUCCESS path the response stream is
+    * fully drained and closed but the connection is NOT disconnect()ed
+    * — that is what returns the socket to the JVM keep-alive cache, so
+    * a per-partition sweep against one endpoint reuses TCP/TLS instead
+    * of handshaking per row. disconnect() (which closes the socket) is
+    * reserved for the failure path, where the stream may be mid-body
+    * and the connection unsafe to reuse. */
   def exchange(
       url: String,
       method: String,
       headers: Seq[(String, String)],
       body: Array[Byte],
       timeoutMs: Int): (Int, Map[String, String], Array[Byte]) = {
+    val (status, _, hdrs, bodyOut) = exchangeFull(url, method, headers, body, timeoutMs)
+    (status, hdrs, bodyOut)
+  }
+
+  /** [[exchange]] plus the HTTP reason phrase (second element) —
+    * [[UrlStore]] reproduces the reference's error strings, which
+    * embed it. */
+  def exchangeFull(
+      url: String,
+      method: String,
+      headers: Seq[(String, String)],
+      body: Array[Byte],
+      timeoutMs: Int): (Int, String, Map[String, String], Array[Byte]) = {
     val conn = URI.create(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
     try {
       conn.setConnectTimeout(timeoutMs)
@@ -40,6 +58,7 @@ private[sources] object Http {
         out.write(body); out.close()
       }
       val status = conn.getResponseCode
+      val reason = Option(conn.getResponseMessage).getOrElse("")
       val hdrs = {
         import scala.jdk.CollectionConverters._
         conn.getHeaderFields.asScala.collect {
@@ -48,10 +67,13 @@ private[sources] object Http {
       }
       val stream = if (status < 400) conn.getInputStream else conn.getErrorStream
       val bodyOut =
-        if (stream == null || method == "HEAD") Array.emptyByteArray
+        if (stream == null) Array.emptyByteArray
+        else if (method == "HEAD") { stream.close(); Array.emptyByteArray }
         else readAll(stream)
-      (status, hdrs, bodyOut)
-    } finally conn.disconnect()
+      (status, reason, hdrs, bodyOut)
+    } catch {
+      case e: Throwable => conn.disconnect(); throw e
+    }
   }
 
   /** Drain and close an input stream. */

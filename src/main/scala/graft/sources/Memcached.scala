@@ -56,8 +56,22 @@ object MemcachedStore {
     private val ValueRe =
       """VALUE\s+(\S+)\s+(\d+)\s+(\d+)(?:\s+(\d+))?""".r
 
+    /** Text-protocol keys must be 1..250 bytes with no whitespace or
+      * control characters — a key containing "\r\nflush_all" would
+      * otherwise be EXECUTED by the server as an injected command
+      * (keys come from a data column, so this is an input-validation
+      * boundary, not a programmer-error assert). Rejected keys throw
+      * and land in the caller's error column. */
+    private def checkKey(key: String): Unit = {
+      require(key != null && key.nonEmpty && key.length <= 250,
+        s"memcached key length must be 1..250 bytes: ${if (key == null) "null" else key.length.toString}")
+      require(key.forall(c => c > ' ' && c != '\u007f'),
+        "memcached key contains whitespace or control characters")
+    }
+
     /** (flags, value, cas) — all None when the key is absent. */
     def get(key: String): (Option[Int], Option[Array[Byte]], Option[Long]) = {
+      checkKey(key)
       writeLine(s"get $key")
       val line = readLine()
       if (line == "END") (None, None, None)
@@ -73,6 +87,7 @@ object MemcachedStore {
     }
 
     def set(key: String, flags: Int, exptime: Int, value: Array[Byte]): Unit = {
+      checkKey(key)
       writeLine(s"set $key $flags $exptime ${value.length}")
       out.write(value); out.write('\r'); out.write('\n'); out.flush()
       val line = readLine()
@@ -81,6 +96,7 @@ object MemcachedStore {
 
     /** true = DELETED, false = NOT_FOUND. */
     def delete(key: String): Boolean = {
+      checkKey(key)
       writeLine(s"delete $key")
       readLine() match {
         case "DELETED"   => true

@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.net.{HttpURLConnection, URI}
-
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.types._
 
@@ -72,36 +70,27 @@ object UrlStore {
       allowsNoContentType: Boolean,
       timeoutMs: Int): Option[(Array[Byte], String, String, String)] = {
     try {
-      val conn = URI.create(url).toURL.openConnection()
-        .asInstanceOf[HttpURLConnection]
-      conn.setConnectTimeout(timeoutMs)
-      conn.setReadTimeout(timeoutMs)
-      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
-      try {
-        val status = conn.getResponseCode
-        if (status == 404 || status == 204) None
-        else {
-          val ct = conn.getHeaderField("Content-Type")
-          val ce = conn.getHeaderField("Content-Encoding")
-          val reason = Option(conn.getResponseMessage).getOrElse("")
-          if (status < 300) {
-            val body = Http.readAll(conn.getInputStream)
-            val statusErr =
-              if (status != 200)
-                s"URL: $url\nUnsupported status code $status: $reason"
-              else null
-            if (ct != null && ct.nonEmpty) {
-              if (ct.startsWith("image/")) Some((body, ct, ce, statusErr))
-              else Some((null, ct, ce, s"URL: $url\n${new String(body, "UTF-8")}"))
-            } else if (allowsNoContentType) Some((body, ct, ce, statusErr))
-            else Some((null, ct, ce, s"URL: $url\nThe Content-Type header is missing"))
-          } else {
-            val body = Option(conn.getErrorStream).map(Http.readAll).getOrElse(Array[Byte]())
-            Some((null, ct, ce,
-              s"URL: $url\n$status: $reason\n${new String(body, "UTF-8")}"))
-          }
+      val (status, reason, hdrs, body) =
+        Http.exchangeFull(url, "GET", headers, null, timeoutMs)
+      if (status == 404 || status == 204) None
+      else {
+        val ct = hdrs.getOrElse("content-type", null)
+        val ce = hdrs.getOrElse("content-encoding", null)
+        if (status < 300) {
+          val statusErr =
+            if (status != 200)
+              s"URL: $url\nUnsupported status code $status: $reason"
+            else null
+          if (ct != null && ct.nonEmpty) {
+            if (ct.startsWith("image/")) Some((body, ct, ce, statusErr))
+            else Some((null, ct, ce, s"URL: $url\n${new String(body, "UTF-8")}"))
+          } else if (allowsNoContentType) Some((body, ct, ce, statusErr))
+          else Some((null, ct, ce, s"URL: $url\nThe Content-Type header is missing"))
+        } else {
+          Some((null, ct, ce,
+            s"URL: $url\n$status: $reason\n${new String(body, "UTF-8")}"))
         }
-      } finally conn.disconnect()
+      }
     } catch {
       case e: Exception => Some((null, null, null, s"URL: $url\n$e"))
     }

@@ -83,4 +83,24 @@ class BurstSpec extends SparkTestBase {
     assert(bursts("a1") == 1L && bursts("a2") == 1L && bursts("a3") == 1L)
     assert(bursts("b1") == 2L)
   }
+
+  test("burstSessionize accepts the raw EXIF DateTime STRING column") {
+    // exifMeta's taken_at is "yyyy:MM:dd HH:mm:ss"; cast("long") on that
+    // is null for every row, which would silently make each shot its own
+    // burst. The operator must parse string inputs with the EXIF format.
+    val s = spark
+    import s.implicits._
+    val scene = ImageCodec.photoImage(32, seed = 6L)
+    val rows = Seq(
+      shot("a1", scene, 1, 0), shot("a2", scene, 1, 4),
+      shot("a3", scene, 1, 8), shot("b1", scene, 1, 120))
+      .toDF("media_id", "bytes")
+    val meta = Multimodal.exifMeta(rows).select(
+      col("media_id"), col("model").as("device"), col("taken_at"))
+    val bursts = Dedup.burstSessionize(meta, "media_id", "device", "taken_at")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("burst_seq")).toMap
+    assert(bursts("a1") == 1L && bursts("a2") == 1L && bursts("a3") == 1L,
+      s"string DateTime must group the 4s-apart shots: $bursts")
+    assert(bursts("b1") == 2L)
+  }
 }

@@ -62,5 +62,14 @@ class VideoDedupSpec extends SparkTestBase {
     val loose = Dedup.sharedKeyPairs(sigs, "media_id", "fh",
       minShared = 1L, dfCap = 5L).collect()
     assert(loose.forall(r => r.getString(0) == "v04" && r.getString(1) == "v05"))
+
+    // scale shape: the df-cap must be a partial-aggregating groupBy, not
+    // a Window partitioned by the key — a window would concentrate the
+    // boilerplate-hot key (the very thing the cap drops) into one task
+    // before it could be filtered
+    val plan = Dedup.sharedKeyPairs(sigs, "media_id", "fh", 5L, 5L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"df-cap ran through a Window exec:\n$plan")
+    assert(plan.contains("HashAggregate"), "df-cap should partial-aggregate")
   }
 }

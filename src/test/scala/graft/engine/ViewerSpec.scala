@@ -117,6 +117,20 @@ class ViewerSpec extends SparkTestBase {
     }
   }
 
+  test("layer names cannot inject script into the map-client pages") {
+    // names come straight from CLI store URIs; a crafted name must not
+    // terminate the inline <script> block
+    val evil = "</script><script>alert(1)//"
+    withServer(Seq(Viewer.preloadedLayer(evil, tilesDf))) { port =>
+      for (page <- Seq("/leaflet", "/openlayers")) {
+        val body = new String(get(port, page)._2, "UTF-8")
+        assert(!body.contains("</script><script>alert"), s"$page injectable")
+        assert(!body.contains("alert(1)</script>"), s"$page injectable")
+        assert(body.contains("\\u003c/script\\u003e"), s"$page must escape the name")
+      }
+    }
+  }
+
   test("preload refuses relations above the tile budget") {
     import spark.implicits._
     val big = spark.range(10).select(

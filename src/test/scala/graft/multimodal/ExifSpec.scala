@@ -123,6 +123,28 @@ class ExifSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Multimodal.parseExif(poked) }
   }
 
+  test("GPS rational with a zero denominator is an error, not Infinity/NaN lat-lon") {
+    // num/0 would compute Infinity (0/0 NaN) and flow into the lat/lon
+    // DATA column with error=null — downstream mercator math would turn
+    // it into poisoned tile coordinates. It must throw (error channel).
+    for ((den0, den1, den2) <- Seq((0L, 1L, 100L), (1L, 0L, 100L), (1L, 1L, 0L))) {
+      val jpg = Multimodal.synthExifJpeg(1, "cam", "2024:01:01 00:00:00", true,
+        gps = Some(("N", Seq((48L, den0), (51L, den1), (2952L, den2)),
+          "E", Seq((2L, 1L), (21L, 1L), (300L, 100L)))))
+      intercept[IllegalArgumentException] { Multimodal.parseExif(jpg) }
+    }
+    // and through the DataFrame batch path it lands in the error column
+    val s = spark
+    import s.implicits._
+    val bad = Multimodal.synthExifJpeg(1, "cam", "2024:01:01 00:00:00", false,
+      gps = Some(("N", Seq((48L, 1L), (51L, 0L), (2952L, 100L)),
+        "E", Seq((2L, 1L), (21L, 1L), (300L, 100L)))))
+    val got = Multimodal.exifMeta(Seq(("z", bad)).toDF("media_id", "bytes")).head()
+    assert(got.isNullAt(got.fieldIndex("lat")) && got.isNullAt(got.fieldIndex("lon")))
+    assert(got.getAs[String]("error") != null &&
+      got.getAs[String]("error").contains("zero denominator"))
+  }
+
   test("GPS decimal matches an independent double computation (not just the synth round trip)") {
     // 37°48'59.88"S 144°57'47.16"E — check against values computed a
     // DIFFERENT way (sec-as-double first), to ~1e-12°, so a den/num

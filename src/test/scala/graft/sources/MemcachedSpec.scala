@@ -141,6 +141,36 @@ class MemcachedSpec extends SparkTestBase {
     }
   }
 
+  test("memcached store: CR/LF or whitespace in a key is rejected, never sent (command injection)") {
+    val s = spark
+    import s.implicits._
+    withServers(1) { case Seq(srv) =>
+      val hosts = Seq(("127.0.0.1", srv.port))
+      // a key column carrying an injected command: without validation the
+      // client would write "set k\r\nflush_all ..." and the server would
+      // EXECUTE the second line. It must become an error row instead.
+      val evil = Seq(
+        ("k\r\nflush_all", "boom"),
+        ("sp ace", "boom2"),
+        ("x" * 251, "toolong"),
+        ("good-key/3/2/1", "fine"))
+        .toDF("key", "payload")
+        .withColumn("data", col("payload").cast("binary"))
+      val put = MemcachedStore.put(evil, hosts).cache()
+      val errs = put.where(col("error").isNotNull).select("key").collect().map(_.getString(0)).toSet
+      assert(errs == Set("k\r\nflush_all", "sp ace", "x" * 251), s"got $errs")
+      assert(put.where(col("error").isNull).count() == 1)
+      put.unpersist()
+      // nothing beyond the good key reached the server's map
+      assert(srv.store.size() == 1 && srv.store.containsKey("good-key/3/2/1"))
+
+      val got = MemcachedStore.fetch(Seq("a\tb").toDF("key"), hosts).head()
+      assert(got.getAs[String]("error") != null, "get path validates too")
+      val del = MemcachedStore.delete(Seq("a b").toDF("key"), hosts).head()
+      assert(del.getAs[String]("error") != null, "delete path validates too")
+    }
+  }
+
   test("memcached store: consistent shard spread over multiple hosts") {
     val s = spark
     import s.implicits._
