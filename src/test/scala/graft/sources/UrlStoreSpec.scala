@@ -139,4 +139,73 @@ class UrlStoreSpec extends SparkTestBase {
       assert(rows.head.getAs[Array[Byte]]("data").sameElements(png))
     }
   }
+
+  test("url store: sequential fetches reuse the TCP connection (keep-alive, no per-row handshake)") {
+    // A raw-socket HTTP/1.1 fixture that COUNTS accepted connections —
+    // com.sun.net.httpserver hides that. A 100 TB sweep fetching per
+    // partition must ride the JVM keep-alive pool; disconnect()-per-row
+    // would show one accept per request here.
+    val accepts = new java.util.concurrent.atomic.AtomicLong(0)
+    val body = ImageCodec.encode(ImageCodec.gradientImage(8, 1L), "png")
+    val server = new java.net.ServerSocket(0, 16, java.net.InetAddress.getByName("127.0.0.1"))
+    @volatile var running = true
+    val acceptor = new Thread(() => {
+      while (running) {
+        try {
+          val sock = server.accept()
+          accepts.incrementAndGet()
+          new Thread(() => {
+            try {
+              val in = new java.io.BufferedInputStream(sock.getInputStream)
+              val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+              var open = true
+              while (open) {
+                // read request head (request line + headers) to the blank
+                // line, WITHOUT reading past it — a read beyond the head
+                // would block on the (not yet sent) next request
+                val head = new java.lang.StringBuilder()
+                var done = false
+                while (!done && open) {
+                  val c = in.read()
+                  if (c < 0) open = false
+                  else {
+                    head.append(c.toChar)
+                    done = head.length >= 4 &&
+                      head.substring(head.length - 4) == "\r\n\r\n"
+                  }
+                }
+                if (open) {
+                  out.write((s"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n" +
+                    s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8"))
+                  out.write(body); out.flush()
+                }
+              }
+            } catch { case _: Exception => () }
+            finally { try sock.close() catch { case _: Exception => () } }
+          }).start()
+        } catch { case _: Exception => () }
+      }
+    })
+    acceptor.setDaemon(true)
+    acceptor.start()
+    try {
+      val s = spark
+      import s.implicits._
+      val port = server.getLocalPort
+      val n = 40
+      val urls = (0 until n).map(i => s"http://127.0.0.1:$port/t/$i").toDF("url")
+        .repartition(1) // one partition = one sequential sweep, the per-partition shape
+      val got = UrlStore.fetch(urls).cache()
+      assert(got.count() == n.toLong)
+      assert(got.where(col("data").isNotNull).count() == n.toLong)
+      got.unpersist()
+      // keep-alive: the whole sweep should ride a handful of pooled
+      // sockets (JDK default pool is 5/destination), not one per row
+      assert(accepts.get() <= 5L,
+        s"${accepts.get()} TCP connections for $n sequential fetches — keep-alive broken")
+    } finally {
+      running = false
+      try server.close() catch { case _: Exception => () }
+    }
+  }
 }
