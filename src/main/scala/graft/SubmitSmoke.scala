@@ -23,6 +23,17 @@ object SubmitSmoke {
         val qk = spark.sql("SELECT tc_quadkey(3, 5, 3) AS qk").head().getString(0)
         val expect = graft.sql.TileCodecs.quadkey(3, 5L, 3L)
         require(qk == expect, s"extension-injected tc_quadkey returned $qk != $expect")
+        // the cell-id READERS must be injected alongside the writers —
+        // a session that wrote tc_cellid/tc_hilbert keys has to be able
+        // to invert them from SQL on the same cluster config
+        val r = spark.sql(
+          "SELECT tc_cellz(tc_cellid(3, 5, 3)), tc_cellx(tc_cellid(3, 5, 3)), " +
+            "tc_celly(tc_cellid(3, 5, 3)), tc_cellz(tc_hilbert(3, 5, 3)), " +
+            "tc_hilbertx(tc_hilbert(3, 5, 3)), tc_hilberty(tc_hilbert(3, 5, 3))").head()
+        require(
+          r.getInt(0) == 3 && r.getLong(1) == 5L && r.getLong(2) == 3L &&
+            r.getInt(3) == 3 && r.getLong(4) == 5L && r.getLong(5) == 3L,
+          s"extension-injected cell readers failed to invert the writers: $r")
         true
       }
     graft.sql.TileExpressions.register(spark)

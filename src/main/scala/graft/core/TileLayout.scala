@@ -167,7 +167,13 @@ object I3DTileLayout extends TileLayout {
 /** `zz/xxx/xxx/xxx/yyy/yyy/yyy` zero-padded TileCache disk layout
   * (reference layout/tilecache.py:9-40; the reference formats x/y with a
   * float `%09f` — we use the sane `%09d`, which agrees with the
-  * reference's own test golden `01/123/456/789/987/654/321`). */
+  * reference's own test golden `01/123/456/789/987/654/321`).
+  *
+  * Parity caveat: the layout only addresses coordinates < 10^9. For a
+  * 10-digit x (z = 30 reaches 2^30 > 10^9) the first-9-digit slices
+  * ALIAS distinct tiles onto one path — exactly what the reference's
+  * own string slicing does — so deep-zoom pyramids must use a
+  * different layout; kept bit-compatible rather than "fixed". */
 object TileCacheDiskLayout extends TileLayout {
   private val Re =
     """([0-9]{2})/([0-9]{3})/([0-9]{3})/([0-9]{3})/([0-9]{3})/([0-9]{3})/([0-9]{3})""".r

@@ -82,9 +82,20 @@ object Checkpoint {
   /** Flush accumulated per-partition metrics (call after the action). */
   def flush(jobId: String, stage: String): Unit =
     Option(pending.remove((jobId, stage))).foreach { case (acc, path, spark) =>
-      val rows = acc.value.map { m =>
-        Row(jobId, stage, m.partitionId, m.rows, m.errors, m.nanos, "done")
-      }
+      // Accumulator updates from TRANSFORMATIONS are not deduplicated by
+      // Spark across task attempts: a speculative duplicate or a
+      // stage-retry re-execution adds a second PartitionMetric for the
+      // same partition, which would double-count its rows in report().
+      // Keep one metric per partition (max nanos = the attempt that did
+      // the full drain; row/error counts are identical across attempts
+      // of a deterministic partition).
+      val rows = acc.value
+        .groupBy(_.partitionId)
+        .values.map(_.maxBy(_.nanos))
+        .toSeq.sortBy(_.partitionId)
+        .map { m =>
+          Row(jobId, stage, m.partitionId, m.rows, m.errors, m.nanos, "done")
+        }
       if (rows.nonEmpty)
         spark
           .createDataFrame(spark.sparkContext.parallelize(rows, 1), metricsSchema)

@@ -41,7 +41,11 @@ object Corpus {
     * PSNR invariant unmeetable for any JPEG codec). */
   def row(i: Long, size: Int = 64, jpegEvery: Int = 10): ImageRow = {
     val phash = splitmix64(i)
-    val isJpeg = jpegEvery > 0 && i % jpegEvery == 7
+    // phase 7 % jpegEvery, not a bare 7: with jpegEvery <= 7 the literal
+    // residue is never hit and the corpus would silently contain zero
+    // JPEGs; the modulo keeps the default (jpegEvery=10 → residue 7)
+    // bit-identical, so every pinned-constant oracle stands
+    val isJpeg = jpegEvery > 0 && i % jpegEvery == 7 % jpegEvery
     val fmt = if (isJpeg) "jpeg" else "png"
     val img = ImageCodec.gradientImage(size, phash)
     val bytes = ImageCodec.encode(img, fmt)

@@ -147,7 +147,12 @@ object Filters {
         "data",
         pasteUdf(array((col("data") +: overlays.indices.map(i => col(s"__o$i"))): _*)))
       .drop(overlays.indices.map(i => s"__o$i"): _*)
-      .withColumn("content_type", lit(format))
+      // content_type must be sniffed, not stamped: the single-layer fast
+      // path passes the ORIGINAL bytes through (the q65 md5-passthrough
+      // contract), so a JPEG base with no overlay would be mislabeled by
+      // lit(format); merged outputs sniff to `format` anyway since the
+      // paste re-encodes into it
+      .withColumn("content_type", contentTypeColumn(col("data")))
   }
 
   /** Content-type sniff from magic bytes as pure column math

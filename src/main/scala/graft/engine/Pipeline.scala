@@ -342,7 +342,11 @@ object Pipeline {
         (if (maxZ == 0) lit(false)
          else col("z") === maxZ || col("cnt") <= maxPerTile))
       .join(parents, shiftR(col("cell"), lit(2)) === col("pcell"), "left_semi")
-    val root = decoded.where(col("z") === 0 && col("cnt") <= maxPerTile)
+    // z == maxZ tiles are leaves regardless of count (they cannot
+    // subdivide further) — that includes the root when maxZ == 0, which
+    // would otherwise be silently dropped for exceeding maxPerTile.
+    val root = decoded.where(col("z") === 0 &&
+      (if (maxZ == 0) lit(true) else col("cnt") <= maxPerTile))
     inner.unionAll(root).select("z", "x", "y", "cnt")
   }
 }

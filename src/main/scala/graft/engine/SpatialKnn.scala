@@ -53,8 +53,13 @@ object SpatialKnn {
       val ringCovers = x0 == 0 && y0 == 0 && x1 == maxCoord && y1 == maxCoord
       // correctness guard: a point in an adjacent uncovered cell can be
       // closer than one inside the ring — expand once past sufficiency
+      // sufficiency must use the SMALLER tile dimension: on a grid whose
+      // extent is not square the ring guarantees only (ring-1) tiles of
+      // coverage in EACH axis, and the tighter axis bounds the distance
+      // to the first unscanned cell
       val tileW = grid.maxExtent.width / (1L << z).toDouble
-      val safeRadius = (ring - 1).toDouble * tileW // fully-covered distance
+      val tileH = grid.maxExtent.height / (1L << z).toDouble
+      val safeRadius = (ring - 1).toDouble * math.min(tileW, tileH)
       if (ringCovers) {
         result = candidates
         done = true

@@ -296,13 +296,15 @@ object Stores {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     tiles.select("z", "x", "y", "data")
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        val rows = it.toSeq
-        if (rows.nonEmpty) {
+        // stream rows straight into the archive — it.toSeq would buffer
+        // the partition's every tile payload on the heap first, and a
+        // z-partitioned blob partition is GBs at scale
+        if (it.hasNext) {
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val out = new java.util.zip.ZipOutputStream(
             java.nio.file.Files.newOutputStream(
               java.nio.file.Paths.get(dir, f"part-$pid%05d.zip")))
-          try rows.foreach { r =>
+          try it.foreach { r =>
             val e = new java.util.zip.ZipEntry(
               s"${r.getInt(0)}/${r.getLong(1)}/${r.getLong(2)}.$ext")
             out.putNextEntry(e)

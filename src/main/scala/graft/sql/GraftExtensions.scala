@@ -37,6 +37,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Cast(exprs(0), IntegerType),
           Cast(exprs(1), LongType),
           Cast(exprs(2), LongType))))
+    // the cell-id readers MUST ship with the writers: a cluster session
+    // that wrote tc_cellid/tc_hilbert keys needs tc_cellz/x/y (and the
+    // hilbert inverses) to read them back — TileExpressions.register
+    // exposes all ten, and a spark.sql.extensions session must match
+    ext.injectFunction((
+      FunctionIdentifier("tc_cellz"),
+      new ExpressionInfo(classOf[CellZExpr].getName, "tc_cellz"),
+      (exprs: Seq[Expression]) => CellZExpr(Cast(exprs(0), LongType))))
+    ext.injectFunction((
+      FunctionIdentifier("tc_cellx"),
+      new ExpressionInfo(classOf[CellXExpr].getName, "tc_cellx"),
+      (exprs: Seq[Expression]) => CellXExpr(Cast(exprs(0), LongType))))
+    ext.injectFunction((
+      FunctionIdentifier("tc_celly"),
+      new ExpressionInfo(classOf[CellYExpr].getName, "tc_celly"),
+      (exprs: Seq[Expression]) => CellYExpr(Cast(exprs(0), LongType))))
+    ext.injectFunction((
+      FunctionIdentifier("tc_hilbertx"),
+      new ExpressionInfo(classOf[HilbertXExpr].getName, "tc_hilbertx"),
+      (exprs: Seq[Expression]) => HilbertXExpr(Cast(exprs(0), LongType))))
+    ext.injectFunction((
+      FunctionIdentifier("tc_hilberty"),
+      new ExpressionInfo(classOf[HilbertYExpr].getName, "tc_hilberty"),
+      (exprs: Seq[Expression]) => HilbertYExpr(Cast(exprs(0), LongType))))
     ext.injectFunction((
       FunctionIdentifier("tc_sorted_intersect_count"),
       new ExpressionInfo(

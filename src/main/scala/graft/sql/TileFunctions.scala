@@ -228,20 +228,29 @@ object TileFunctions {
       spark: SparkSession,
       bp: BoundingPyramid,
       n: Int): DataFrame = {
-    val levels = bp.bounds.toSeq.map { case (z, (xb, yb)) =>
-      val mx0 = n * (xb.start / n)
-      val my0 = n * (yb.start / n)
-      val xCount = (xb.stop - mx0 + n - 1) / n
-      val yCount = (yb.stop - my0 + n - 1) / n
-      spark
-        .range(xCount * yCount)
-        .select(
-          lit(z).as("z"),
-          (lit(mx0) + intDiv(col("id"), lit(yCount)) * n).as("x"),
-          (lit(my0) + (col("id") % yCount) * n).as("y"),
-          lit(n).as("n"))
-    }
-    levels.reduceLeft(_ unionAll _)
+    // Empty levels carry the sentinel Bounds(Long.MaxValue, Long.MinValue);
+    // running them through the count arithmetic would overflow into one
+    // garbage meta-tile — the driver-side metatilecoords yields nothing
+    // for them, and so must this form.
+    val levels = bp.bounds.toSeq
+      .filter { case (_, (xb, yb)) => xb.nonEmpty && yb.nonEmpty }
+      .map { case (z, (xb, yb)) =>
+        val mx0 = n * (xb.start / n)
+        val my0 = n * (yb.start / n)
+        val xCount = (xb.stop - mx0 + n - 1) / n
+        val yCount = (yb.stop - my0 + n - 1) / n
+        spark
+          .range(xCount * yCount)
+          .select(
+            lit(z).as("z"),
+            (lit(mx0) + intDiv(col("id"), lit(yCount)) * n).as("x"),
+            (lit(my0) + (col("id") % yCount) * n).as("y"),
+            lit(n).as("n"))
+      }
+    if (levels.isEmpty)
+      spark.range(0).select(
+        lit(0).as("z"), col("id").as("x"), col("id").as("y"), lit(n).as("n"))
+    else levels.reduceLeft(_ unionAll _)
   }
 
   /** printf-template layout as codegen column concat (reference
@@ -410,7 +419,7 @@ object TileFunctions {
       metadata: Column = lit(null)): Column = {
     val dims = layout.dimensionsName
     if (layout.requestEncoding == "KVP") {
-      val base = if (layout.url.isEmpty || layout.url.last == '?') layout.url
+      val base = if (layout.url.nonEmpty && layout.url.last == '?') layout.url
         else layout.url + "?"
       val head = lit(
         s"${base}Service=WMTS&Request=GetTile&Format=${layout.format}" +
@@ -455,7 +464,9 @@ object TileFunctions {
       z: Column,
       x: Column,
       y: Column): Column = {
-    val base = if (url.isEmpty || url.last == '?') url else url + "?"
+    // match core.WMTSTileLayout exactly: an EMPTY base url still gets
+    // the "?" (relative query-only URLs), only a trailing "?" is kept
+    val base = if (url.nonEmpty && url.last == '?') url else url + "?"
     concat(
       lit(s"${base}Service=WMTS&Request=GetTile&Format=$format" +
         s"&Version=1.0.0&Layer=$layer&Style=$style" +

@@ -43,6 +43,29 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("spatial knn: non-square grid — ring sufficiency uses the smaller tile dimension") {
+    // Extent 64x2 at z=3: tileW=8, tileH=0.25. A sufficiency radius from
+    // tileW alone would accept a ring whose y-coverage is 32x smaller
+    // than claimed and return non-nearest neighbors.
+    val s = spark
+    import s.implicits._
+    val grid = graft.core.QuadTileGrid(graft.core.Extent(0, 0, 64, 2))
+    val pts = (0 until 400).map { i =>
+      val px = (i * 0.61803398875) % 1.0 * 64.0
+      val py = (i * 0.38196601125) % 1.0 * 2.0
+      val tc = grid.tilecoord(3, px, py)
+      (f"p$i%04d", 3, tc.x, tc.y, px, py)
+    }.toDF("image_id", "z", "x", "y", "px", "py")
+    for ((fx, fy) <- Seq((0.5, 0.5), (0.2, 0.9), (0.8, 0.1))) {
+      val (qx, qy) = (64.0 * fx, 2.0 * fy)
+      val got = SpatialKnn.nearest(pts, qx, qy, 3, 8, grid)
+        .select("image_id").collect().map(_.getString(0)).toSeq
+      val want = SpatialKnn.nearestBrute(pts, qx, qy, 3, 8)
+        .select("image_id").collect().map(_.getString(0)).toSeq
+      assert(got == want, s"query ($fx,$fy): $got != $want")
+    }
+  }
+
   test("spatial knn batch: per-query results equal ring-bounded brute force") {
     val s = spark
     import s.implicits._
@@ -94,6 +117,32 @@ class OpsSpec extends SparkTestBase {
       .toDF("z", "x", "y", "data", "content_type")
     val out2 = Filters.mergeStores(base2, Seq(overlay)).collect().head
     assert(ImageCodec.decode(out2.getAs[Array[Byte]]("data")).getRGB(0, 0) == 0xffff0000)
+    // content_type is SNIFFED, not stamped: a JPEG base with no overlay
+    // passes its bytes through and must keep its real type, while merged
+    // coords re-encode into the target format
+    def jpeg(): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, 0xff0000)
+      ImageCodec.encode(img, "jpeg")
+    }
+    val jbase = Seq((1, 1L, 1L, jpeg(), "image/jpeg"))
+      .toDF("z", "x", "y", "data", "content_type")
+    val out3 = Filters.mergeStores(jbase, Seq(overlay)).collect().head
+    assert(out3.getAs[String]("content_type") == "image/jpeg",
+      "passthrough JPEG must not be relabeled image/png")
+    assert(out.getAs[String]("content_type") == "image/png",
+      "merged output re-encodes to the target format")
+  }
+
+  test("corpus jpegEvery phase holds for every period, default bit-identical") {
+    // residue is 7 % jpegEvery: a literal 7 is unreachable for
+    // jpegEvery <= 7 and would silently produce an all-PNG corpus
+    assert(Corpus.row(7, 64, 10).fmt == "jpeg", "default phase unchanged")
+    assert(Corpus.row(17, 64, 10).fmt == "jpeg")
+    assert(Corpus.row(8, 64, 10).fmt == "png")
+    val fmts = (0L until 20L).map(i => Corpus.row(i, 32, 5).fmt)
+    assert(fmts.count(_ == "jpeg") == 4, s"every 5th row must be jpeg: $fmts")
+    assert(fmts(2) == "jpeg" && fmts(7) == "jpeg", "phase 7 % 5 = 2")
   }
 
   test("delete pipeline removes a region, keeps the rest") {

@@ -145,6 +145,17 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("renderingTheWorld: maxZ=0 returns the root as a leaf even over maxPerTile") {
+    // z == maxZ tiles cannot subdivide, so they are leaves regardless of
+    // count — including the root, which used to be silently dropped
+    val corpus = Corpus.generate(spark, 100).toDF()
+    val leaves = Pipeline.renderingTheWorld(corpus, maxPerTile = 10, maxZ = 0).collect()
+    assert(leaves.length == 1)
+    val r = leaves.head
+    assert(r.getInt(0) == 0 && r.getLong(1) == 0L && r.getLong(2) == 0L)
+    assert(r.getLong(3) == 100L, s"root must carry every point: $r")
+  }
+
   test("renderingTheWorld: leaves partition the point set, monotone subdivision") {
     spark.sharedState.cacheManager.clearCache()
     val corpus = Corpus.generate(spark, 500).toDF()

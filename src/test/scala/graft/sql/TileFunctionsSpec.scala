@@ -327,6 +327,45 @@ class TileFunctionsSpec extends SparkTestBase {
     assert(rows == bp.metatilecoords(2).toSet)
   }
 
+  test("enumerateMetatiles skips empty levels instead of overflowing the sentinel bounds") {
+    // a level holding Bounds.empty carries (Long.MaxValue, Long.MinValue);
+    // the count arithmetic would wrap into one garbage meta-tile while the
+    // driver-side metatilecoords correctly yields nothing
+    val bp = graft.core.BoundingPyramid(
+      2 -> ((graft.core.Bounds(0L, 2L), graft.core.Bounds(0L, 2L))),
+      3 -> ((graft.core.Bounds.empty, graft.core.Bounds.empty)))
+    val rows = enumerateMetatiles(spark, bp, 2)
+      .collect()
+      .map(r => TileCoord(r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(rows == bp.metatilecoords(2).toSet, "must equal the driver form")
+    assert(rows.forall(_.z == 2), s"no garbage z=3 meta-tile: $rows")
+    // all-empty pyramid → empty relation, same schema
+    val none = graft.core.BoundingPyramid(
+      1 -> ((graft.core.Bounds.empty, graft.core.Bounds.empty)))
+    assert(enumerateMetatiles(spark, none, 2).count() == 0L)
+  }
+
+  test("wmtsKvpUrl/wmtsUrl with an EMPTY base url match core (query-only relative URL)") {
+    val layout = graft.core.WMTSTileLayout(
+      url = "", layer = "lyr", style = "default",
+      format = "image/png", tileMatrixSet = "g")
+    val want = layout.filename(TileCoord(3, 2L, 1L), Map.empty)
+    assert(want.startsWith("?"), s"core contract: $want")
+    val s = spark
+    import s.implicits._
+    val one = Seq((3, 2L, 1L)).toDF("z", "x", "y")
+    val gotK = one
+      .select(wmtsKvpUrl("", "lyr", "default", "image/png", "g",
+        col("z"), col("x"), col("y")))
+      .head().getString(0)
+    assert(gotK == want, s"$gotK != $want")
+    val gotL = one
+      .select(TileFunctions.wmtsUrl(layout, col("z"), col("x"), col("y")))
+      .head().getString(0)
+    assert(gotL == want, s"$gotL != $want")
+  }
+
   test("inPyramid predicate equals core contains") {
     val bp = BoundingPyramid.fromString("4/8/5:+3/+1/+1")
     val got = df
