@@ -52,11 +52,18 @@ object Ann {
       .limit(k)
   }
 
-  /** Deterministic ±1 random hyperplanes (SQL-literal-friendly). */
+  /** Deterministic ±1 random hyperplanes (SQL-literal-friendly).
+    * The splitmix input stride must be >= dim, or consecutive planes
+    * would SHARE all entries past the stride (dim = 1536 with a fixed
+    * 1024 stride overlaps planes p and p+1 in all but 1024 positions,
+    * correlating the sign bits and collapsing the bucket space); kept
+    * at the historical 1024 for dim <= 1024 so existing signatures and
+    * oracles are bit-identical. */
   def planes(dim: Int, nPlanes: Int, seed: Long = 7L): Seq[Array[Double]] =
     (0 until nPlanes).map { p =>
+      val stride = math.max(1024L, dim.toLong)
       Array.tabulate(dim) { i =>
-        if ((Corpus.splitmix64(seed + p * 1024 + i) & 1L) == 0L) 1.0 else -1.0
+        if ((Corpus.splitmix64(seed + p * stride + i) & 1L) == 0L) 1.0 else -1.0
       }
     }
 
@@ -331,16 +338,14 @@ object Ann {
     df.select(col(idCol).as("id"), array(codes: _*).as("codes"))
   }
 
-  /** ADC (asymmetric distance computation) top-k: approximate squared
-    * L2 from the query to every encoded vector via a broadcast m*k
-    * lookup table — `m` array lookups + a sum per row, never the raw
-    * vectors. `codes` is [[pqEncode]] output (or the materialized codes
-    * table at scale). */
-  def pqAdcSearch(
-      codes: DataFrame,
+  /** ADC machinery shared by [[pqAdcSearch]] and the IVF-PQ probe
+    * path: the per-subspace squared-distance lookup table for `query`
+    * and the codegen column summing each row's m table entries. One
+    * implementation so a fix to the LUT slicing or the 1-based
+    * element_at arithmetic cannot miss a copy. */
+  private def adcColumn(
       codebooks: Seq[Seq[Array[Double]]],
-      query: Array[Double],
-      k: Int = 10): DataFrame = {
+      query: Array[Double]): Column = {
     val subDim = codebooks.head.head.length
     val nCent = codebooks.head.length
     val lut: Array[Double] = codebooks.zipWithIndex.flatMap { case (book, i) =>
@@ -352,16 +357,27 @@ object Ann {
         s
       }
     }.toArray
-    val terms = codebooks.indices.map { i =>
+    codebooks.indices.map { i =>
       element_at(
         lit(lut),
         lit(i * nCent + 1) + element_at(col("codes"), i + 1).cast("int"))
-    }
+    }.reduce(_ + _)
+  }
+
+  /** ADC (asymmetric distance computation) top-k: approximate squared
+    * L2 from the query to every encoded vector via a broadcast m*k
+    * lookup table — `m` array lookups + a sum per row, never the raw
+    * vectors. `codes` is [[pqEncode]] output (or the materialized codes
+    * table at scale). */
+  def pqAdcSearch(
+      codes: DataFrame,
+      codebooks: Seq[Seq[Array[Double]]],
+      query: Array[Double],
+      k: Int = 10): DataFrame =
     codes
-      .select(col("id"), terms.reduce(_ + _).as("adc"))
+      .select(col("id"), adcColumn(codebooks, query).as("adc"))
       .orderBy(col("adc"), col("id"))
       .limit(k)
-  }
 
   /** Full IVF-PQ search — the production ANN layout at corpus scale:
     * the coarse quantizer ([[ivfAssign]]) routes the query to `nprobe`
@@ -437,28 +453,11 @@ object Ann {
       codes: DataFrame,
       codebooks: Seq[Seq[Array[Double]]],
       query: Array[Double],
-      k: Int): DataFrame = {
-    val subDim = codebooks.head.head.length
-    val nCent = codebooks.head.length
-    val lut: Array[Double] = codebooks.zipWithIndex.flatMap { case (book, i) =>
-      val q = query.slice(i * subDim, (i + 1) * subDim)
-      book.map { c =>
-        var s = 0.0
-        var d = 0
-        while (d < subDim) { val t = q(d) - c(d); s += t * t; d += 1 }
-        s
-      }
-    }.toArray
-    val terms = codebooks.indices.map { i =>
-      element_at(
-        lit(lut),
-        lit(i * nCent + 1) + element_at(col("codes"), i + 1).cast("int"))
-    }
+      k: Int): DataFrame =
     codes
-      .select(col("id"), col("list_id"), terms.reduce(_ + _).as("adc"))
+      .select(col("id"), col("list_id"), adcColumn(codebooks, query).as("adc"))
       .orderBy(col("adc"), col("id"))
       .limit(k)
-  }
 
   /** ADC + exact rerank — the standard production finish for PQ
     * search: the lookup-table scan nominates `candidates` ids (codes

@@ -184,7 +184,6 @@ object Dedup {
       n: Int = 2,
       minJaccardE6: Long = 500000L,
       maxDocFreq: Long = 1000L): DataFrame = {
-    val t = minJaccardE6.toDouble / 1e6
     // cache() the sets relation (two groupBy aggregations over the
     // exploded shingle universe feed the prefix self-join AND both
     // scoring joins): columnar InMemoryRelation scans are ~2.5x faster
@@ -192,7 +191,15 @@ object Dedup {
     // sf0.1). The no-pin contract still holds — see the eager
     // localCheckpoint + unpersist at the end of this method.
     val sets = shingleSets(df, idCol, textCol, n, maxDocFreq).cache()
-    val prefixLen = (col("sz") - ceil(lit(t) * col("sz")) + 1).cast("int")
+    // Exact-integer prefilters: a double t = minJaccardE6/1e6 can round
+    // ABOVE the true threshold (0.1 → 0.100000…0555), making ceil(t*sz)
+    // one too large / the length filter one too strict and silently
+    // dropping exact-boundary pairs the contract promises. ceilDiv and
+    // the cross-multiplied comparisons below are the same math with no
+    // rounding (products stay far under 2^63).
+    def ceilDivE6(x: Column): Column =
+      call_function("div", x * minJaccardE6 + lit(999999L), lit(1000000L))
+    val prefixLen = (col("sz") - ceilDivE6(col("sz")) + 1).cast("int")
     val prefix = sets.select(
       col("id"), col("sz"),
       posexplode(slice(col("sa"), lit(1), prefixLen)).as(Seq("p", "s")))
@@ -204,15 +211,18 @@ object Dedup {
       .join(
         prefix.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
-          col("a.sz") >= lit(t) * col("b.sz") &&
-          col("b.sz") >= lit(t) * col("a.sz"))
+          col("a.sz") * 1000000L >= lit(minJaccardE6) * col("b.sz") &&
+          col("b.sz") * 1000000L >= lit(minJaccardE6) * col("a.sz"))
       .groupBy(col("a.id").as("da"), col("b.id").as("db"))
       .agg(
         min(col("a.p") + 1).as("pa"), min(col("b.p") + 1).as("pb"),
         first(col("a.sz")).as("sza"), first(col("b.sz")).as("szb"))
       .where(
-        lit(1) + least(col("sza") - col("pa"), col("szb") - col("pb")) >=
-          ceil(lit(t / (1 + t)) * (col("sza") + col("szb"))))
+        // overlap >= ceil(t/(1+t) * (|A|+|B|)) for integer overlap is
+        // exactly overlap * (1e6 + minE6) >= minE6 * (|A|+|B|)
+        (lit(1) + least(col("sza") - col("pa"), col("szb") - col("pb"))) *
+          lit(1000000L + minJaccardE6) >=
+          lit(minJaccardE6) * (col("sza") + col("szb")))
       .select("da", "db")
     // materialize the SMALL result (near-dup pairs) eagerly and release
     // the big cached sets relation before returning: callers get a
@@ -270,6 +280,13 @@ object Dedup {
     * exposed so bucket-size distributions are observable (feed to
     * [[bandBucketSizes]]). */
   def minhashBandExplode(sigs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    // bands must tile the signature exactly: a remainder would silently
+    // drop the trailing rows from every band key (weaker LSH than
+    // configured), and bands > k degenerates to rows = 0 — every doc in
+    // ONE all-colliding empty-key bucket per band, which the size cap
+    // then drops entirely (zero candidates, silently)
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands ($bands) must divide k ($k)")
     val rows = k / bands
     val bandCols = (0 until bands).map { b =>
       struct(
@@ -566,8 +583,12 @@ object Dedup {
         .select(
           col("a.id").as("da"), col("b.id").as("db"),
           dist(col("a.__sig"), col("b.__sig")).as("dist"))
-        .distinct()
+        // verify BEFORE distinct: dist is a pure function of the pair, so
+        // the result is identical, but the dedup exchange now carries
+        // only surviving near-dups instead of every band-collision
+        // candidate (the dominant row class in hot-bucket regimes)
         .where(col("dist") <= maxHamming)
+        .distinct()
     } else {
       // Collapse identical signatures BEFORE banding: the dominant
       // hot-bucket cause at corpus scale is massive identical-signature
@@ -591,8 +612,8 @@ object Dedup {
         .select(
           col("a.__sig").as("sa"), col("b.__sig").as("sb"),
           dist(col("a.__sig"), col("b.__sig")).as("dist"))
+        .where(col("dist") <= maxHamming) // verify before the dedup exchange
         .distinct()
-        .where(col("dist") <= maxHamming)
       // distance-0 pairs: expand each identical-signature group
       // directly (output-bound, no banding involved)
       val intra = rows.as("a")

@@ -147,7 +147,14 @@ object Phash {
   /** 64-bit perceptual hash of a decoded image. */
   def phash64(img: BufferedImage): Long = {
     val coeffs = dctBlock(luma32(img))
-    // median of the 63 non-DC coefficients (classic pHash threshold)
+    // Threshold = midpoint of the 31st/32nd order statistics of the 63
+    // non-DC coefficients — NOT the strict odd median (that would be
+    // sorted(31), the convention phash256 uses at its size). This is the
+    // operator's historical threshold; the maxHamming=7 banding, the
+    // PhashProbe intra<=6/inter>=12 margins, and the pinned q49/q57/q59
+    // oracles are all calibrated against it, so it must not move. Any
+    // coefficient landing strictly between the two conventions shifts at
+    // most a bit or two, well inside the measured margin.
     val sorted = java.util.Arrays.copyOfRange(coeffs, 1, coeffs.length)
     java.util.Arrays.sort(sorted)
     val median = (sorted(30) + sorted(31)) / 2.0

@@ -288,39 +288,56 @@ object Multimodal {
     * multi-chunk sample layouts via stsc run-length mapping (a missing
     * stsc means the single-chunk layout: every sample in chunk 0). */
   def parseMp4(b: Array[Byte]): Mp4Info = {
-    val (mvOff, _) = findBox(b, Seq("moov", "mvhd"))
+    // Every entry-array read below is bounded to ITS BOX's payload
+    // length (the second element findBox returns): a corrupt count that
+    // stays inside the file would otherwise read the neighboring box's
+    // bytes as frame sizes/offsets with no exception — silently wrong
+    // byte ranges instead of an error-channel row. Same posture as the
+    // hardened JPEG/TIFF walkers.
+    def boundedCount(n: Long, headerLen: Long, entryLen: Long,
+        payloadLen: Long, what: String): Int = {
+      require(n >= 0 && headerLen + entryLen * n <= payloadLen,
+        s"$what entry count $n exceeds its box payload ($payloadLen bytes)")
+      n.toInt
+    }
+    val (mvOff, mvLen) = findBox(b, Seq("moov", "mvhd"))
       .getOrElse(throw new IllegalArgumentException("no moov/mvhd box"))
     val version = b(mvOff.toInt) & 0xff
     require(version == 0 || version == 1, s"mvhd version $version unsupported")
+    require(mvLen >= (if (version == 0) 20L else 32L), "truncated mvhd box")
     // v0: flags(4) creation(4) modification(4) timescale(4) duration(4)
     // v1: flags(4) creation(8) modification(8) timescale(4) duration(8)
     val (timescale, duration) =
       if (version == 0) (be32(b, mvOff.toInt + 12), be32(b, mvOff.toInt + 16))
       else (be32(b, mvOff.toInt + 20), be64(b, mvOff.toInt + 24))
     val stblPath = Seq("moov", "trak", "mdia", "minf", "stbl")
-    val (szOff, _) = findBox(b, stblPath :+ "stsz")
+    val (szOff, szLen) = findBox(b, stblPath :+ "stsz")
       .getOrElse(throw new IllegalArgumentException("no stsz box"))
+    require(szLen >= 12L, "truncated stsz box")
     val uniform = be32(b, szOff.toInt + 4)
-    val count = be32(b, szOff.toInt + 8).toInt
+    val rawCount = be32(b, szOff.toInt + 8)
+    val count =
+      if (uniform != 0) boundedCount(rawCount, 12L, 0L, szLen, "stsz")
+      else boundedCount(rawCount, 12L, 4L, szLen, "stsz")
     val sizes =
       if (uniform != 0) Array.fill(count)(uniform)
       else Array.tabulate(count)(i => be32(b, szOff.toInt + 12 + 4 * i))
     val chunks = findBox(b, stblPath :+ "stco") match {
-      case Some((coOff, _)) =>
-        val n = be32(b, coOff.toInt + 4).toInt
+      case Some((coOff, coLen)) =>
+        val n = boundedCount(be32(b, coOff.toInt + 4), 8L, 4L, coLen, "stco")
         Array.tabulate(n)(i => be32(b, coOff.toInt + 8 + 4 * i))
       case None =>
-        val (coOff, _) = findBox(b, stblPath :+ "co64")
+        val (coOff, coLen) = findBox(b, stblPath :+ "co64")
           .getOrElse(throw new IllegalArgumentException("no stco/co64 box"))
-        val n = be32(b, coOff.toInt + 4).toInt
+        val n = boundedCount(be32(b, coOff.toInt + 4), 8L, 8L, coLen, "co64")
         Array.tabulate(n)(i => be64(b, coOff.toInt + 8 + 8 * i))
     }
     // stsc: (first_chunk 1-based, samples_per_chunk, desc_idx) runs;
     // expand to one entry per chunk. Absent table (or no chunks) =
     // everything in the first chunk.
     val spc: Array[Int] = findBox(b, stblPath :+ "stsc") match {
-      case Some((scOff, _)) if chunks.nonEmpty =>
-        val n = be32(b, scOff.toInt + 4).toInt
+      case Some((scOff, scLen)) if chunks.nonEmpty =>
+        val n = boundedCount(be32(b, scOff.toInt + 4), 8L, 12L, scLen, "stsc")
         val runs = Array.tabulate(n) { i =>
           val p = scOff.toInt + 8 + 12 * i
           (be32(b, p).toInt, be32(b, p + 4).toInt)

@@ -73,17 +73,25 @@ object CorpusOps {
       stratifiedSampleE6(col("doc_id"), col("lang"), fractionsE6, defaultE6))
     val deduped = graft.dedup.Dedup.dropExactDuplicates(sampled, "doc_id", "text")
     val quality = deduped.where(TextOps.alphaRatioE6(col("text")) >= minAlphaE6)
+    // The pack key is the PAIR (doc_id, chunk_idx), not a packed long:
+    // `doc_id << 32 | chunk_idx` silently drops doc_id's high bits, and
+    // the module's own 60-bit md5-derived ids collide mod 2^32 at scale
+    // — the join back would then fan out across unrelated documents.
+    // localCheckpoint materializes the sample→dedup→quality→chunk
+    // pipeline once: both the packer and the final join read it, and a
+    // lazy relation would recompute the corpus-wide window twice.
     val chunks = chunkByTokens(quality, "doc_id", "text", window, stride)
       .select(
-        (shiftleft(col("id").cast("long"), 32) + col("chunk_idx")).as("chunk_key"),
         col("id").as("doc_id"), col("chunk_idx"), col("chunk_text"),
         col("n_tokens"))
+      .localCheckpoint()
     val forPack =
-      if (packShards > 0) chunks.repartition(packShards, col("chunk_key"))
+      if (packShards > 0)
+        chunks.repartition(packShards, col("doc_id"), col("chunk_idx"))
       else chunks
-    packGreedy(forPack, "chunk_key", "n_tokens", capTokens)
-      .select(col("id").as("chunk_key"), col("pack_id"), col("pack_pos"))
-      .join(chunks, "chunk_key")
+    packGreedyKeyed(forPack, Seq("doc_id", "chunk_idx"), "n_tokens", capTokens)
+      .select("doc_id", "chunk_idx", "pack_id", "pack_pos")
+      .join(chunks, Seq("doc_id", "chunk_idx"))
       .select("doc_id", "chunk_idx", "chunk_text", "pack_id", "pack_pos", "n_tokens")
   }
 
@@ -106,31 +114,50 @@ object CorpusOps {
       df: DataFrame,
       idCol: String,
       tokenCol: String,
+      capTokens: Long): DataFrame =
+    packGreedyKeyed(
+      df.select(col(idCol).cast("long").as("id"), col(tokenCol)),
+      Seq("id"), tokenCol, capTokens)
+
+  /** [[packGreedy]] over a COMPOSITE key: sorts each partition by
+    * `keyCols` (in order) and greedy-packs that sequence. The general
+    * form exists because packing a pair key through one packed long
+    * caps the leading component at 2^31 — composite keys keep every
+    * bit (and work for string ids). Returns the key columns unchanged
+    * plus (pack_id, pack_pos, n_tokens). */
+  def packGreedyKeyed(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tokenCol: String,
       capTokens: Long): DataFrame = {
     require(capTokens > 0, "capTokens must be positive")
+    require(keyCols.nonEmpty, "at least one key column")
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("id", LongType),
+    val base = df
+      .select(keyCols.map(col) :+ col(tokenCol).cast("long").as("__t"): _*)
+      .sortWithinPartitions(keyCols.head, keyCols.tail: _*)
+    val nk = keyCols.length
+    val schema = StructType(base.schema.fields.take(nk).toSeq ++ Seq(
       StructField("pack_id", LongType),
       StructField("pack_pos", IntegerType),
       StructField("n_tokens", LongType)))
-    df.select(col(idCol).cast("long").as("id"), col(tokenCol).cast("long").as("t"))
-      .sortWithinPartitions("id")
-      .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
-        var local = -1L
-        var acc = 0L
-        var pos = 0
-        var first = true
-        it.map { r =>
-          val t = r.getLong(1)
-          if (first || acc + t > capTokens) {
-            local += 1; acc = t; pos = 0; first = false
-          } else { acc += t; pos += 1 }
-          Row(r.getLong(0), (pid << 32) | local, pos, t)
-        }
-      }(Encoders.row(schema))
+    base.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+      var local = -1L
+      var acc = 0L
+      var pos = 0
+      var first = true
+      it.map { r =>
+        val t = r.getLong(nk)
+        if (first || acc + t > capTokens) {
+          local += 1; acc = t; pos = 0; first = false
+        } else { acc += t; pos += 1 }
+        // Seq[Any] keeps pos an Int — a bare Seq would unify on Long and
+        // widen it, tripping the encoder's INT check
+        Row.fromSeq((0 until nk).map(r.get) ++ Seq[Any]((pid << 32) | local, pos, t))
+      }
+    }(Encoders.row(schema))
   }
 
   /** Sliding token-window chunks: `(id, chunk_idx, chunk_text,
@@ -146,6 +173,11 @@ object CorpusOps {
       window: Int = 32,
       stride: Int = 24): DataFrame = {
     require(window > 0 && stride > 0, "window and stride must be positive")
+    // the chunk-count formula 1 + ceil(max(n-window,0)/stride) assumes
+    // stride <= window; a larger stride would emit EMPTY chunks (slices
+    // starting past the last word) that flow into packing as zero-token
+    // training sequences
+    require(stride <= window, s"stride $stride must be <= window $window")
     val ws = TextOps.words(col(textCol))
     df.select(
       col(idCol).as("id"),

@@ -339,6 +339,95 @@ class DedupSpec extends SparkTestBase {
     assert(out.find(r => r._1 == 0L && r._2 == 1041).get._3.startsWith("w24984 "))
   }
 
+  test("corpus: doc_id above 2^32 cannot collide in the pack join") {
+    val s = spark
+    import s.implicits._
+    // ids congruent mod 2^32: a packed long key would alias them and the
+    // pack join would fan out across both documents
+    val idA = 1L
+    val idB = (1L << 32) + 1L
+    val docs = Seq(
+      (idA, "en", (0 until 100).map(i => s"a$i").mkString(" ")),
+      (idB, "en", (0 until 100).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.text.CorpusOps.buildCorpus(
+      docs, Map.empty, defaultE6 = 1000000L, minAlphaE6 = 0L,
+      capTokens = 64L, packShards = 1)
+      .select("doc_id", "chunk_idx", "chunk_text")
+      .as[(Long, Int, String)].collect()
+    val nPerDoc = 1 + math.ceil((100 - 32) / 24.0).toInt
+    assert(out.length == 2 * nPerDoc, s"join fanout: ${out.length} rows")
+    assert(out.filter(_._1 == idA).forall(_._3.startsWith("a")))
+    assert(out.filter(_._1 == idB).forall(_._3.startsWith("b")))
+  }
+
+  test("corpus: chunkByTokens rejects stride > window (would emit empty chunks)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "x y z")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      graft.text.CorpusOps.chunkByTokens(docs, "doc_id", "text", window = 32, stride = 40)
+    }
+  }
+
+  test("jaccard: exact-boundary pair survives the prefilters (no float rounding loss)") {
+    val s = spark
+    import s.implicits._
+    // A's single shingle is contained in B's ten: J = 1/10 exactly, and
+    // jaccard_e6 = 100000 == the threshold. A double t = 0.1 rounds UP
+    // (0.10000000000000000555) and the old float prefilters dropped the
+    // pair before scoring.
+    val a = "a b"
+    val b = (Seq("a", "b") ++ (0 until 9).map(i => s"w$i")).mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("id", "text")
+    val pairs = Dedup.jaccardPairs(docs, "id", "text", n = 2,
+      minJaccardE6 = 100000L).collect()
+    assert(pairs.length == 1, s"boundary pair must survive: ${pairs.toSeq}")
+    assert(pairs.head.getAs[Long]("jaccard_e6") == 100000L)
+  }
+
+  test("minhash banding rejects bands that don't tile the signature") {
+    val s = spark
+    import s.implicits._
+    val sigs = Dedup.minhashSignatures(
+      Seq((1L, "hello world")).toDF("id", "text"), "id", "text", k = 16)
+    intercept[IllegalArgumentException] {
+      Dedup.minhashBandExplode(sigs, k = 16, bands = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashBandExplode(sigs, k = 16, bands = 32)
+    }
+  }
+
+  test("ann: planes past dim 1024 don't overlap across consecutive planes") {
+    // the old fixed-1024 splitmix stride made plane p+1's entry j equal
+    // plane p's entry 1024+j, correlating sign bits at embedding widths
+    // like 1536/3072
+    val pls = graft.ann.Ann.planes(1536, 4)
+    val shifted = (0 until 512).count(j => pls(1)(j) == pls(0)(1024 + j))
+    assert(shifted < 320, s"$shifted/512 entries shared with the previous plane")
+    // dim <= 1024 stays on the historical stride (oracle stability)
+    val small = graft.ann.Ann.planes(64, 2)
+    val smallOld = (0 until 2).map { p =>
+      Array.tabulate(64) { i =>
+        if ((graft.engine.Corpus.splitmix64(7L + p * 1024 + i) & 1L) == 0L) 1.0 else -1.0
+      }
+    }
+    assert(small(0).sameElements(smallOld(0)) && small(1).sameElements(smallOld(1)))
+  }
+
+  test("mp4: a corrupt stsz count is an error, not fabricated frame ranges") {
+    import graft.multimodal.Multimodal._
+    val good = synthMp4(10, frameSize = 16)
+    val idx = good.indexOfSlice("stsz".getBytes("US-ASCII"))
+    assert(idx > 0)
+    // count field lives at payload+8 = idx+4(type)+4(ver/flags)+4(uniform)
+    val poked = good.clone()
+    poked(idx + 12) = 0x7f.toByte // count ~2^30: inside the file? no — but
+    // well past the stsz box payload, which is the bound that must trip
+    intercept[IllegalArgumentException] { parseMp4(poked) }
+  }
+
   test("ann: pq encode/adc — exact reconstruction for codebook rows, training shrinks error, adc ranks near-exact") {
     val s = spark
     import s.implicits._
