@@ -34,8 +34,8 @@ object Bench {
   def corpusRowsFor(sfDir: String): Long = {
     val sf = "sf([0-9.]+)".r
       .findFirstMatchIn(sfDir)
-      .map(_.group(1).toDouble)
-      .getOrElse(0.01)
+      .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+      .getOrElse(0.01) // no-match AND match-but-unparseable ("sf.") both default
     math.max((sf * 1000000).toLong, 1000L)
   }
 
@@ -102,13 +102,11 @@ object Bench {
 
     val bp = BoundingPyramid.full(zooms.min, zooms.max)
     def joined = {
-      val region = BoundingPyramid(
-        scala.collection.immutable.SortedMap(
-          bp.bounds.filter { case (z, _) => zooms.contains(z) }.toSeq: _*))
       // spatial semi-join on byteless winner coords (broadcast range
-      // join on per-zoom bounds), bytes attached last
+      // join on per-zoom bounds), bytes attached last; bp IS the region
+      // (built from exactly these zooms)
       val winners = TileFunctions.regionSemiJoin(
-        Pipeline.tileWinners(corpus, zooms, expectedRows = Some(corpusRows)), region)
+        Pipeline.tileWinners(corpus, zooms, expectedRows = Some(corpusRows)), bp)
       Pipeline.attachBytes(corpus, winners, shuffleHashWinners = true)
     }
     def timedRun(): (Long, Double) = {
@@ -157,14 +155,21 @@ object Bench {
         val spark = mkSession(cpus)
         try
           group.map { case (name, fn) =>
-            def once(): Double = {
+            // time-to-exception must NEVER masquerade as a (fast) timing:
+            // a broken query would otherwise read as a dramatic speedup
+            // in round-over-round comparisons
+            def once(): Option[Double] = {
               spark.sharedState.cacheManager.clearCache()
               val t0 = System.nanoTime()
-              try { fn(spark, sfDir).count() }
-              catch { case _: Throwable => () }
-              (System.nanoTime() - t0) / 1e9
+              try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+              catch {
+                case e: Throwable =>
+                  System.err.println(s"[bench] $name FAILED: $e")
+                  None
+              }
             }
-            name -> Seq(once(), once(), once()).min
+            val runs = Seq(once(), once(), once()).flatten
+            name -> (if (runs.isEmpty) -1.0 else runs.min)
           }
         finally {
           spark.stop()
@@ -175,8 +180,11 @@ object Bench {
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // failed queries surface both as -1 timings and an explicit list
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"tiles assigned + spatially joined per second","value":${f"$throughput%.1f"},"unit":"tiles/sec","flagship_secs":${f"$flagSecs%.3f"},"assigned_rows":$assignedRows,"out_tiles":$outTiles,"cpus":$cpus,"query_timing":"best_of_3_cold_cache_fresh_session_per_8","flagship_timing":"best_of_5_cold_cache","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"tiles assigned + spatially joined per second","value":${f"$throughput%.1f"},"unit":"tiles/sec","flagship_secs":${f"$flagSecs%.3f"},"assigned_rows":$assignedRows,"out_tiles":$outTiles,"cpus":$cpus,"query_timing":"best_of_3_cold_cache_fresh_session_per_8","flagship_timing":"best_of_5_cold_cache","queries":$qs,"failed_queries":$failed,"sf":"$sfDir"}"""
     // belt and braces for the driver's parser: the JSON line goes to
     // stdout untagged (build.sbt StdOutOutput) AND to a dedicated file
     println(json)

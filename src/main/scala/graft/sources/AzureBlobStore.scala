@@ -276,26 +276,30 @@ object AzureBlobStore {
     prefixes.mapPartitions { it =>
       it.flatMap { r =>
         val prefix = r.getString(pIdx)
-        val acc = scala.collection.mutable.ArrayBuffer.empty[Row]
-        var marker = ""
-        var more = true
-        while (more) {
-          val q = Seq("comp" -> "list", "restype" -> "container",
-            "prefix" -> prefix, "maxresults" -> maxResults.toString) ++
-            (if (marker.nonEmpty) Seq("marker" -> marker) else Nil)
-          val (status, _, body) =
-            request(endpoint, container, "", "GET", q, Nil, null, null, creds, timeoutMs)
-          if (status != 200)
-            throw new RuntimeException(s"az list $container/$prefix: $status ${new String(body, UTF_8)}")
-          val xml = new String(body, UTF_8)
-          // names (and the continuation marker) arrive entity-escaped
-          blobRe.findAllMatchIn(xml).foreach(m =>
-            acc += Row(prefix, Http.xmlUnescape(m.group(1)), m.group(2).toLong))
-          marker = markerRe.findFirstMatchIn(xml)
-            .map(m => Http.xmlUnescape(m.group(1))).getOrElse("")
-          more = marker.nonEmpty
-        }
-        acc
+        // stream pages lazily at O(page) memory (same hot-prefix OOM
+        // posture as S3Store.list)
+        new Iterator[Seq[Row]] {
+          private var marker = ""
+          private var more = true
+          def hasNext: Boolean = more
+          def next(): Seq[Row] = {
+            val q = Seq("comp" -> "list", "restype" -> "container",
+              "prefix" -> prefix, "maxresults" -> maxResults.toString) ++
+              (if (marker.nonEmpty) Seq("marker" -> marker) else Nil)
+            val (status, _, body) =
+              request(endpoint, container, "", "GET", q, Nil, null, null, creds, timeoutMs)
+            if (status != 200)
+              throw new RuntimeException(s"az list $container/$prefix: $status ${new String(body, UTF_8)}")
+            val xml = new String(body, UTF_8)
+            // names (and the continuation marker) arrive entity-escaped
+            val page = blobRe.findAllMatchIn(xml).map(m =>
+              Row(prefix, Http.xmlUnescape(m.group(1)), m.group(2).toLong)).toSeq
+            marker = markerRe.findFirstMatchIn(xml)
+              .map(m => Http.xmlUnescape(m.group(1))).getOrElse("")
+            more = marker.nonEmpty
+            page
+          }
+        }.flatten
       }
     }(Encoders.row(outSchema))
   }

@@ -255,7 +255,14 @@ object Bsddb {
     putU32(m, 32, (buf.pages.size - 1).toLong) // last_pgno
     putU32(m, 76, 2L) // minkey
     putU32(m, 88, root.toLong)
-    buf.pages.flatten.toArray
+    // concatenate pages with arraycopy: ArrayBuffer.flatten would box
+    // every byte (~16x the archive size in transient object overhead)
+    // before toArray — an executor OOM at writeSharded archive sizes
+    val outBytes = new Array[Byte](buf.pages.size * PageSize)
+    buf.pages.zipWithIndex.foreach { case (pg, i) =>
+      System.arraycopy(pg, 0, outBytes, i * PageSize, PageSize)
+    }
+    outBytes
   }
 
   // ----------------------------------------------------------------- read

@@ -173,10 +173,18 @@ object GeoPackage {
     * table is located via the archive's own `gpkg_contents`. */
   def decode(bytes: Array[Byte]): Iterator[(Int, Long, Long, Array[Byte])] = {
     val db = new Database(bytes)
-    val tableName = db.rows("gpkg_contents").collectFirst {
+    // a multi-layer package must FAIL, not silently return the first
+    // layer's rows — the same partial-relation-without-error posture
+    // MBTiles.read enforces; route multi-layer packages through an
+    // explicit per-layer read when that need arises
+    val tileTables = db.rows("gpkg_contents").collect {
       case Seq(TextValue(t), TextValue("tiles"), _*) => t
-    }.getOrElse(throw new IllegalArgumentException(
-      "no tiles entry in gpkg_contents"))
+    }.toSeq
+    require(tileTables.nonEmpty, "no tiles entry in gpkg_contents")
+    require(tileTables.length == 1,
+      s"gpkg has ${tileTables.length} tile layers (${tileTables.mkString(", ")}); " +
+        "reading one would silently drop the rest")
+    val tableName = tileTables.head
     db.rows(tableName).map {
       // id slot NULL when the writer used the rowid alias, or an
       // explicit integer; either way coordinates follow

@@ -124,19 +124,20 @@ object MBTiles {
               IntValue(r.getLong(0)), IntValue(r.getLong(1)), IntValue(r.getLong(2)),
               Option(r.getAs[Array[Byte]]("data")).map(BlobValue).getOrElse(NullValue))))
           }.toArray // metadata needs the partition's zoom range first
-          val metaRows = (metadata ++ Map(
+          // ONE (key, rowid) assignment feeds both the metadata rows and
+          // the autoindex entries below — a second copy of this
+          // expression could desynchronize index and table
+          val metaKeyed = (metadata ++ Map(
             "minzoom" -> minZ.toString, "maxzoom" -> maxZ.toString))
             .toSeq.sortBy(_._1).zipWithIndex
-            .map { case ((k, v), i) =>
-              TableRow(i + 1L, encodeRecord(Seq(TextValue(k), TextValue(v))))
-            }
+          val metaRows = metaKeyed.map { case ((k, v), i) =>
+            TableRow(i + 1L, encodeRecord(Seq(TextValue(k), TextValue(v))))
+          }
           val conf = new org.apache.hadoop.conf.Configuration(false)
           confEntries.foreach { case (k, v) => conf.set(k, v) }
           val shard = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.mbtiles")
           val out = shard.getFileSystem(conf).create(shard, true)
-          val metaKeys = (metadata ++ Map(
-            "minzoom" -> minZ.toString, "maxzoom" -> maxZ.toString))
-            .toSeq.sortBy(_._1).zipWithIndex
+          val metaKeys = metaKeyed
           try
             writeDatabase(out, Seq(
               Table("metadata",

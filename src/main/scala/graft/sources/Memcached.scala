@@ -62,12 +62,7 @@ object MemcachedStore {
       * (keys come from a data column, so this is an input-validation
       * boundary, not a programmer-error assert). Rejected keys throw
       * and land in the caller's error column. */
-    private def checkKey(key: String): Unit = {
-      require(key != null && key.nonEmpty && key.length <= 250,
-        s"memcached key length must be 1..250 bytes: ${if (key == null) "null" else key.length.toString}")
-      require(key.forall(c => c > ' ' && c != '\u007f'),
-        "memcached key contains whitespace or control characters")
-    }
+    private def checkKey(key: String): Unit = MemcachedStore.checkKey(key)
 
     /** (flags, value, cas) — all None when the key is absent. */
     def get(key: String): (Option[Int], Option[Array[Byte]], Option[Long]) = {
@@ -141,6 +136,21 @@ object MemcachedStore {
     * stable across JVMs and sessions). */
   def hostFor(key: String, hosts: Seq[(String, Int)]): (String, Int) =
     hosts(math.floorMod(scala.util.hashing.MurmurHash3.stringHash(key), hosts.size))
+
+  /** Validate a key BEFORE any wire traffic: the protocol limit is 250
+    * BYTES (keys go out UTF-8 — a 200-char non-ASCII key can exceed it)
+    * with no whitespace or control characters (a key containing
+    * "\r\nflush_all" would otherwise be EXECUTED as an injected
+    * command). Throws IllegalArgumentException; the per-partition
+    * wrapper routes that to the error column without evicting the
+    * shard's healthy connection. */
+  private[sources] def checkKey(key: String): Unit = {
+    require(key != null && key.nonEmpty &&
+      key.getBytes(UTF_8).length <= 250,
+      s"memcached key must be 1..250 UTF-8 bytes: ${if (key == null) "null" else key.getBytes(UTF_8).length.toString}")
+    require(key.forall(c => c > ' ' && c != '\u007f'),
+      "memcached key contains whitespace or control characters")
+  }
 
   private val getFields = Seq(
     StructField("data", BinaryType),
@@ -222,10 +232,20 @@ object MemcachedStore {
         it.map { r =>
           val key = r.getString(keyIdx)
           val extra =
-            try body(pool.clientFor(key), key)
-            catch {
-              case e: Exception =>
-                pool.evict(key)
+            try {
+              // validation failures happen BEFORE any bytes hit the wire:
+              // error-column the row but keep the shard's connection (an
+              // evict here would degrade interleaved-bad-key sweeps to
+              // connect-per-row)
+              checkKey(key)
+              try body(pool.clientFor(key), key)
+              catch {
+                case e: Exception =>
+                  pool.evict(key)
+                  onError(s"memcached: $key\n$e", key)
+              }
+            } catch {
+              case e: IllegalArgumentException =>
                 onError(s"memcached: $key\n$e", key)
             }
           Row.fromSeq(r.toSeq ++ extra)

@@ -88,6 +88,20 @@ object S3Store {
   private[sources] def signingKey(secret: String, date: String, region: String, service: String): Array[Byte] =
     hmac(hmac(hmac(hmac(("AWS4" + secret).getBytes(UTF_8), date), region), service), "aws4_request")
 
+  // Date-scoped signing-key memo (per executor JVM — the per-partition
+  // cache the header comment promises, shared wider): the key chain is
+  // 4 HMAC derivations whose inputs change once per DAY, so re-deriving
+  // per request puts pointless crypto on the per-row hot path. The map
+  // stays tiny (one entry per (secret, date, region, service) seen).
+  private val signingKeyMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String, String), Array[Byte]]()
+
+  private def signingKeyCached(
+      secret: String, date: String, region: String, service: String): Array[Byte] =
+    signingKeyMemo.computeIfAbsent(
+      (secret, date, region, service),
+      _ => signingKey(secret, date, region, service))
+
   /** Full SigV4 over a canonical request; returns the Authorization
     * header value. `headers` must already include host and x-amz-date
     * (and x-amz-content-sha256 for S3). Public-spec implementation —
@@ -116,7 +130,7 @@ object S3Store {
     val scope = s"$date/${creds.region}/$service/aws4_request"
     val stringToSign =
       s"AWS4-HMAC-SHA256\n$amzDate\n$scope\n${hex(sha256(canonicalRequest.getBytes(UTF_8)))}"
-    val sig = hex(hmac(signingKey(creds.secretKey, date, creds.region, service), stringToSign))
+    val sig = hex(hmac(signingKeyCached(creds.secretKey, date, creds.region, service), stringToSign))
     s"AWS4-HMAC-SHA256 Credential=${creds.accessKey}/$scope, SignedHeaders=$signedHeaders, Signature=$sig"
   }
 
@@ -311,25 +325,30 @@ object S3Store {
     prefixes.mapPartitions { it =>
       it.flatMap { r =>
         val prefix = r.getString(pIdx)
-        val acc = scala.collection.mutable.ArrayBuffer.empty[Row]
-        var marker = ""
-        var more = true
-        while (more) {
-          val q = Seq("prefix" -> prefix, "max-keys" -> maxKeys.toString) ++
-            (if (marker.nonEmpty) Seq("marker" -> marker) else Nil)
-          val (status, _, body) = request(endpoint, bucket, "", "GET", q, Nil, null, creds, timeoutMs)
-          if (status != 200)
-            throw new RuntimeException(s"s3 list $bucket/$prefix: $status ${new String(body, UTF_8)}")
-          val xml = new String(body, UTF_8)
-          // keys arrive entity-escaped in the XML; unescape before use
-          // (both as the output column and as the paging marker)
-          val page = keyRe.findAllMatchIn(xml)
-            .map(m => (Http.xmlUnescape(m.group(1)), m.group(2).toLong)).toSeq
-          page.foreach { case (k, sz) => acc += Row(prefix, k, sz) }
-          more = truncRe.findFirstIn(xml).isDefined && page.nonEmpty
-          if (more) marker = page.last._1
-        }
-        acc
+        // stream pages lazily at O(page) memory: buffering the whole
+        // listing first would OOM the task on one hot prefix (the
+        // 10^12-object posture means tens of millions of keys CAN land
+        // under a single prefix shard)
+        new Iterator[Seq[Row]] {
+          private var marker = ""
+          private var more = true
+          def hasNext: Boolean = more
+          def next(): Seq[Row] = {
+            val q = Seq("prefix" -> prefix, "max-keys" -> maxKeys.toString) ++
+              (if (marker.nonEmpty) Seq("marker" -> marker) else Nil)
+            val (status, _, body) = request(endpoint, bucket, "", "GET", q, Nil, null, creds, timeoutMs)
+            if (status != 200)
+              throw new RuntimeException(s"s3 list $bucket/$prefix: $status ${new String(body, UTF_8)}")
+            val xml = new String(body, UTF_8)
+            // keys arrive entity-escaped in the XML; unescape before use
+            // (both as the output column and as the paging marker)
+            val page = keyRe.findAllMatchIn(xml)
+              .map(m => (Http.xmlUnescape(m.group(1)), m.group(2).toLong)).toSeq
+            more = truncRe.findFirstIn(xml).isDefined && page.nonEmpty
+            if (more) marker = page.last._1
+            page.map { case (k, sz) => Row(prefix, k, sz) }
+          }
+        }.flatten
       }
     }(Encoders.row(outSchema))
   }

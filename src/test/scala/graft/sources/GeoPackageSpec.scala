@@ -91,4 +91,31 @@ class GeoPackageSpec extends SparkTestBase {
         }
     }
   }
+
+  test("a multi-layer gpkg fails loudly instead of silently returning the first layer") {
+    python3 match {
+      case None => cancel("python3 not available to build the fixture")
+      case Some(py) =>
+        // genuine two-tile-layer package written by the real SQLite
+        val dir = Files.createTempDirectory("gpkg-multi")
+        val f = dir.resolve("two.gpkg").toString
+        val script =
+          s"""import sqlite3
+             |c = sqlite3.connect(${"\"" + f + "\""})
+             |c.execute("CREATE TABLE gpkg_contents (table_name TEXT NOT NULL PRIMARY KEY, data_type TEXT NOT NULL, identifier TEXT UNIQUE, description TEXT DEFAULT '', last_change DATETIME NOT NULL, min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)")
+             |for t in ('roads', 'water'):
+             |    c.execute("CREATE TABLE %s (id INTEGER PRIMARY KEY, zoom_level INTEGER NOT NULL, tile_column INTEGER NOT NULL, tile_row INTEGER NOT NULL, tile_data BLOB NOT NULL)" % t)
+             |    c.execute("INSERT INTO %s VALUES (1, 0, 0, 0, x'00')" % t)
+             |    c.execute("INSERT INTO gpkg_contents VALUES (?, 'tiles', ?, '', '2026-01-01', 0,0,0,0, 3857)", (t, t))
+             |c.commit(); c.close()
+             |""".stripMargin
+        val (rc, out) = run(Seq(py, "-c", script))
+        assert(rc == 0, out)
+        val bytes = Files.readAllBytes(Paths.get(f))
+        val e = intercept[IllegalArgumentException] {
+          GeoPackage.decode(bytes).toSeq
+        }
+        assert(e.getMessage.contains("2 tile layers"), e.getMessage)
+    }
+  }
 }

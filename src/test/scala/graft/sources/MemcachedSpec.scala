@@ -168,6 +168,21 @@ class MemcachedSpec extends SparkTestBase {
       assert(got.getAs[String]("error") != null, "get path validates too")
       val del = MemcachedStore.delete(Seq("a b").toDF("key"), hosts).head()
       assert(del.getAs[String]("error") != null, "delete path validates too")
+
+      // the limit is 250 BYTES on the wire, not chars: 200 two-byte
+      // chars pass a char-length check but exceed the protocol limit
+      val wide = MemcachedStore.fetch(Seq("é" * 200).toDF("key"), hosts).head()
+      assert(wide.getAs[String]("error") != null, "byte length must be enforced")
+
+      // validation failures happen before any wire traffic: the shard's
+      // healthy connection must NOT be evicted/reconnected per bad row
+      val before = srv.opened.get()
+      val mixed = (1 to 10).flatMap(i => Seq(s"bad key $i", s"ok$i"))
+      val res = MemcachedStore.fetch(mixed.toDF("key").coalesce(1), hosts).cache()
+      assert(res.where(col("error").isNotNull).count() == 10)
+      res.unpersist()
+      assert(srv.opened.get() - before <= 1,
+        s"bad keys must not churn connections: ${srv.opened.get() - before} opens")
     }
   }
 
