@@ -43,7 +43,12 @@ object ScalingBench {
           col("data"),
           col("metadata").getItem("caption")).as("h"))
       .agg(expr("bit_xor(h)"))
-      .collect()(0).getLong(0)
+      .collect()(0) match {
+        // bit_xor over zero rows is SQL NULL — an empty flagship output
+        // must report a defined sentinel, not NPE inside the bench
+        case r if r.isNullAt(0) => 0L
+        case r                  => r.getLong(0)
+      }
 
   final case class RunResult(
       cpus: Int,
@@ -51,7 +56,8 @@ object ScalingBench {
       tiles: Long,
       parity: Long,
       throughput: Double,
-      coordSecs: Double)
+      coordSecs: Double,
+      rows: Long = 0L)
 
   /** The coordinate pipeline alone: winners aggregation + region
     * semi-join (a broadcast range join against the per-zoom bounds
@@ -157,7 +163,8 @@ object ScalingBench {
       .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
     RunResult(kv("cpus").toInt, kv("secs").toDouble, kv("tiles").toLong,
       kv("parity").toLong, kv("throughput").toDouble,
-      kv.getOrElse("coordSecs", "0").toDouble)
+      kv.getOrElse("coordSecs", "0").toDouble,
+      kv.getOrElse("rows", "0").toLong)
   }
 
   def main(args: Array[String]): Unit = {
@@ -205,7 +212,14 @@ object ScalingBench {
         }
         spark.stop()
         val prior = readRun(cpus)
-        val merged = prior.copy(coordSecs = math.min(prior.coordSecs, best))
+        // min-merge ONLY against a prior leg of the SAME input size: a
+        // smaller-row re-measure would otherwise keep its faster wall
+        // and silently inflate the reported coordinate efficiency
+        val sameRows = prior.rows == 0L || prior.rows == rows
+        if (!sameRows)
+          println(s"[scale] WARNING: prior props at rows=${prior.rows} != $rows — replacing coordSecs, not min-merging")
+        val merged = prior.copy(
+          coordSecs = if (sameRows) math.min(prior.coordSecs, best) else best)
         Files.writeString(
           runFile(cpus),
           s"cpus=${merged.cpus}\nsecs=${merged.secs}\ntiles=${merged.tiles}\nparity=${merged.parity}\nthroughput=${merged.throughput}\nrows=$rows\ncoordSecs=${merged.coordSecs}\n")
@@ -225,7 +239,9 @@ object ScalingBench {
     val efficiency = r4N.throughput / (4.0 * rN.throughput)
     val coordEff =
       if (r4N.coordSecs > 0) rN.coordSecs / (4.0 * r4N.coordSecs) else 0.0
-    val parityOk = rN.parity == r4N.parity
+    // xor-parity alone cancels EVEN multiplicities — compare the output
+    // cardinality too, so a leg emitting rows 3x cannot pass as identical
+    val parityOk = rN.parity == r4N.parity && rN.tiles == r4N.tiles
 
     val json =
       s"""{"metric":"scaling efficiency N->4N","value":${f"$efficiency%.3f"},"unit":"ratio","coord_efficiency":${f"$coordEff%.3f"},"corpus_rows":$rowsUsed,"assigned_rows":${rowsUsed * Zooms.size},"n_cpus":$n,"t_n_secs":${f"${rN.secs}%.2f"},"coord_t_n":${f"${rN.coordSecs}%.2f"},"tput_n":${f"${rN.throughput}%.1f"},"n4_cpus":$n4,"t_4n_secs":${f"${r4N.secs}%.2f"},"coord_t_4n":${f"${r4N.coordSecs}%.2f"},"tput_4n":${f"${r4N.throughput}%.1f"},"parity_equal":$parityOk,"parity_hash":"${rN.parity}"}"""

@@ -136,7 +136,12 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionStateBuf]) =>
           val prior = state.getOption.map(_.open).getOrElse(Nil)
-          val merged = merge(prior, rows.map(_.ts.getTime * 1000L).toSeq)
+          // microsecond conversion must keep sub-ms precision: getTime
+          // alone (ms) would merge two events exactly gap + <1ms apart
+          // that the batch oracle (unix_micros) correctly splits
+          val merged = merge(prior, rows.map { e =>
+            (e.ts.getTime / 1000L) * 1000000L + e.ts.getNanos / 1000L
+          }.toSeq)
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val (closed, stillOpen) = merged.partition(_.end_us + gapUs < wmUs)
           if (stillOpen.isEmpty) state.remove()
@@ -177,11 +182,53 @@ object StreamOps {
     def tableOr(path: String, empty: => DataFrame): DataFrame =
       if (graft.engine.TileTable.exists(spark, path)) spark.read.parquet(path)
       else empty
+    // Committed-table read with crash-safe fallback: the retries rewrite
+    // below is two-phase (write ".next", then overwrite the main path).
+    // A crash between the main delete and its commit leaves main
+    // missing/partial — detected by the absent _SUCCESS marker — with
+    // the intact ".next" still holding every attempt count; reading the
+    // fallback preserves the bounded-retry guarantee across that window.
+    def committed(path: String): Option[String] = {
+      val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(path, path + ".next").find(c =>
+        fs.exists(new org.apache.hadoop.fs.Path(c, "_SUCCESS")))
+    }
+    def tableOrCommitted(path: String, empty: => DataFrame): DataFrame =
+      committed(path).map(spark.read.parquet(_)).getOrElse(empty)
     import spark.implicits._
     val emptyRetries = Seq.empty[(Int, Long, Long, Int)].toDF("z", "x", "y", "attempts")
 
+    // Malformed messages (undecodable base64/JSON) must reach the
+    // dead-letter table, not vanish: decodeQueueStream's isNotNull
+    // filter would silently drop them with (written, dead) = (0, 0).
+    // They carry a synthetic coordinate key (z = -1, x = hash of the
+    // raw message) so re-feeding the same batch cannot dead-letter the
+    // same message twice (anti-join below), and no real tile (z >= 0)
+    // can collide.
+    val malformed = messages
+      .withColumn("t", Stores.decodeQueueMessage(col("value")))
+      .where(col("t.z").isNull)
+      .select(
+        lit(-1).as("z"),
+        xxhash64(col("value")).as("x"),
+        lit(0L).as("y"),
+        concat(lit("undecodable queue message: "), col("value").cast("string"))
+          .as("error"),
+        lit(maxRetries).as("attempts"))
+      .dropDuplicates("z", "x", "y")
+      .join(tableOr(deadPath, emptyRetries).select(key.map(col): _*), key, "left_anti")
+      .cache()
+    val malformedCount = malformed.count()
+    if (malformedCount > 0) malformed.write.mode("append").parquet(deadPath)
+    malformed.unpersist()
+
     val work = graft.engine.Checkpoint
       .resume(decodeQueueStream(messages), sinkPath)
+      // at-least-once queues deliver duplicates WITHIN a pass too: the
+      // same tile twice in one batch would double-write the sink and
+      // double-count its retry bookkeeping
+      .dropDuplicates(key)
       .join(tableOr(deadPath, emptyRetries).select(key.map(col): _*), key, "left_anti")
 
     val processed = transform(work).cache()
@@ -189,7 +236,7 @@ object StreamOps {
     val written = ok.count()
     if (written > 0) graft.engine.TileTable.write(ok, sinkPath)
 
-    val prior = tableOr(retriesPath, emptyRetries).select("z", "x", "y", "attempts")
+    val prior = tableOrCommitted(retriesPath, emptyRetries).select("z", "x", "y", "attempts")
     val failed = errored.select(col("z"), col("x"), col("y"), col("error")).cache()
     val updated = failed
       .join(prior, key, "left")
@@ -219,7 +266,7 @@ object StreamOps {
     failed.unpersist()
     updated.unpersist()
     nextRetries.unpersist()
-    (written, deadCount)
+    (written, deadCount + malformedCount)
   }
 
   /** Run the tile work-queue consumer as a streaming query: decode ->

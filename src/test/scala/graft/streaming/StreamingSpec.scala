@@ -48,6 +48,53 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(retries).count() == 0)
   }
 
+  test("dead-letter consumer: duplicate deliveries and undecodable messages are handled, not multiplied/lost") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dlq2").toString
+    val (sink, retries, dead) = (s"$dir/sink", s"$dir/retries", s"$dir/dead")
+    // the at-least-once case: tile (3,0,5) delivered TWICE in one batch,
+    // tile (3,1,7) (failing) delivered twice, plus one undecodable blob
+    val good = Seq(5L, 5L, 6L).toDF("i")
+      .select(graft.engine.Stores.encodeQueueMessage(
+        lit(3), lit(0L), col("i"), lit(1),
+        map(lit("caption"), lit("c"))).as("value"))
+    val bad = Seq(7L, 7L).toDF("i")
+      .select(graft.engine.Stores.encodeQueueMessage(
+        lit(3), lit(1L), col("i"), lit(1),
+        map(lit("caption"), lit("c"))).as("value"))
+    val junk = Seq("not base64 at all!").toDF("s")
+      .select(col("s").cast("binary").as("value"))
+    val messages = good.unionByName(bad).unionByName(junk).cache()
+    def pipeline(work: org.apache.spark.sql.DataFrame) = work.select(
+      col("z"), col("x"), col("y"), lit(1).as("n"),
+      lit(Array[Byte](1)).as("data"),
+      lit("image/png").as("content_type"),
+      lit(null).cast("string").as("content_encoding"),
+      when(col("x") === 1, "boom").otherwise(lit(null)).cast("string").as("error"),
+      col("metadata"))
+    def pass() = graft.streaming.StreamOps.processWithDeadLetter(
+      messages, sink, retries, dead, maxRetries = 2)(pipeline)
+
+    // pass 1: 2 distinct good tiles written ONCE each (not 3 rows);
+    // the junk message dead-letters immediately
+    assert(pass() == ((2L, 1L)))
+    assert(spark.read.parquet(sink).groupBy("z", "x", "y").count()
+      .where(col("count") > 1).count() == 0, "duplicate delivery must not double-write")
+    assert(spark.read.parquet(sink).count() == 2)
+    // the failing tile's attempt count advanced by 1, not 2
+    assert(spark.read.parquet(retries).collect().map(r =>
+      (r.getAs[Long]("x"), r.getAs[Int]("attempts"))).toSeq == Seq((1L, 1)))
+    // pass 2: same batch — junk NOT dead-lettered again, failing tile
+    // reaches maxRetries and quarantines exactly once
+    assert(pass() == ((0L, 1L)))
+    val deadRows = spark.read.parquet(dead).collect()
+    assert(deadRows.length == 2, s"junk + boom exactly once: ${deadRows.toSeq}")
+    assert(deadRows.count(_.getAs[String]("error").startsWith("undecodable")) == 1)
+    // pass 3: fully drained
+    assert(pass() == ((0L, 0L)))
+  }
+
   test("sessionizeStream closes gap-separated sessions and matches batch sessionize") {
     val s = spark
     import s.implicits._
