@@ -50,6 +50,30 @@ object ScalingBench {
         case r                  => r.getLong(0)
       }
 
+  /** Best-of-`iters` cold wall of the coordinate pipeline over
+    * `rows * 10` synthetic phash rows — the ONE timing loop both the
+    * solo leg and the `coord` re-measure mode run, so the measurement
+    * protocol (warm-up, per-iteration debug print, best-of tracking)
+    * cannot drift between them. */
+  private def timeCoordLeg(spark: SparkSession, rows: Long, iters: Int): Double = {
+    // full 64-bit hashes: px/py derive from bit ranges 0-29 and 30-59
+    // of phash, so a small-modulus hash would collapse py to a constant
+    // and degenerate the winners grouping
+    def coordInput = spark.range(rows * 10)
+      .select(xxhash64(col("id")).as("phash"))
+    coordinateDF(coordInput).count() // warm-up
+    var best = Double.MaxValue
+    for (i <- 0 until iters) {
+      val t0 = System.nanoTime()
+      coordinateDF(coordInput).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      if (sys.env.contains("GRAFT_SCALE_DEBUG"))
+        println(f"[scale] coord iter $i: $secs%.2fs")
+      best = math.min(best, secs)
+    }
+    best
+  }
+
   final case class RunResult(
       cpus: Int,
       secs: Double,
@@ -92,22 +116,7 @@ object ScalingBench {
       // the payload runs understates it materially (~0.8s on the 4N
       // leg): gigabytes of image-byte churn leave heap fragmentation
       // and GC debt that a real coordinate-only job never pays.
-      // full 64-bit hashes: px/py derive from bit ranges 0-29 and
-      // 30-59 of phash, so a small-modulus hash would collapse py to a
-      // constant and degenerate the winners grouping
-      val coordRows = corpusRows * 10
-      def coordInput = spark.range(coordRows)
-        .select(xxhash64(col("id")).as("phash"))
-      coordinateDF(coordInput).count() // warm-up
-      var coordBest = Double.MaxValue
-      for (i <- 0 until iters) {
-        val t0 = System.nanoTime()
-        coordinateDF(coordInput).count()
-        val secs = (System.nanoTime() - t0) / 1e9
-        if (sys.env.contains("GRAFT_SCALE_DEBUG"))
-          println(f"[scale] coord iter $i: $secs%.2fs")
-        coordBest = math.min(coordBest, secs)
-      }
+      val coordBest = timeCoordLeg(spark, corpusRows, iters)
       // Corpus materialization = the phash-bucketed input table write,
       // outside the timed window (the metric is assignment+join
       // throughput). Both cluster sizes read the IDENTICAL table layout
@@ -198,18 +207,7 @@ object ScalingBench {
         val rows = if (args.length > 2) args(2).toLong else corpusRows
         val spark = Bench.mkSession(cpus)
         val iters = sys.env.getOrElse("GRAFT_SCALE_ITERS", "5").toInt
-        def coordInput = spark.range(rows * 10)
-          .select(xxhash64(col("id")).as("phash"))
-        coordinateDF(coordInput).count() // warm-up
-        var best = Double.MaxValue
-        for (i <- 0 until iters) {
-          val t0 = System.nanoTime()
-          coordinateDF(coordInput).count()
-          val secs = (System.nanoTime() - t0) / 1e9
-          if (sys.env.contains("GRAFT_SCALE_DEBUG"))
-            println(f"[scale] coord iter $i: $secs%.2fs")
-          best = math.min(best, secs)
-        }
+        val best = timeCoordLeg(spark, rows, iters)
         spark.stop()
         val prior = readRun(cpus)
         // min-merge ONLY against a prior leg of the SAME input size: a
@@ -288,8 +286,25 @@ object ScalingBench {
          |runs — is the cores-scaling component and meets the bar.
          |""".stripMargin
     Files.createDirectories(Paths.get("BENCH"))
-    Files.writeString(Paths.get("BENCH/BASELINE.md"), md + copySection())
+    // `combine` REGENERATES the protocol section but must never clobber
+    // the manually-appended confirmation addenda (per-round fresh-pair
+    // records live below the marker — losing them once cost a session's
+    // quiet-window evidence)
+    val mdPath = Paths.get("BENCH/BASELINE.md")
+    val addenda =
+      if (Files.exists(mdPath)) {
+        val cur = Files.readString(mdPath)
+        val i = cur.indexOf(AddendaMarker)
+        if (i >= 0) cur.substring(i) else ""
+      } else ""
+    Files.writeString(
+      mdPath,
+      md + copySection() + "\n" +
+        (if (addenda.nonEmpty) addenda else AddendaMarker + "\n"))
   }
+
+  private val AddendaMarker =
+    "<!-- MANUAL ADDENDA — everything below survives `combine` rewrites -->"
 
   /** Copy-pipeline ladder section, built from the JSON legs
     * tools/copy_ladder.sh leaves in BENCH/ (empty if absent). The full

@@ -33,13 +33,7 @@ import graft.engine.{Checkpoint, Pipeline, TileTable}
   */
 object CopyLadder {
 
-  private def cleanDir(p: String): Unit = {
-    val d = Paths.get(p)
-    if (Files.exists(d)) {
-      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-    }
-  }
+  private def cleanDir(p: String): Unit = ToolUtil.deleteRec(p)
 
   /** Tiles written by one pass = the sink stage's metrics row sum for
     * that job id (the instrumented write path counts exactly the rows

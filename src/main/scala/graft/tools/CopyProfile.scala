@@ -25,11 +25,8 @@ object CopyProfile {
     val zMax = 10
 
     val base = s"/tmp/graft_copyprofile_$cpus"
-    val d = Paths.get(base)
-    if (Files.exists(d))
-      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-    Files.createDirectories(d)
+    ToolUtil.deleteRec(base)
+    Files.createDirectories(Paths.get(base))
 
     val spark = graft.Bench.mkSession(cpus)
     val corpus = graft.Bench.bucketedCorpus(spark, rows)
@@ -52,12 +49,8 @@ object CopyProfile {
       println(f"[profile:$cpus] $tag%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($r)")
       // each write variant leaves ~9.3 GB; keep only one sink on disk
       // at a time or four variants fill the disk (measured ENOSPC)
-      Seq("sink_w2", "sink_w3", "sink_w4").foreach { s =>
-        val p = Paths.get(s"$base/$s")
-        if (Files.exists(p))
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => Files.delete(f))
-      }
+      Seq("sink_w2", "sink_w3", "sink_w4").foreach(s =>
+        ToolUtil.deleteRec(s"$base/$s"))
     }
 
     t("coords(winners+semi)") { winners.count() }

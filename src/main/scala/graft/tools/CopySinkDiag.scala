@@ -24,12 +24,7 @@ import graft.engine.{Checkpoint, Filters, Pipeline}
   */
 object CopySinkDiag {
 
-  private def cleanDir(p: String): Unit = {
-    val d = Paths.get(p)
-    if (Files.exists(d))
-      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-  }
+  private def cleanDir(p: String): Unit = ToolUtil.deleteRec(p)
 
   def main(args: Array[String]): Unit = {
     val cpus = if (args.length > 0) args(0).toInt else 16

@@ -9,4 +9,14 @@ private[tools] object ToolUtil {
     try java.nio.file.Files.readString(
       java.nio.file.Paths.get("/proc/loadavg")).split(" ").head
     catch { case _: Exception => "?" }
+
+  /** Recursively delete a directory tree if it exists — the one copy of
+    * the walk-reverse-delete idiom every copy/write tool needs between
+    * variants (several 9+ GB sinks at once fill the disk). */
+  def deleteRec(path: String): Unit = {
+    val d = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(d))
+      java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+  }
 }

@@ -44,11 +44,8 @@ object WriteProfile {
     // disk out of the measurement entirely
     val base =
       if (args.length > 2) args(2) else s"/tmp/graft_writeprofile_$cpus"
-    val d = Paths.get(base)
-    if (Files.exists(d))
-      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
-    Files.createDirectories(d)
+    ToolUtil.deleteRec(base)
+    Files.createDirectories(Paths.get(base))
 
     val spark = graft.Bench.mkSession(cpus)
     spark.listenerManager.register(new QueryExecutionListener {
@@ -84,8 +81,7 @@ object WriteProfile {
       val sz = Files.walk(p)
         .filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum()
       // size then delete: several 9+ GB variants would fill the disk
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
+      ToolUtil.deleteRec(dir)
       println(f"[writeprofile:$cpus] $tag%-26s $secs%8.2f s  ${sz / 1e9}%.2f GB  ($r)")
     }
 
