@@ -324,10 +324,9 @@ object ScalingBench {
       val p = Paths.get(path)
       if (!Files.exists(p)) None
       else {
-        val s = Files.readString(p)
-        val c = """"cpus":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
-        val t = """"secs":([0-9.]+)""".r.findFirstMatchIn(s).map(_.group(1).toDouble)
-        c.zip(t)
+        val c = """"cpus":(\d+)""".r
+          .findFirstMatchIn(Files.readString(p)).map(_.group(1).toInt)
+        c.zip(graft.tools.ToolUtil.readLegSecs(path))
       }
     }
     (leg("BENCH/copy_leg_n4.json"), leg("BENCH/copy_leg_n16.json"),

@@ -86,12 +86,7 @@ object CopyLadder {
         // best-of-N-cold-across-quiet-windows discipline as
         // ScalingBench coord)
         val outPath = Paths.get(s"BENCH/copy_leg_$outTag.json")
-        val prior: Option[Double] =
-          if (Files.exists(outPath))
-            """"secs":([0-9.]+)""".r
-              .findFirstMatchIn(Files.readString(outPath))
-              .map(_.group(1).toDouble)
-          else None
+        val prior = ToolUtil.readLegSecs(outPath.toString)
         val secs = prior.fold(secsRun)(math.min(_, secsRun))
         if (prior.exists(_ < secsRun))
           println(f"[copyladder] keeping prior best ${secs}%.2f s (this run $secsRun%.2f)")
@@ -126,12 +121,7 @@ object CopyLadder {
         converted.write.mode("overwrite").format("noop").save()
         val secsRun = (System.nanoTime() - t0) / 1e9
         val outPath = Paths.get(s"BENCH/copy_nosink_$outTag.json")
-        val prior: Option[Double] =
-          if (Files.exists(outPath))
-            """"secs":([0-9.]+)""".r
-              .findFirstMatchIn(Files.readString(outPath))
-              .map(_.group(1).toDouble)
-          else None
+        val prior = ToolUtil.readLegSecs(outPath.toString)
         val secs = prior.fold(secsRun)(math.min(_, secsRun))
         if (prior.exists(_ < secsRun))
           println(f"[copyladder] keeping prior best ${secs}%.2f s (this run $secsRun%.2f)")

@@ -1,7 +1,7 @@
 package graft.tools
 
 /** Shared helpers for the bench/scale tools. */
-private[tools] object ToolUtil {
+private[graft] object ToolUtil {
 
   /** 1-minute loadavg as a string ("?" off-Linux) — every scale ladder
     * records it per rung so shared-box noise is attributable. */
@@ -9,6 +9,18 @@ private[tools] object ToolUtil {
     try java.nio.file.Files.readString(
       java.nio.file.Paths.get("/proc/loadavg")).split(" ").head
     catch { case _: Exception => "?" }
+
+  /** Best `"secs"` recorded in a BENCH leg JSON file (None when the
+    * file or field is absent) — the ONE parser of the ad-hoc leg
+    * format CopyLadder writes and ScalingBench's copy section reads,
+    * so a schema change cannot silently desynchronize them. */
+  def readLegSecs(path: String): Option[Double] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) None
+    else """\"secs\":([0-9.]+)""".r
+      .findFirstMatchIn(java.nio.file.Files.readString(p))
+      .map(_.group(1).toDouble)
+  }
 
   /** Recursively delete a directory tree if it exists — the one copy of
     * the walk-reverse-delete idiom every copy/write tool needs between
