@@ -2318,27 +2318,10 @@ $spatialSceneSql
     // The fraction is double math in pinned operation order, so the
     // floor-scaled value is bit-identical across engines.
     ("q76_repetition",
-      (s: SparkSession, dir: String) => {
-        import graft.text.TextOps
-        import org.apache.spark.sql.expressions.Window
-        val w = table(s, dir, "documents").select(
-          col("doc_id"), length(col("text")).as("chars"),
-          TextOps.words(col("text")).as("ws"))
-        val counts = w.where(size(col("ws")) >= 2)
-          .select(col("doc_id"), col("chars"),
-            explode(TextOps.bigrams(col("ws"))).as("bg"))
-          .groupBy("doc_id", "chars", "bg")
-          .agg(count(lit(1)).as("c"))
-        val top = Window.partitionBy("doc_id")
-          .orderBy(col("c").desc, col("bg"))
-        counts.withColumn("rn", row_number().over(top))
-          .where(col("rn") === 1)
-          .select(col("doc_id"), col("bg").as("top_bigram"),
-            col("c").as("top_cnt"),
-            floor(lit(1000000.0) * col("c") * length(col("bg")) / col("chars"))
-              .cast("long").as("top_frac_e6"))
-          .orderBy("doc_id")
-      },
+      (s: SparkSession, dir: String) =>
+        graft.text.TextOps
+          .topBigramFraction(table(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id"),
       Some("""WITH w AS (
         |  SELECT doc_id, length(text) AS chars,
         |         regexp_extract_all(lower(text), '[a-z0-9]+') AS ws

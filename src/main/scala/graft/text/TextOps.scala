@@ -94,6 +94,34 @@ object TextOps {
       .otherwise(transform(sequence(lit(1), size(ws) - 1), i =>
         concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
 
+  /** The Gopher-style repetition signal as a relation: per document,
+    * the most frequent word bigram (ties to the lexicographically
+    * smallest), its count, and the floor-e6 fraction of the document's
+    * characters it covers — `(idCol, top_bigram, top_cnt, top_frac_e6)`.
+    * One shuffle on (doc, bigram) with map-side partial counts; the
+    * top-1 window partitions by document, bounded by a document's
+    * distinct-bigram count. Documents under two words drop out (no
+    * bigram exists). This IS q76's production pipeline — the query and
+    * the unit suite both call it, so the fraction math has a unit gate
+    * as well as the DuckDB oracle. */
+  def topBigramFraction(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = df.select(
+      col(idCol), length(col(textCol)).as("chars"),
+      words(col(textCol)).as("ws"))
+    val counts = w.where(size(col("ws")) >= 2)
+      .select(col(idCol), col("chars"), explode(bigrams(col("ws"))).as("bg"))
+      .groupBy(idCol, "chars", "bg")
+      .agg(count(lit(1)).as("c"))
+    val top = Window.partitionBy(idCol).orderBy(col("c").desc, col("bg"))
+    counts.withColumn("rn", row_number().over(top))
+      .where(col("rn") === 1)
+      .select(col(idCol), col("bg").as("top_bigram"),
+        col("c").as("top_cnt"),
+        floor(lit(1000000.0) * col("c") * length(col("bg")) / col("chars"))
+          .cast("long").as("top_frac_e6"))
+  }
+
   /** PII patterns, written inside the Java-regex ∩ RE2 common subset
     * (character classes, bounded quantifiers, ASCII `\b` — no
     * lookaround, no backreferences) so the DuckDB oracle replays the

@@ -21,10 +21,13 @@ class OpsSpec extends SparkTestBase {
     val dim = (1L to 11L).map(k => (k, s"payload-$k")).toDF("k", "p")
     val plain = big.join(dim, "k")
     val salted = Skew.saltedJoin(big, dim, Seq("k"), hotThreshold = 100, saltFactor = 8)
-    assert(salted.count() == plain.count())
-    val a = salted.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val b = plain.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(a == b)
+    // full ROW multiset equality, not just cardinalities: a hot-key
+    // replica bug that attached the wrong dim payload would preserve
+    // every count
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("k", "v", "p").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(rows(salted) == rows(plain))
     assert(Skew.hotKeys(big, Seq("k"), 100).collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
@@ -96,6 +99,16 @@ class OpsSpec extends SparkTestBase {
     assert(got.toSeq == want)
     // every query got exactly k hits on this dense corpus
     assert(got.count(_._2 == 5) == 3)
+
+    // one query cross-checked against UNRESTRICTED brute force with a
+    // grid-covering ring (2^6 tiles): validates the batch path as a true
+    // kNN end-to-end, not just against a copy of its own ring restriction
+    val full = SpatialKnn.nearestBatch(
+      queries.where(col("qid") === 1), assigned, 6, 5, 64)
+      .orderBy("rnk").collect().map(_.getString(2)).toSeq
+    val fullWant = SpatialKnn.nearestBrute(assigned, qs.head._2, qs.head._3, 6, 5)
+      .select("image_id").collect().map(_.getString(0)).toSeq
+    assert(full == fullWant, "grid-covering ring must equal unrestricted brute force")
   }
 
   test("mergeStores alpha-pastes overlays by coord") {

@@ -122,7 +122,12 @@ class StoresSpec extends SparkTestBase {
     Stores.writeLog(Stores.dict(spark, someTiles(5)), root)
     val back = Stores.readLog(spark, root).collect()
     assert(back.length == 5)
-    assert(back.forall(_.getInt(0) == 3))
+    // the log store is coordinates-only by design (reference
+    // store/log.py writes layout paths as text lines) — pin the FULL
+    // (z,x,y) set, not just z, so a reader that zeroed x/y would fail
+    val got = back.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val want = someTiles(5).map(t => (t.z, t.x, t.y)).toSet
+    assert(got == want)
   }
 
   test("queue codec round-trip (reference store/queue.py wire format)") {
@@ -133,13 +138,19 @@ class StoresSpec extends SparkTestBase {
         col("z"), col("x"), col("y"))
     val decoded = df
       .withColumn("t", Stores.decodeQueueMessage(col("msg")))
-      .select(col("z"), col("x"), col("t.x").as("dx"), col("t.z").as("dz"),
+      .select(col("z"), col("x"), col("y"), col("t.x").as("dx"),
+        col("t.z").as("dz"), col("t.y").as("dy"), col("t.n").as("dn"),
         col("t.metadata").as("md"))
       .collect()
     decoded.foreach { r =>
       assert(r.getAs[Int]("z") == r.getAs[Int]("dz"))
       assert(r.getAs[Long]("x") == r.getAs[Long]("dx"))
-      assert(r.getAs[Map[String, String]]("md").contains("i"))
+      // every field must survive the wire: a swapped y/n struct slot or
+      // a mis-typed schema field decodes as null/garbage here
+      assert(r.getAs[Long]("y") == r.getAs[Long]("dy"))
+      assert(r.getAs[Int]("dn") == 1)
+      val md = r.getAs[Map[String, String]]("md")
+      assert(md.get("i").exists(_.nonEmpty))
     }
   }
 
@@ -241,11 +252,25 @@ class StoresSpec extends SparkTestBase {
     assert(spark.read.parquet(sink).count() == 6)
   }
 
-  test("streaming hourly window agg equals the batch query shape") {
-    val events = spark.read.parquet(sf("sf0.001") + "/events.parquet")
-    val agg = StreamOps.hourlyEventCounts(events)
-    assert(agg.columns.toSeq == Seq("hr", "event_type", "cnt", "max_v"))
-    assert(agg.count() > 0)
+  test("hourly window agg: exact buckets and values on a crafted batch") {
+    val s = spark
+    import s.implicits._
+    // 3 events in hour H for type a (max_v 9), 1 in hour H+1; window
+    // boundaries and aggregate VALUES are pinned, not just the shape
+    val base = java.sql.Timestamp.valueOf("2026-03-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val events = Seq(
+      ("a", at(1), 4.0), ("a", at(30), 9.0), ("a", at(59), 2.0),
+      ("a", at(61), 7.0), ("b", at(5), 1.0))
+      .toDF("event_type", "ts", "value")
+    val got = StreamOps.hourlyEventCounts(events)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == Set(
+      (base, "a", 3L, 9.0),
+      (at(60), "a", 1L, 7.0),
+      (base, "b", 1L, 1.0)), s"got $got")
   }
 
   test("bucketed tile tables join co-located: no exchange on either side") {

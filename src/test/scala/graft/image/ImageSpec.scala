@@ -161,7 +161,7 @@ class ImageSpec extends SparkTestBase {
     val rows = out.map(r =>
       (r.getAs[String]("content_type"), r.getAs[Array[Byte]]("data"), r.getAs[String]("error")))
     val okPng = rows.find(r => r._1 == "image/png" && r._3 == null).get
-    assert(okPng._2.length <= png.length && okPng._2 != null)
+    assert(okPng._2 != null && okPng._2.length <= png.length)
     val passJpg = rows.find(_._1 == "image/jpeg").get
     assert(passJpg._2.sameElements(jpg) && passJpg._3 == null)
     val bad = rows.find(_._3 != null).get

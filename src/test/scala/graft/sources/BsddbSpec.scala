@@ -97,10 +97,13 @@ class BsddbSpec extends SparkTestBase {
     BsddbStore.writeSharded(tiles, dir)
     val back = graft.engine.Stores.open(spark, s"bsddb://$dir")
     assert(back.count() == 200)
-    // spot-check payload integrity through the join
-    val j = back.as("b").join(tiles.as("t"), Seq("z", "x", "y"))
-      .where(xxhash64(col("b.data")) =!= xxhash64(col("t.data")))
-    assert(j.count() == 0)
+    // payload integrity through the join — assert the join CARDINALITY
+    // first: with garbled coordinates the inner join would be empty and
+    // a mismatch count of 0 would pass vacuously
+    val j = back.as("b").join(tiles.as("t"), Seq("z", "x", "y")).cache()
+    assert(j.count() == 200, "every (z,x,y) must round-trip")
+    assert(j.where(xxhash64(col("b.data")) =!= xxhash64(col("t.data"))).count() == 0)
+    j.unpersist()
     assert(back.where(col("n") =!= 1).count() == 0)
   }
 

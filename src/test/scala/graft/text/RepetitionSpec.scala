@@ -26,28 +26,23 @@ class RepetitionSpec extends SparkTestBase {
     }
   }
 
-  test("top-bigram fraction: repeated boilerplate dominates") {
+  test("top-bigram fraction: repeated boilerplate dominates (production pipeline, exact fractions)") {
     val s = spark
     import s.implicits._
     // doc 0: "buy now" appears 3x (plus bridging "now buy" 2x);
-    // doc 1: no repeated bigram at all
+    // doc 1: no repeated bigram at all. Both texts are 23 chars, so the
+    // char-fraction math is pinned exactly:
+    //   doc 0: floor(1e6 * 3 * 7 / 23) = 913043
+    //   doc 1: floor(1e6 * 1 * 7 / 23) = 304347
     val docs = Seq(
       (0L, "buy now buy now buy now"),
       (1L, "a quick brown fox jumps")).toDF("doc_id", "text")
-    val counted = docs
-      .select(col("doc_id"), length(col("text")).as("chars"),
-        explode(TextOps.bigrams(TextOps.words(col("text")))).as("bg"))
-      .groupBy("doc_id", "chars", "bg").agg(count(lit(1)).as("c"))
-    val top = counted
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-          .orderBy(col("c").desc, col("bg"))))
-      .where(col("rn") === 1)
-      .select(col("doc_id"), col("bg"), col("c"))
+    val top = TextOps.topBigramFraction(docs, "doc_id", "text")
       .orderBy("doc_id")
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-    assert(top(0) == ((0L, "buy now", 3L)), s"got ${top(0)}")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(top(0) == ((0L, "buy now", 3L, 913043L)), s"got ${top(0)}")
     // unique-bigram doc: every count is 1, tie broken alphabetically
-    assert(top(1)._3 == 1L && top(1)._2 == "a quick", s"got ${top(1)}")
+    assert(top(1) == ((1L, "a quick", 1L, 304347L)), s"got ${top(1)}")
   }
 }
