@@ -18,10 +18,15 @@ object Ann {
   private def asDouble(a: Column): Column = a.cast("array<double>")
 
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
-      lit(0.0),
-      (acc, v) => acc + v)
+    // codegen kernel (graft.sql.VecKernels.dot): same sequential
+    // left-to-right sum (and null semantics) as the former
+    // aggregate(zip_with(...)) fold, which was CodegenFallback and
+    // allocated a product array per row — the per-row constant behind
+    // every cosine/centroid distance in this module.
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.sql.DotExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(asDouble(a)),
+        org.apache.spark.sql.GraftColumnBridge.expression(asDouble(b))))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -223,9 +228,13 @@ object Ann {
   /** Elementwise squared L2 between a vector slice and a centroid
     * literal, summed in ascending dimension order. */
   private def sliceDist2(sub: Column, c: Array[Double]): Column =
-    aggregate(
-      zip_with(sub, lit(c), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, d) => acc + d)
+    // kernel squared-L2 in ascending dimension order — identical IEEE
+    // sum to the zip_with/aggregate fold (and to the oracle's list
+    // comprehension)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.sql.L2Expr(
+        org.apache.spark.sql.GraftColumnBridge.expression(sub),
+        org.apache.spark.sql.GraftColumnBridge.expression(lit(c))))
 
   /** Deterministic sampled codebooks: the subvectors of the `k`
     * lowest-id rows seed one centroid each per subspace (random-sample
@@ -436,9 +445,10 @@ object Ann {
       // still scans the vector column (storage I/O; a production
       // layout points nominees at an id-keyed table), but the
       // per-row distance arithmetic is nominees-only
-      val exact = aggregate(
-        zip_with(col("__v"), lit(query), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, d) => acc + d)
+      val exact = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.sql.L2Expr(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("__v")),
+          org.apache.spark.sql.GraftColumnBridge.expression(lit(query))))
       df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
         .join(broadcast(adc.select("id", "list_id")), "id")
         .select(col("id"), exact.as("dist2"), col("list_id"))
@@ -481,9 +491,10 @@ object Ann {
     val cand = pqAdcSearch(codes, codebooks, query, candidates).select("id")
     // exact L2 above the broadcast join: distance arithmetic runs for
     // nominated ids only (see ivfPqSearch rerank note)
-    val exact = aggregate(
-      zip_with(col("__v"), lit(query), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, d) => acc + d)
+    val exact = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.sql.L2Expr(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("__v")),
+        org.apache.spark.sql.GraftColumnBridge.expression(lit(query))))
     df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
       .join(broadcast(cand), "id")
       .select(col("id"), exact.as("dist2"))

@@ -20,13 +20,19 @@ import graft.text.TextOps
   */
 object Dedup {
 
-  /** 32-bit shingle base hash (first 8 md5 hex digits). */
+  /** 32-bit shingle base hash (first 8 md5 hex digits) — kernel
+    * digest prefix, bit-identical to
+    * `conv(substring(md5(c), 1, 8), 16, 10)`. */
   def hash32(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.sql.Md5PrefixExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(c.cast("binary")), 8))
 
-  /** 60-bit token hash (15 md5 hex digits). */
+  /** 60-bit token hash (15 md5 hex digits) — kernel digest prefix. */
   def hash60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.sql.Md5PrefixExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(c.cast("binary")), 15))
 
   /** Word n-gram shingles of the lower-cased text (empty array when the
     * text has fewer than n words). */
@@ -125,11 +131,15 @@ object Dedup {
       textCol: String,
       n: Int = 2,
       maxDocFreq: Long = 1000L): DataFrame = {
+    // fused words -> shingle-hash kernel: the digest is fed word bytes
+    // and separators directly (no shingle-string allocation, no hex
+    // round trip); values identical to hash32(explode(shingles(...)))
+    val shingleHashes = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.sql.ShingleHash32Expr(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          TextOps.words(col(textCol))), n))
     val ds0 = parallelize(df)
-      .select(
-        col(idCol).as("id"),
-        explode(shingles(col(textCol), n)).as("s"))
-      .select(col("id"), hash32(col("s")).as("h"))
+      .select(col(idCol).as("id"), explode(shingleHashes).as("h"))
       .distinct()
     val dfreq = ds0.groupBy("h").agg(count(lit(1)).as("__df"))
       .where(col("__df") <= maxDocFreq)
@@ -253,13 +263,15 @@ object Dedup {
       textCol: String,
       k: Int = 16,
       n: Int = 2): DataFrame = {
+    // words -> digest-direct shingle hashes -> k mins, one kernel pass
+    // (no shingle strings); values identical to
+    // MinHashSigExpr(shingles(text, n), k)
     val sig = org.apache.spark.sql.GraftColumnBridge.column(
-      graft.sql.MinHashSigExpr(
-        org.apache.spark.sql.GraftColumnBridge.expression(
-          shingles(col(textCol), n)),
-        k))
+      graft.sql.MinHashSigWordsExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("__ws")), k, n))
     parallelize(df)
-      .where(size(TextOps.words(col(textCol))) >= n)
+      .withColumn("__ws", TextOps.words(col(textCol)))
+      .where(size(col("__ws")) >= n)
       .select(col(idCol).as("id"), sig.as("sig"))
   }
 
@@ -477,13 +489,14 @@ object Dedup {
 
   /** Hamming distance between two equal-length `array<long>` wide
     * signatures (bit k lives in element k/64 at position k%64):
-    * per-element xor popcounts summed — pure codegen column math, no
-    * UDF. */
+    * per-element xor popcounts summed — one codegen kernel loop
+    * (values identical to the zip_with/aggregate fold it replaces,
+    * which was CodegenFallback and allocated a per-row int array). */
   def hammingWide(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
-      lit(0),
-      (acc, x) => acc + x)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.sql.HammingWideExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
   /** Per-band bit widths of the [[hammingBandExplode]] layout:
     * `maxHamming + combine` bands of `bits / bands` bits each, the
@@ -933,9 +946,13 @@ object Dedup {
     * dropping keys present in more than `dfCap` ids BEFORE the
     * self-join (the boilerplate guard — for video frames that is the
     * black frame / studio intro every file carries), key self-join,
-    * pair count, threshold. The df-cap window rides the exchange the
-    * self-join needs, so the whole lattice is one shuffle on the key
-    * plus one on the pair. Video near-dup (q81) feeds it md5 digests
+    * pair count, threshold. The df-cap is a partial-aggregating
+    * groupBy joined back on the key (NOT a window riding the self-join
+    * exchange — a `count OVER (PARTITION BY k)` would ship every row
+    * of a boilerplate-hot key into one window task, recreating the
+    * straggler the cap exists to prevent; map-side partial aggregation
+    * shrinks the hot key to one row per input partition before any
+    * shuffle). Video near-dup (q81) feeds it md5 digests
     * of sampled frame payloads: re-muxed, trimmed, or re-captioned
     * copies of a clip share raw frame bytes, and frame-set overlap
     * finds them before any visual decode. */

@@ -45,17 +45,17 @@ object Spatial {
     * follow the half-open crossing rule — consistent, but callers
     * with boundary-sensitive data should dilate, as every planar
     * index does. */
-  def pointInPolygon(px: Column, py: Column, vertices: Column): Column = {
-    // vertices rotated by one: successors of each vertex
-    val rot = concat(slice(vertices, lit(2), size(vertices) - 1), slice(vertices, 1, 1))
-    val crossings = zip_with(vertices, rot, (a, b) => {
-      val ax = a.getField("x"); val ay = a.getField("y")
-      val bx = b.getField("x"); val by = b.getField("y")
-      ((ay > py) =!= (by > py)) &&
-        (px < (bx - ax) * (py - ay) / (by - ay) + ax)
-    })
-    aggregate(crossings, lit(false), (acc, c) => when(c, !acc).otherwise(acc))
-  }
+  def pointInPolygon(px: Column, py: Column, vertices: Column): Column =
+    // codegen kernel loop (graft.sql.SpatialKernels.pointInPolygon):
+    // identical edge order and IEEE arithmetic to the former
+    // zip_with(rot)/aggregate-XOR HOF form, which was CodegenFallback
+    // and built a rotated vertex array + crossing array per candidate
+    // row — the dominant refine cost of the cell-prefiltered joins.
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.sql.PointInPolygonExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(px.cast("double")),
+        org.apache.spark.sql.GraftColumnBridge.expression(py.cast("double")),
+        org.apache.spark.sql.GraftColumnBridge.expression(vertices)))
 
   /** Cell id of a point at `zoom` over the planar extent
     * (minX, minY, width, height): row-major `cy * 2^z + cx`, clamped
@@ -145,8 +145,17 @@ object Spatial {
       verticesCol: String = "vertices"): DataFrame = {
     val p = points.withColumn("_cell",
       cellOfPoint(col(pxCol), col(pyCol), zoom, minX, minY, width, height))
+    // tight cover: the same clamped bbox cell range, filtered to cells
+    // that can actually hold an in-polygon point (center inside, or
+    // boundary within the cell's circumradius — lossless by the
+    // triangle inequality; grid-border cells kept unconditionally for
+    // the out-of-extent clamp). Cuts the candidate fan-out of every
+    // bbox-interior-but-outside-polygon cell before the join.
     val g = polygons.withColumn("_cell",
-      explode(polygonCells(col(verticesCol), zoom, minX, minY, width, height)))
+      explode(org.apache.spark.sql.GraftColumnBridge.column(
+        graft.sql.QuadTightCoverExpr(
+          org.apache.spark.sql.GraftColumnBridge.expression(col(verticesCol)),
+          zoom, minX, minY, width, height))))
     p.join(g, "_cell")
       .where(pointInPolygon(col(pxCol), col(pyCol), col(verticesCol)))
       .drop("_cell", verticesCol)
@@ -293,7 +302,19 @@ object Spatial {
       verticesCol: String = "vertices"): DataFrame = {
     val p = points.withColumn("_cell",
       hexCellOfPoint(col(pxCol), col(pyCol), size))
-    val g = polygons.withColumn("_cell", explode(hexCover(col(verticesCol), size)))
+    // tight cover: [[hexCover]]'s axial parallelogram filtered to hexes
+    // that can hold an in-polygon point (center inside, or boundary
+    // within the hex circumradius `size` — lossless: every point of a
+    // hex is within `size` of its center). Drops both the ~2x bbox
+    // shear slack and the inside-bbox-but-outside-polygon cells, so
+    // the per-cell point fan-out below only pays for cells the polygon
+    // actually touches (round-6 optimization; HexSpec still proves
+    // join output == the index-ignorant cross join).
+    val g = polygons.withColumn("_cell",
+      explode(org.apache.spark.sql.GraftColumnBridge.column(
+        graft.sql.HexTightCoverExpr(
+          org.apache.spark.sql.GraftColumnBridge.expression(col(verticesCol)),
+          size))))
     p.join(g, "_cell")
       .where(pointInPolygon(col(pxCol), col(pyCol), col(verticesCol)))
       .drop("_cell", verticesCol)

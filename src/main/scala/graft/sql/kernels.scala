@@ -1,0 +1,739 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hot-path kernels behind the round-6 optimization pass (guide §1.2
+  * step 2, §4.1): the per-row work of the dedup/winnow/spatial/ANN
+  * operators was dominated by interpreted higher-order-function lambdas
+  * (`transform`/`zip_with`/`aggregate` are CodegenFallback — evaluated
+  * expression-tree-at-a-time per row, with per-element array
+  * allocation) and by md5 → hex-string → `conv` round trips. Each
+  * kernel below computes the IDENTICAL value in one tight JVM loop and
+  * is exposed as a codegen-capable Expression, so the surrounding
+  * operators keep their exact output contracts (every consumer is
+  * oracle-checked) while the per-row constant drops by 5-50x.
+  *
+  * Invariant shared by every kernel: ARITHMETIC ORDER AND WIDTH match
+  * the declarative form it replaces — sequential left-to-right double
+  * sums, Java long shifts, md5 prefix bytes — so results are
+  * bit-identical, not approximately equal.
+  */
+object HashKernels {
+  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** First `nibbles` hex digits of md5(bytes) as an unsigned long —
+    * exactly `conv(substring(md5(c), 1, nibbles), 16, 10)` for
+    * nibbles <= 15 (value < 2^60, so the long never overflows). */
+  def md5Prefix(bytes: Array[Byte], nibbles: Int): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < nibbles) {
+      val b = d(i >> 1) & 0xff
+      val nib = if ((i & 1) == 0) b >> 4 else b & 0xf
+      v = (v << 4) | nib
+      i += 1
+    }
+    v
+  }
+}
+
+/** `md5_prefix_long(bin, nibbles)` — the md5-derived integer hash the
+  * dedup/text operators key on, without the hex-string round trip.
+  * Bit-identical to `conv(substring(md5(bin), 1, nibbles), 16, 10)
+  * .cast("long")` (nibbles <= 15). */
+case class Md5PrefixExpr(child: Expression, nibbles: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  require(nibbles >= 1 && nibbles <= 15, s"nibbles=$nibbles out of [1,15]")
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(bin: Any): Any =
+    HashKernels.md5Prefix(bin.asInstanceOf[Array[Byte]], nibbles)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.sql.HashKernels.md5Prefix($b, $nibbles)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object TextKernels {
+  /** Byte offset of each character in a UTF8String: offsets(i) is the
+    * start of char i; offsets(numChars) is the total byte length.
+    * ASCII-only strings short-circuit to identity. */
+  private def charOffsets(bytes: Array[Byte], numChars: Int): Array[Int] = {
+    val offs = new Array[Int](numChars + 1)
+    var o = 0
+    var c = 0
+    while (c < numChars) {
+      offs(c) = o
+      o += UTF8String.numBytesForFirstByte(bytes(o))
+      c += 1
+    }
+    offs(numChars) = bytes.length
+    offs
+  }
+
+  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Winnowing fingerprints (k-gram md5 window minima) in one pass —
+    * value-identical to
+    * `TextOps.winnowWinners(TextOps.winnowKeys(text, k), w)`:
+    *  - hkeys(i) = md5Prefix10(utf8(text[i..i+k))) * 2^21 + (2^21-1-i),
+    *    i 1-based over the n-k+1 grams (chars, not bytes);
+    *  - sliding min over windows of w consecutive hkeys (all windows
+    *    when grams < w collapse to the single global min);
+    *  - distinct winners in first-occurrence order (each window min
+    *    covers a contiguous start range, and a global hash-value
+    *    duplicate is deduped exactly like `array_distinct`);
+    *  - struct(pos = 2^21-1 - (hk & (2^21-1)), fp = hk >> 21).
+    * The declarative form paid one md5 hex round trip per gram plus an
+    * O(n*w) slice/array_min HOF pass; this is one digest per gram and
+    * an O(n) monotonic-deque min, no intermediate arrays. */
+  def winnowFingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val n = text.numChars()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val bytes = text.getBytes
+    val ascii = bytes.length == n
+    val offs = if (ascii) null else charOffsets(bytes, n)
+    val grams = n - k + 1
+    val hkeys = new Array[Long](grams)
+    val md = digests.get()
+    var i = 0
+    while (i < grams) {
+      // chars [i, i+k) as bytes
+      val from = if (ascii) i else offs(i)
+      val until = if (ascii) i + k else offs(i + k)
+      md.reset()
+      md.update(bytes, from, until - from)
+      val d = md.digest()
+      // first 10 hex digits = first 5 bytes (40 bits)
+      val h = ((d(0) & 0xffL) << 32) | ((d(1) & 0xffL) << 24) |
+        ((d(2) & 0xffL) << 16) | ((d(3) & 0xffL) << 8) | (d(4) & 0xffL)
+      hkeys(i) = h * 2097152L + (2097151L - (i + 1))
+      i += 1
+    }
+    val starts = math.max(1, grams - w + 1)
+    // monotonic ascending deque of indexes into hkeys
+    val deque = new Array[Int](grams)
+    var head = 0
+    var tail = 0 // exclusive
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new java.util.ArrayList[Any]()
+    var s = 0
+    while (s < starts) {
+      val last = math.min(s + w, grams) - 1 // window [s, s+w)
+      // push new elements entering the window
+      val from = if (s == 0) 0 else last
+      var j = from
+      while (j <= last) {
+        while (tail > head && hkeys(deque(tail - 1)) >= hkeys(j)) tail -= 1
+        deque(tail) = j
+        tail += 1
+        j += 1
+      }
+      // drop elements left of the window
+      while (deque(head) < s) head += 1
+      val hk = hkeys(deque(head))
+      if (seen.add(hk)) {
+        out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](2097151L - (hk & 2097151L), hk >> 21)))
+      }
+      s += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Lower-cased `[a-z0-9]+` word runs — value-identical to
+    * `regexp_extract_all(lower(text), '[a-z0-9]+', 0)`. The pattern is
+    * pure ASCII and UTF-8 multi-byte sequences never contain ASCII
+    * bytes, so a byte scan over the lowered string finds exactly the
+    * regex's match runs without a Matcher per row. */
+  def words(text: UTF8String): ArrayData = {
+    val lowered = text.toLowerCase
+    val bytes = lowered.getBytes
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      val b = bytes(i)
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+        val start = i
+        i += 1
+        while (i < len && {
+          val c = bytes(i)
+          (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+        }) i += 1
+        out.add(UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, start, i)))
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** hash32 of every word n-gram shingle ("w1 w2 ..."), duplicates
+    * preserved — value-identical to exploding
+    * `Dedup.shingles(text, n)` through `Dedup.hash32` (md5 of the
+    * space-joined shingle, first 8 hex digits), with no shingle-string
+    * allocation: the digest is fed the word bytes and separators
+    * directly. Fewer than n words yields an empty array (the
+    * `shingles` otherwise-branch). */
+  def shingleHash32(words: ArrayData, n: Int): ArrayData = {
+    val sz = words.numElements()
+    if (sz < n) return new GenericArrayData(Array.empty[Any])
+    val wb = new Array[Array[Byte]](sz)
+    var i = 0
+    while (i < sz) { wb(i) = words.getUTF8String(i).getBytes; i += 1 }
+    val md = digests.get()
+    val out = new Array[Long](sz - n + 1)
+    i = 0
+    while (i <= sz - n) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(wb(i + j))
+        j += 1
+      }
+      val d = md.digest()
+      out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** MinHash signature straight from the word array — the
+    * [[MinHashKernel.signature]] update loop fed by [[shingleHash32]]'s
+    * digest-direct shingle hashes (no shingle strings). */
+  def minhashSigWords(
+      words: ArrayData,
+      n: Int,
+      as: Array[Long],
+      bs: Array[Long],
+      p: Long): ArrayData = {
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    val sz = words.numElements()
+    val md = digests.get()
+    if (sz >= n) {
+      val wb = new Array[Array[Byte]](sz)
+      var i = 0
+      while (i < sz) { wb(i) = words.getUTF8String(i).getBytes; i += 1 }
+      i = 0
+      while (i <= sz - n) {
+        md.reset()
+        var j = 0
+        while (j < n) {
+          if (j > 0) md.update(' '.toByte)
+          md.update(wb(i + j))
+          j += 1
+        }
+        val d = md.digest()
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        j = 0
+        while (j < k) {
+          val v = (as(j) * h + bs(j)) % p
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** `winnow_fp(text)` — fused winnowing fingerprints;
+  * array<struct<pos,fp>> identical to the staged
+  * winnowKeys → winnowWinners composition. */
+case class WinnowFpExpr(child: Expression, k: Int, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  require(k >= 1 && w >= 1, s"k=$k, w=$w must be positive")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", LongType, nullable = false),
+      StructField("fp", LongType, nullable = false))),
+    containsNull = false)
+  override protected def nullSafeEval(text: Any): Any =
+    TextKernels.winnowFingerprints(text.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.sql.TextKernels.winnowFingerprints($t, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `tc_words(text)` — lower-cased [a-z0-9]+ tokens (codegen word
+  * scan). */
+case class WordsExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(text: Any): Any =
+    TextKernels.words(text.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.sql.TextKernels.words($t)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `shingle_hash32(words, n)` — hash32 of each word n-gram. */
+case class ShingleHash32Expr(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n >= 1, s"n=$n must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(words: Any): Any =
+    TextKernels.shingleHash32(words.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, ws => s"graft.sql.TextKernels.shingleHash32($ws, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `minhash_sig_words(words, k, n)` — MinHash signature from the word
+  * array (digest-direct shingles; same values as
+  * `MinHashSigExpr(shingles(text, n), k)`). */
+case class MinHashSigWordsExpr(child: Expression, k: Int, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private lazy val coeffs: (Array[Long], Array[Long]) = {
+    val c = graft.dedup.Dedup.minhashCoeffs(k)
+    (c.map(_._1).toArray, c.map(_._2).toArray)
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(words: Any): Any =
+    TextKernels.minhashSigWords(
+      words.asInstanceOf[ArrayData], n, coeffs._1, coeffs._2,
+      graft.dedup.Dedup.MinhashPrime)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("as", coeffs._1, "long[]")
+    val bsRef = ctx.addReferenceObj("bs", coeffs._2, "long[]")
+    defineCodeGen(ctx, ev, ws =>
+      s"graft.sql.TextKernels.minhashSigWords($ws, $n, $asRef, $bsRef, " +
+        s"${graft.dedup.Dedup.MinhashPrime}L)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object VecKernels {
+  /** Sequential left-to-right sum of products — the exact operation
+    * order of `aggregate(zip_with(a, b, _*_), 0.0, _+_)`, including
+    * its null semantics (null element or unequal lengths => null,
+    * because zip_with pads the short side with nulls). */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  /** Sequential sum of squared differences — exact order of
+    * `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0.0, _+_)`. */
+  def l2(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  /** Summed per-element xor popcount over two long arrays — exact
+    * value of `aggregate(zip_with(a, b, bit_count(xor)), 0, _+_)`. */
+  def hammingWide(a: ArrayData, b: ArrayData): java.lang.Integer = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    acc
+  }
+}
+
+private[sql] trait ArrayPairExpr
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  protected def kernelName: String
+  protected def boxedType: String
+  protected def primType: String
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("r")
+      s"""$boxedType $r = graft.sql.VecKernels.$kernelName($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.${primType}Value(); }""".stripMargin
+    })
+}
+
+/** `vec_dot(a, b)` — sequential double dot product. */
+case class DotExpr(left: Expression, right: Expression) extends ArrayPairExpr {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override protected def kernelName: String = "dot"
+  override protected def boxedType: String = "java.lang.Double"
+  override protected def primType: String = "double"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** `vec_l2(a, b)` — sequential squared-L2 distance. */
+case class L2Expr(left: Expression, right: Expression) extends ArrayPairExpr {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override protected def kernelName: String = "l2"
+  override protected def boxedType: String = "java.lang.Double"
+  override protected def primType: String = "double"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.l2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** `hamming_wide(a, b)` — summed xor popcount over array<long>. */
+case class HammingWideExpr(left: Expression, right: Expression)
+    extends ArrayPairExpr {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override protected def kernelName: String = "hammingWide"
+  override protected def boxedType: String = "java.lang.Integer"
+  override protected def primType: String = "int"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.hammingWide(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+object SpatialKernels {
+  /** Even-odd ray cast, identical edge order and IEEE arithmetic to
+    * the zip_with/aggregate form in [[graft.engine.Spatial]]: edges
+    * (v_i, v_{i+1 mod n}); a null vertex or field never toggles (the
+    * HOF's `when(c, !acc).otherwise(acc)` with null c keeps acc). */
+  def pointInPolygon(px: Double, py: Double, vertices: ArrayData): Boolean = {
+    val n = vertices.numElements()
+    var in = false
+    var i = 0
+    while (i < n) {
+      if (!vertices.isNullAt(i) && !vertices.isNullAt((i + 1) % n)) {
+        val a = vertices.getStruct(i, 2)
+        val b = vertices.getStruct((i + 1) % n, 2)
+        if (!a.isNullAt(0) && !a.isNullAt(1) && !b.isNullAt(0) && !b.isNullAt(1)) {
+          val ax = a.getDouble(0); val ay = a.getDouble(1)
+          val bx = b.getDouble(0); val by = b.getDouble(1)
+          if (((ay > py) != (by > py)) &&
+            (px < (bx - ax) * (py - ay) / (by - ay) + ax)) in = !in
+        }
+      }
+      i += 1
+    }
+    in
+  }
+
+  /** Squared distance from (px, py) to the polygon boundary (min over
+    * closed-ring segments). */
+  private def boundaryDist2(px: Double, py: Double, vs: ArrayData): Double = {
+    val n = vs.numElements()
+    var best = Double.MaxValue
+    var i = 0
+    while (i < n) {
+      val a = vs.getStruct(i, 2)
+      val b = vs.getStruct((i + 1) % n, 2)
+      val ax = a.getDouble(0); val ay = a.getDouble(1)
+      val bx = b.getDouble(0); val by = b.getDouble(1)
+      val dx = bx - ax; val dy = by - ay
+      val len2 = dx * dx + dy * dy
+      var t = if (len2 > 0) ((px - ax) * dx + (py - ay) * dy) / len2 else 0.0
+      if (t < 0) t = 0 else if (t > 1) t = 1
+      val qx = ax + t * dx - px
+      val qy = ay + t * dy - py
+      val d2 = qx * qx + qy * qy
+      if (d2 < best) best = d2
+      i += 1
+    }
+    best
+  }
+
+  /** True when any point within `radius` of (cx, cy) can lie inside
+    * the polygon: center inside, or boundary within radius. The
+    * lossless cell-cover test — a cell keeps its candidates iff some
+    * point of the cell COULD be in the polygon (every cell point is
+    * within the cell's circumradius of its center). A small absolute
+    * epsilon absorbs double rounding at the boundary (candidates only;
+    * the exact ray cast above the join decides membership). */
+  def cellMayIntersect(
+      cx: Double, cy: Double, radius: Double, vs: ArrayData): Boolean = {
+    if (pointInPolygon(cx, cy, vs)) return true
+    val r = radius + 1e-9 * (1.0 + math.abs(radius))
+    boundaryDist2(cx, cy, vs) <= r * r
+  }
+
+  private val HexC1 = 0.5773502691896258 // sqrt(3)/3
+  private val HexC2 = 0.3333333333333333
+  private val HexC3 = 0.6666666666666666
+  private val Sqrt3 = math.sqrt(3.0)
+
+  /** Tight hex cover: the bbox axial parallelogram of
+    * [[graft.engine.Spatial.hexCover]] (identical range arithmetic,
+    * same ±1 ring) filtered to cells that can actually hold an
+    * in-polygon point ([[cellMayIntersect]] at the hex circumradius).
+    * Strict subset of the parallelogram cover, still a lossless
+    * prefilter; drops the ~2x axial shear slack plus every
+    * inside-bbox-but-outside-polygon cell. */
+  def hexTightCover(vs: ArrayData, size: Double): ArrayData = {
+    var xMin = Double.MaxValue; var xMax = Double.MinValue
+    var yMin = Double.MaxValue; var yMax = Double.MinValue
+    val n = vs.numElements()
+    var i = 0
+    while (i < n) {
+      val v = vs.getStruct(i, 2)
+      val x = v.getDouble(0); val y = v.getDouble(1)
+      if (x < xMin) xMin = x
+      if (x > xMax) xMax = x
+      if (y < yMin) yMin = y
+      if (y > yMax) yMax = y
+      i += 1
+    }
+    val q0 = math.floor((HexC1 * xMin - HexC2 * yMax) / size).toLong - 1
+    val q1 = math.floor((HexC1 * xMax - HexC2 * yMin) / size).toLong + 1
+    val r0 = math.floor((HexC3 * yMin) / size).toLong - 1
+    val r1 = math.floor((HexC3 * yMax) / size).toLong + 1
+    val out = new java.util.ArrayList[Any]()
+    var q = q0
+    while (q <= q1) {
+      var r = r0
+      while (r <= r1) {
+        val cx = size * (Sqrt3 * q + Sqrt3 / 2.0 * r)
+        val cy = size * 1.5 * r
+        if (cellMayIntersect(cx, cy, size, vs))
+          out.add((q + 1048576L) * 2097152L + (r + 1048576L))
+        r += 1
+      }
+      q += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Tight quad cover: the clamped bbox cell range of
+    * [[graft.engine.Spatial.polygonCells]] (identical clamp/floor
+    * arithmetic) filtered by [[cellMayIntersect]] at the cell's
+    * half-diagonal. Border cells of the grid are kept unconditionally:
+    * out-of-extent points clamp into them, so their effective region
+    * is unbounded and the distance filter does not apply. */
+  def quadTightCover(
+      vs: ArrayData, zoom: Int,
+      minX: Double, minY: Double, width: Double, height: Double): ArrayData = {
+    val n = 1L << zoom
+    var xMin = Double.MaxValue; var xMax = Double.MinValue
+    var yMin = Double.MaxValue; var yMax = Double.MinValue
+    val m = vs.numElements()
+    var i = 0
+    while (i < m) {
+      val v = vs.getStruct(i, 2)
+      val x = v.getDouble(0); val y = v.getDouble(1)
+      if (x < xMin) xMin = x
+      if (x > xMax) xMax = x
+      if (y < yMin) yMin = y
+      if (y > yMax) yMax = y
+      i += 1
+    }
+    def clamp(c: Long): Long = math.max(0L, math.min(n - 1, c))
+    val x0 = clamp(math.floor((xMin - minX) / width * n).toLong)
+    val x1 = clamp(math.floor((xMax - minX) / width * n).toLong)
+    val y0 = clamp(math.floor((yMin - minY) / height * n).toLong)
+    val y1 = clamp(math.floor((yMax - minY) / height * n).toLong)
+    val cellW = width / n
+    val cellH = height / n
+    val halfDiag = 0.5 * math.sqrt(cellW * cellW + cellH * cellH)
+    val out = new java.util.ArrayList[Any]()
+    var cy = y0
+    while (cy <= y1) {
+      var cx = x0
+      while (cx <= x1) {
+        val border = cx == 0 || cx == n - 1 || cy == 0 || cy == n - 1
+        val ccx = minX + (cx + 0.5) * cellW
+        val ccy = minY + (cy + 0.5) * cellH
+        if (border || cellMayIntersect(ccx, ccy, halfDiag, vs))
+          out.add(cy * n + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+private[sql] object SpatialExprHelper {
+  /** Resolve the x/y field positions of an array<struct<...>> vertex
+    * column so kernels can read by ordinal. */
+  def xyIdx(dt: DataType): (Int, Int) = dt match {
+    case ArrayType(st: StructType, _) =>
+      (st.fieldIndex("x"), st.fieldIndex("y"))
+    case other =>
+      throw new IllegalArgumentException(
+        s"expected array<struct<x,y>> vertices, got $other")
+  }
+}
+
+/** `point_in_polygon(px, py, vertices)` — codegen even-odd ray cast.
+  * Requires the vertex struct fields named x, y IN THAT ORDER (the
+  * engine's canonical vertex layout; checked at analysis). */
+case class PointInPolygonExpr(
+    first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = first.dataType == DoubleType && second.dataType == DoubleType &&
+      (third.dataType match {
+        case ArrayType(st: StructType, _) =>
+          st.fields.length == 2 && st.fields(0).name == "x" &&
+            st.fields(1).name == "y" &&
+            st.fields.forall(_.dataType == DoubleType)
+        case _ => false
+      })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"point_in_polygon(double, double, array<struct<x:double,y:double>>) " +
+        s"got (${first.dataType}, ${second.dataType}, ${third.dataType})")
+  }
+  override protected def nullSafeEval(px: Any, py: Any, vs: Any): Any =
+    SpatialKernels.pointInPolygon(
+      px.asInstanceOf[Double], py.asInstanceOf[Double],
+      vs.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (px, py, vs) =>
+      s"graft.sql.SpatialKernels.pointInPolygon($px, $py, $vs)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/** `hex_tight_cover(vertices, size)` — tight hex polygon cover. */
+case class HexTightCoverExpr(child: Expression, size: Double)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(vs: Any): Any =
+    SpatialKernels.hexTightCover(vs.asInstanceOf[ArrayData], size)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, vs =>
+      s"graft.sql.SpatialKernels.hexTightCover($vs, $size)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `quad_tight_cover(vertices, ...)` — tight quad polygon cover. */
+case class QuadTightCoverExpr(
+    child: Expression, zoom: Int,
+    minX: Double, minY: Double, extentW: Double, extentH: Double)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(vs: Any): Any =
+    SpatialKernels.quadTightCover(
+      vs.asInstanceOf[ArrayData], zoom, minX, minY, extentW, extentH)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, vs =>
+      s"graft.sql.SpatialKernels.quadTightCover($vs, $zoom, ${minX}D, " +
+        s"${minY}D, ${extentW}D, ${extentH}D)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object BpeKernel {
+  /** BPE-encode every word and flatten the tokens — value-identical to
+    * `flatten(transform(words, w => split(trim(encodeWord(w, merges)),
+    * "  ")))`: per word, split into code points, then apply each merge
+    * in rank order as one left-to-right non-overlapping pass
+    * ([[graft.text.Bpe.mergeOnce]] — the replace-chain equivalence the
+    * Bpe scaladoc and BpeSpec pin). */
+  def encodeTokens(
+      words: ArrayData, as: Array[String], bs: Array[String]): ArrayData = {
+    val out = new java.util.ArrayList[Any]()
+    val nw = words.numElements()
+    var wi = 0
+    while (wi < nw) {
+      val w = words.getUTF8String(wi).toString
+      // code points -> symbol buffer
+      var syms = new java.util.ArrayList[String]()
+      var ci = 0
+      while (ci < w.length) {
+        val cp = w.codePointAt(ci)
+        val cc = Character.charCount(cp)
+        syms.add(w.substring(ci, ci + cc))
+        ci += cc
+      }
+      var mi = 0
+      while (mi < as.length) {
+        val a = as(mi); val b = bs(mi)
+        val merged = new java.util.ArrayList[String](syms.size)
+        var j = 0
+        while (j < syms.size) {
+          if (j < syms.size - 1 && syms.get(j) == a && syms.get(j + 1) == b) {
+            merged.add(a + b); j += 2
+          } else { merged.add(syms.get(j)); j += 1 }
+        }
+        syms = merged
+        mi += 1
+      }
+      var j = 0
+      while (j < syms.size) {
+        out.add(UTF8String.fromString(syms.get(j)))
+        j += 1
+      }
+      wi += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `bpe_encode(words)` — flattened BPE tokens for a ranked merge
+  * list. */
+case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private lazy val parts: (Array[String], Array[String]) =
+    (merges.map(_._1).toArray, merges.map(_._2).toArray)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(words: Any): Any =
+    BpeKernel.encodeTokens(words.asInstanceOf[ArrayData], parts._1, parts._2)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("as", parts._1, "java.lang.String[]")
+    val bRef = ctx.addReferenceObj("bs", parts._2, "java.lang.String[]")
+    defineCodeGen(ctx, ev, ws =>
+      s"graft.sql.BpeKernel.encodeTokens($ws, $aRef, $bRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

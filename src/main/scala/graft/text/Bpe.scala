@@ -200,9 +200,15 @@ object Bpe {
       idCol: String,
       textCol: String,
       merges: Seq[(String, String)]): DataFrame =
+    // kernel encoder (graft.sql.BpeKernel): one [[mergeOnce]] pass per
+    // merge per word in a tight loop — token-identical to the
+    // spaced-string replace chain (the equivalence [[encodeWord]]'s
+    // scaladoc proves and BpeSpec pins), without the per-word regex +
+    // 8 string replaces + trim/split allocations.
     df.select(
       col(idCol).as("id"),
-      flatten(transform(
-        TextOps.words(col(textCol)),
-        w => split(trim(encodeWord(w, merges)), "  "))).as("tokens"))
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.sql.BpeEncodeExpr(
+          org.apache.spark.sql.GraftColumnBridge.expression(
+            TextOps.words(col(textCol))), merges)).as("tokens"))
 }

@@ -10,9 +10,14 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Lower-cased word array. */
+  /** Lower-cased word array — kernel word scan, value-identical to
+    * `regexp_extract_all(lower(text), "[a-z0-9]+", 0)` (the pattern is
+    * ASCII-only, so a byte scan over the lowered string matches the
+    * regex exactly; [[graft.sql.TextKernels.words]]). */
   def words(text: Column): Column =
-    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.sql.WordsExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
 
   /** Whitespace-token count. */
   def tokenCount(text: Column): Column =
@@ -80,9 +85,13 @@ object TextOps {
       least(length(text).cast("long") * 1000, lit(250000L))).cast("long")
 
   /** 60-bit content fingerprint from md5 (engine-portable: 15 hex
-    * digits < 2^60). */
+    * digits < 2^60). Kernel digest-prefix — bit-identical to
+    * `conv(substring(md5(text), 1, 15), 16, 10)` without the
+    * hex-string round trip. */
   def fingerprint(text: Column): Column =
-    conv(substring(md5(text.cast("binary")), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.sql.Md5PrefixExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(text.cast("binary")), 15))
 
   /** Adjacent word bigrams ("a b") from a words array — the unit of
     * the Gopher-style repetition signal (q76): the fraction of a
@@ -261,10 +270,22 @@ object TextOps {
       w: Int,
       outCol: String = "winnow",
       fast: Boolean = false): org.apache.spark.sql.DataFrame =
-    df.withColumn("__winnow_hkeys",
-        if (fast) winnowKeysFast(col(textCol), k) else winnowKeys(col(textCol), k))
-      .withColumn(outCol, winnowWinners(col("__winnow_hkeys"), w))
-      .drop("__winnow_hkeys")
+    if (fast)
+      df.withColumn("__winnow_hkeys", winnowKeysFast(col(textCol), k))
+        .withColumn(outCol, winnowWinners(col("__winnow_hkeys"), w))
+        .drop("__winnow_hkeys")
+    else
+      // fused kernel: one digest per gram + O(n) monotonic-deque window
+      // minima (graft.sql.TextKernels.winnowFingerprints), replacing the
+      // staged md5-hex transform + O(n·w) slice/array_min HOF pass.
+      // Values and selection identical (WinnowSpec pins kernel ==
+      // staged form); the staging/CSE hazards the scaladocs above
+      // describe no longer apply to this path — the kernel is a single
+      // codegen expression evaluated once per row.
+      df.withColumn(outCol,
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.sql.WinnowFpExpr(
+            org.apache.spark.sql.GraftColumnBridge.expression(col(textCol)), k, w)))
 
   /** Single-Column winnowing — small-document convenience ONLY: the
     * fused expression re-hashes all grams once per window (quadratic;
@@ -287,9 +308,10 @@ object TextOps {
     *    than `dfCap` docs BEFORE pairing — a span in half the corpus
     *    is boilerplate, not duplication, and it is exactly the
     *    quadratic-bucket hazard (the PPJoin df-cap / minhash
-    *    hot-bucket move). The cap is a `count OVER (fp)` window that
-    *    rides the same exchange the self-join needs — one shuffle on
-    *    fp total;
+    *    hot-bucket move). The cap is a partial-aggregating groupBy
+    *    joined back on fp (a window would ship every row of a
+    *    boilerplate-hot fp into one task — see
+    *    [[graft.dedup.Dedup.sharedKeyPairs]]);
     *  - the pair count per (da, db) then comes from one groupBy.
     *
     * Returns (da, db, shared) with da < db, shared >= minShared. */

@@ -1,0 +1,24 @@
+package graft.tools
+
+/** Round-6 deliverable helper: write `.explain("formatted")` output of
+  * named SparkEntry queries to plans/r06/<name>_<suffix>.txt.
+  * Args: suffix name1 [name2 ...]  (suffix = "before" | "after"). */
+object R6Plan {
+  def main(args: Array[String]): Unit = {
+    val suffix = args(0)
+    val names = args.drop(1)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.Bench.mkSession(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    val dir = java.nio.file.Paths.get("plans/r06")
+    java.nio.file.Files.createDirectories(dir)
+    names.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      java.nio.file.Files.writeString(dir.resolve(s"${name}_$suffix.txt"), txt)
+      println(s"[r6plan] wrote ${name}_$suffix.txt (${txt.length} chars)")
+    }
+    spark.stop()
+  }
+}

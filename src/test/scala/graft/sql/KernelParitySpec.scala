@@ -1,0 +1,216 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Bit-parity pins for the round-6 codegen kernels: each kernel must
+  * compute EXACTLY the value of the declarative (HOF / md5-hex)
+  * composition it replaced — the property every oracle-checked
+  * consumer depends on. Inputs deliberately include Unicode,
+  * empty/short strings, and tie-heavy data.
+  */
+class KernelParitySpec extends SparkTestBase {
+
+  private def c(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    GraftColumnBridge.column(e)
+  private def e(col: Column) = GraftColumnBridge.expression(col)
+
+  private val texts = Seq(
+    "The quick brown fox jumps over the lazy dog 42 times",
+    "  leading & trailing  ",
+    "",
+    "ALLCAPS0AND9DIGITS",
+    "unicode éü中文 mixed 12ab",
+    "a",
+    "word " * 50 + "tail",
+    "123 456 123 456 123")
+
+  test("Md5PrefixExpr == conv(substring(md5(...)))") {
+    val s = spark
+    import s.implicits._
+    val df = texts.toDF("t")
+    Seq(8, 10, 15).foreach { nib =>
+      val rows = df.select(
+        c(Md5PrefixExpr(e(col("t").cast("binary")), nib)).as("k"),
+        conv(substring(md5(col("t").cast("binary")), 1, nib), 16, 10)
+          .cast("long").as("r")).collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"nibbles=$nib"))
+    }
+  }
+
+  test("WordsExpr == regexp_extract_all(lower, [a-z0-9]+)") {
+    val s = spark
+    import s.implicits._
+    val rows = texts.toDF("t").select(
+      c(WordsExpr(e(col("t")))).as("k"),
+      regexp_extract_all(lower(col("t")), lit("[a-z0-9]+"), lit(0)).as("r"))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (k, r) => assert(k == r) }
+  }
+
+  test("ShingleHash32Expr == hash32 over exploded shingles") {
+    val s = spark
+    import s.implicits._
+    // legacy composition, inlined (pre-kernel hash32 / shingles forms)
+    def legacyShingles(text: Column, n: Int): Column = {
+      val ws = regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+      when(size(ws) >= n,
+        transform(
+          sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", (0 until n).map(d => element_at(ws, i + d + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+    }
+    def legacyHash32(cc: Column): Column =
+      conv(substring(md5(cc.cast("binary")), 1, 8), 16, 10).cast("long")
+    Seq(1, 2, 3).foreach { n =>
+      val rows = texts.toDF("t").select(
+        c(ShingleHash32Expr(e(graft.text.TextOps.words(col("t"))), n)).as("k"),
+        transform(legacyShingles(col("t"), n), x => legacyHash32(x)).as("r"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      rows.foreach { case (k, r) => assert(k == r, s"n=$n") }
+    }
+  }
+
+  test("MinHashSigWordsExpr == MinHashSigExpr over string shingles") {
+    val s = spark
+    import s.implicits._
+    val df = texts.toDF("t")
+    val rows = df.select(
+      c(MinHashSigWordsExpr(e(graft.text.TextOps.words(col("t"))), 16, 2)).as("k"),
+      c(MinHashSigExpr(e(graft.dedup.Dedup.shingles(col("t"), 2)), 16)).as("r"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (k, r) => assert(k == r) }
+  }
+
+  test("Dot/L2/HammingWide kernels == HOF folds") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 20).map(_ =>
+      (Array.fill(16)(rnd.nextDouble() * 2 - 1),
+        Array.fill(16)(rnd.nextDouble() * 2 - 1),
+        Array.fill(4)(rnd.nextLong()),
+        Array.fill(4)(rnd.nextLong())))
+    val df = vecs.toDF("a", "b", "la", "lb")
+    val rows = df.select(
+      c(DotExpr(e(col("a")), e(col("b")))).as("kd"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("rd"),
+      c(L2Expr(e(col("a")), e(col("b")))).as("kl"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v).as("rl"),
+      c(HammingWideExpr(e(col("la")), e(col("lb")))).as("kh"),
+      aggregate(zip_with(col("la"), col("lb"), (x, y) => bit_count(x.bitwiseXOR(y))),
+        lit(0), (acc, v) => acc + v).as("rh")).collect()
+    rows.foreach { r =>
+      // bit-identical doubles, not approximate: same IEEE op order
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+      assert(r.getInt(4) == r.getInt(5))
+    }
+  }
+
+  test("PointInPolygonExpr == zip_with/aggregate ray cast") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // concave polygon + random probe points, including near-edge ones
+    val poly = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (5.0, 3.0), (0.0, 10.0))
+    val pts = (0 until 400).map(_ =>
+      (rnd.nextDouble() * 12 - 1, rnd.nextDouble() * 12 - 1))
+    val df = pts.toDF("px", "py").withColumn("vs",
+      typedlit(poly).cast("array<struct<x:double,y:double>>"))
+    def hofPip(px: Column, py: Column, vertices: Column): Column = {
+      val rot = concat(
+        slice(vertices, lit(2), size(vertices) - 1), slice(vertices, 1, 1))
+      val crossings = zip_with(vertices, rot, (a, b) => {
+        val ax = a.getField("x"); val ay = a.getField("y")
+        val bx = b.getField("x"); val by = b.getField("y")
+        ((ay > py) =!= (by > py)) &&
+          (px < (bx - ax) * (py - ay) / (by - ay) + ax)
+      })
+      aggregate(crossings, lit(false), (acc, cc) => when(cc, !acc).otherwise(acc))
+    }
+    val rows = df.select(
+      graft.engine.Spatial.pointInPolygon(col("px"), col("py"), col("vs")).as("k"),
+      hofPip(col("px"), col("py"), col("vs")).as("r")).collect()
+    rows.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1)))
+  }
+
+  test("tight covers are subsets of the bbox covers and lossless for the join") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    // random polygons incl. a thin sliver and a concave L
+    val polys = Seq(
+      Seq((100.3, 100.7), (400.1, 80.9), (500.7, 300.3), (300.9, 450.1), (80.3, 300.9)),
+      Seq((550.1, 550.7), (950.3, 550.9), (950.7, 950.1), (790.9, 950.3), (790.1, 710.7), (550.9, 710.1)),
+      Seq((10.0, 10.0), (900.0, 14.0), (905.0, 18.0)), // thin sliver
+      Seq((200.7, 50.3), (600.9, 200.1), (250.3, 400.7)))
+    val pdf = polys.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("polygon_id", "vs")
+      .select(col("polygon_id"),
+        col("vs").cast("array<struct<x:double,y:double>>").as("vertices"))
+    val pts = (0 until 4000).map(i =>
+      (i.toLong, rnd.nextDouble() * 1000, rnd.nextDouble() * 1000))
+      .toDF("k", "px", "py")
+
+    // subset property (tight ⊆ bbox cover), hex and quad
+    val hexSub = pdf.select(
+      c(HexTightCoverExpr(e(col("vertices")), 62.5)).as("t"),
+      graft.engine.Spatial.hexCover(col("vertices"), 62.5).as("f"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    hexSub.foreach { case (t, f) =>
+      assert(t.toSet.subsetOf(f.toSet), "hex tight ⊆ bbox cover")
+      assert(t.nonEmpty)
+    }
+    val quadSub = pdf.select(
+      c(QuadTightCoverExpr(e(col("vertices")), 4, 0, 0, 1000, 1000)).as("t"),
+      graft.engine.Spatial.polygonCells(col("vertices"), 4, 0, 0, 1000, 1000).as("f"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    quadSub.foreach { case (t, f) =>
+      assert(t.toSet.subsetOf(f.toSet), "quad tight ⊆ bbox cover")
+      assert(t.nonEmpty)
+    }
+
+    // lossless property: joins over the tight covers == naive cross join
+    def naive = pts.crossJoin(pdf)
+      .where(graft.engine.Spatial.pointInPolygon(col("px"), col("py"), col("vertices")))
+      .select("k", "polygon_id").as[(Long, Long)].collect().toSet
+    val hexGot = graft.engine.Spatial.hexPolygonJoin(pts, pdf, 62.5)
+      .select("k", "polygon_id").as[(Long, Long)].collect().toSet
+    val quadGot = graft.engine.Spatial.polygonJoin(pts, pdf, 4, 0, 0, 1000, 1000)
+      .select("k", "polygon_id").as[(Long, Long)].collect().toSet
+    val want = naive
+    assert(hexGot == want, "hex tight-cover join == naive cross join")
+    assert(quadGot == want, "quad tight-cover join == naive cross join")
+  }
+
+  test("BpeEncodeExpr == spaced replace-chain encoder") {
+    val s = spark
+    import s.implicits._
+    val merges = Seq(
+      ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+      ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"))
+    // legacy column encoder, inlined
+    def legacyEncode(text: Column): Column = {
+      def spaced(w: Column): Column = regexp_replace(w, "(.)", " $1 ")
+      def encodeWord(w: Column): Column =
+        merges.foldLeft(spaced(w)) { case (cc, (a, b)) =>
+          call_function("replace", cc, lit(s" $a  $b "), lit(s" $a$b "))
+        }
+      flatten(transform(
+        graft.text.TextOps.words(text),
+        w => split(trim(encodeWord(w)), "  ")))
+    }
+    val rows = texts.toDF("t").select(
+      c(BpeEncodeExpr(e(graft.text.TextOps.words(col("t"))), merges)).as("k"),
+      legacyEncode(col("t")).as("r"))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (k, r) => assert(k == r) }
+  }
+}

@@ -85,7 +85,7 @@ class WinnowSpec extends SparkTestBase {
     docs.zipWithIndex.foreach { case (t, i) => assert(got(i) == refWinnow(t)) }
   }
 
-  test("staged form pins gram hashes outside the window-min lambda") {
+  test("kernel winnow is a single expression and matches the staged HOF form") {
     val s = spark
     import s.implicits._
     // RDD-backed (a local Seq would constant-fold to a LocalRelation
@@ -93,27 +93,33 @@ class WinnowSpec extends SparkTestBase {
     val df = s.createDataFrame(
       s.sparkContext.parallelize(Seq((1, "the quick brown fox jumps over the lazy dog x")), 1))
       .toDF("id", "text")
-    val staged = TextOps.winnowFingerprints(df, "text", K, W)
+    val fused = TextOps.winnowFingerprints(df, "text", K, W)
 
-    // the scale property: the window-min pass (array_min over slices)
-    // must reference the PROJECTED hkeys attribute — if CollapseProject
-    // ever re-inlines winnowKeys into the winners lambda, the md5 gram
-    // transform is re-evaluated once per window start (O(n^2) per doc)
-    // and md5 reappears on the array_min line of the plan
-    val planStr = staged.queryExecution.optimizedPlan.toString
-    val lines = planStr.split('\n')
-    val minLines = lines.filter(_.contains("array_min"))
-    assert(minLines.nonEmpty, s"plan contains the window-min pass:\n$planStr")
-    assert(minLines.forall(!_.contains("md5")),
-      s"gram hashes re-inlined into the window lambda:\n${minLines.mkString("\n")}")
+    // the round-6 scale property: winnowFingerprints is ONE kernel
+    // expression per row (WinnowFpExpr — a single digest pass + O(n)
+    // deque minima), with no interpreted HOF window-min pass and no
+    // md5 hex round trip left in the plan
+    val planStr = fused.queryExecution.optimizedPlan.toString
+    assert(planStr.contains("winnowfpexpr"),
+      s"plan uses the fused winnow kernel:\n$planStr")
+    assert(!planStr.contains("array_min") && !planStr.contains("md5"),
+      s"no interpreted window-min / md5 hex pass left in the plan:\n$planStr")
 
-    // the fused expression form computes the same fingerprints
-    val fromDf = staged.select(col("id"), col("winnow"))
+    // value pin: the kernel computes EXACTLY the staged composition it
+    // replaced (winnowKeys -> winnowWinners), struct order included —
+    // the bit-compat contract the q73/q77 oracles rely on
+    val staged = df
+      .withColumn("__hk", TextOps.winnowKeys(col("text"), K))
+      .withColumn("winnow", TextOps.winnowWinners(col("__hk"), W))
+      .select(col("id"), col("winnow"))
+      .as[(Int, Seq[(Long, Long)])].collect().toMap
+    val fromDf = fused.select(col("id"), col("winnow"))
       .as[(Int, Seq[(Long, Long)])].collect().toMap
     val fromExpr = df.select(col("id"),
         TextOps.winnowFingerprintsExpr(col("text"), K, W).as("winnow"))
       .as[(Int, Seq[(Long, Long)])].collect().toMap
-    assert(fromDf == fromExpr, "staged and fused forms agree")
+    assert(fromDf == staged, "kernel and staged forms agree")
+    assert(fromDf == fromExpr, "kernel and fused-HOF forms agree")
   }
 
   test("fast (xxhash64) keys: selection matches the reference over the same keys") {
