@@ -1000,12 +1000,10 @@ object GraftQueries {
       (s: SparkSession, dir: String) =>
         graft.engine.Pipeline.renderingTheWorld(
           table(s, dir, "lineitem").select(
-            conv(
-              substring(
-                md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"))
-                  .cast("binary")),
-                1, 15),
-              16, 10).cast("long").as("phash")),
+            // kernel md5 slice — bit-identical to conv(substring(md5))
+            graft.dedup.Dedup.hash60(
+              concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+              .as("phash")),
           maxPerTile = 50,
           maxZ = 6),
       Some {
@@ -1972,7 +1970,11 @@ object GraftQueries {
       (s: SparkSession, dir: String) => {
         val base = table(s, dir, "documents").select(col("doc_id"), col("text"))
         def chunk(c: Column, off: Int): Column =
-          conv(substring(md5(c.cast("binary")), off, 15), 16, 10).cast("long")
+          // kernel md5 slice — bit-identical to conv(substring(md5))
+          org.apache.spark.sql.GraftColumnBridge.column(
+            graft.sql.Md5PrefixExpr(
+              org.apache.spark.sql.GraftColumnBridge.expression(
+                c.cast("binary")), 15, off))
         val chunks = Seq(
           chunk(col("text"), 1), chunk(col("text"), 16),
           chunk(concat(col("text"), lit("#")), 1),

@@ -220,11 +220,17 @@ object Spatial {
   def hexR(cell: Column): Column = cell.bitwiseAND(lit(2097151L)) - lit(HexOff)
 
   /** The point→hex-cell kernel, packed: the hex analogue of
-    * [[cellOfPoint]] and the engine's H3-style join/partition key. */
-  def hexCellOfPoint(px: Column, py: Column, size: Double): Column = {
-    val (q, r) = hexAxial(px, py, size)
-    hexPack(q, r)
-  }
+    * [[cellOfPoint]] and the engine's H3-style join/partition key.
+    * One codegen kernel call per point (graft.sql.SpatialKernels
+    * .hexCell — same IEEE order as [[hexAxial]] + [[hexPack]], which
+    * as a composed Column expands to a ~20x-repeated expression tree:
+    * the cube-rounding conditionals defeat expression CSE). */
+  def hexCellOfPoint(px: Column, py: Column, size: Double): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.sql.HexCellExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(px.cast("double")),
+        org.apache.spark.sql.GraftColumnBridge.expression(py.cast("double")),
+        size))
 
   /** Center of the hex cell in plane coordinates — the inverse of
     * [[hexCellOfPoint]] up to cell quantization (center maps back to

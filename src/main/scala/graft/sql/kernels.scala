@@ -29,16 +29,18 @@ object HashKernels {
   private val digests = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
 
-  /** First `nibbles` hex digits of md5(bytes) as an unsigned long —
-    * exactly `conv(substring(md5(c), 1, nibbles), 16, 10)` for
-    * nibbles <= 15 (value < 2^60, so the long never overflows). */
-  def md5Prefix(bytes: Array[Byte], nibbles: Int): Long = {
+  /** Hex digits [off, off + nibbles) of md5(bytes) as an unsigned
+    * long — exactly `conv(substring(md5(c), off, nibbles), 16, 10)`
+    * for nibbles <= 15 (value < 2^60, so the long never overflows;
+    * off is 1-based like substring). */
+  def md5Slice(bytes: Array[Byte], off: Int, nibbles: Int): Long = {
     val md = digests.get()
     md.reset()
     val d = md.digest(bytes)
     var v = 0L
-    var i = 0
-    while (i < nibbles) {
+    var i = off - 1
+    val end = i + nibbles
+    while (i < end) {
       val b = d(i >> 1) & 0xff
       val nib = if ((i & 1) == 0) b >> 4 else b & 0xf
       v = (v << 4) | nib
@@ -46,22 +48,27 @@ object HashKernels {
     }
     v
   }
+
+  def md5Prefix(bytes: Array[Byte], nibbles: Int): Long =
+    md5Slice(bytes, 1, nibbles)
 }
 
 /** `md5_prefix_long(bin, nibbles)` — the md5-derived integer hash the
   * dedup/text operators key on, without the hex-string round trip.
   * Bit-identical to `conv(substring(md5(bin), 1, nibbles), 16, 10)
   * .cast("long")` (nibbles <= 15). */
-case class Md5PrefixExpr(child: Expression, nibbles: Int)
+case class Md5PrefixExpr(child: Expression, nibbles: Int, off: Int = 1)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   require(nibbles >= 1 && nibbles <= 15, s"nibbles=$nibbles out of [1,15]")
+  require(off >= 1 && off - 1 + nibbles <= 32, s"off=$off out of range")
   override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = LongType
   override protected def nullSafeEval(bin: Any): Any =
-    HashKernels.md5Prefix(bin.asInstanceOf[Array[Byte]], nibbles)
+    HashKernels.md5Slice(bin.asInstanceOf[Array[Byte]], off, nibbles)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, b => s"graft.sql.HashKernels.md5Prefix($b, $nibbles)")
+    defineCodeGen(ctx, ev, b =>
+      s"graft.sql.HashKernels.md5Slice($b, $off, $nibbles)")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
@@ -507,6 +514,31 @@ object SpatialKernels {
   private val HexC3 = 0.6666666666666666
   private val Sqrt3 = math.sqrt(3.0)
 
+  /** Packed hex cell id of a point — the
+    * [[graft.engine.Spatial.hexAxial]] fractional transform + cube
+    * rounding + [[graft.engine.Spatial.hexPack]] in one call, with the
+    * IDENTICAL IEEE operation order (Spark FLOOR(double) is
+    * `Math.floor(_).toLong`; the column form subtracts the long cast
+    * back as a double, mirrored here). The declarative composition
+    * expands to a ~20x-repeated expression tree per point (no CSE
+    * across the conditional branches) — the dominant per-point cost of
+    * the hex join's probe side. */
+  def hexCell(px: Double, py: Double, size: Double): Long = {
+    val qf = (HexC1 * px - HexC2 * py) / size
+    val rf = (HexC3 * py) / size
+    val yf = -qf - rf
+    val rx = math.floor(qf + 0.5).toLong
+    val ry = math.floor(yf + 0.5).toLong
+    val rz = math.floor(rf + 0.5).toLong
+    val dx = math.abs(rx.toDouble - qf)
+    val dy = math.abs(ry.toDouble - yf)
+    val dz = math.abs(rz.toDouble - rf)
+    val fixQ = dx > dy && dx > dz
+    val q = if (fixQ) -ry - rz else rx
+    val r = if (!fixQ && !(dy > dz)) -rx - ry else rz
+    (q + 1048576L) * 2097152L + (r + 1048576L)
+  }
+
   /** Tight hex cover: the bbox axial parallelogram of
     * [[graft.engine.Spatial.hexCover]] (identical range arithmetic,
     * same ±1 ring) filtered to cells that can actually hold an
@@ -640,6 +672,23 @@ case class PointInPolygonExpr(
       s"graft.sql.SpatialKernels.pointInPolygon($px, $py, $vs)")
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/** `hex_cell(px, py, size)` — packed hex cell id of a point (fused
+  * axial transform + cube rounding + pack). */
+case class HexCellExpr(left: Expression, right: Expression, size: Double)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(px: Any, py: Any): Any =
+    SpatialKernels.hexCell(
+      px.asInstanceOf[Double], py.asInstanceOf[Double], size)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (px, py) =>
+      s"graft.sql.SpatialKernels.hexCell($px, $py, ${size}D)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(l, r)
 }
 
 /** `hex_tight_cover(vertices, size)` — tight hex polygon cover. */

@@ -31,12 +31,13 @@ class KernelParitySpec extends SparkTestBase {
     val s = spark
     import s.implicits._
     val df = texts.toDF("t")
-    Seq(8, 10, 15).foreach { nib =>
+    Seq((8, 1), (10, 1), (15, 1), (15, 16), (4, 29)).foreach { case (nib, off) =>
       val rows = df.select(
-        c(Md5PrefixExpr(e(col("t").cast("binary")), nib)).as("k"),
-        conv(substring(md5(col("t").cast("binary")), 1, nib), 16, 10)
+        c(Md5PrefixExpr(e(col("t").cast("binary")), nib, off)).as("k"),
+        conv(substring(md5(col("t").cast("binary")), off, nib), 16, 10)
           .cast("long").as("r")).collect()
-      rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"nibbles=$nib"))
+      rows.foreach(r =>
+        assert(r.getLong(0) == r.getLong(1), s"nibbles=$nib off=$off"))
     }
   }
 
@@ -139,6 +140,20 @@ class KernelParitySpec extends SparkTestBase {
       graft.engine.Spatial.pointInPolygon(col("px"), col("py"), col("vs")).as("k"),
       hofPip(col("px"), col("py"), col("vs")).as("r")).collect()
     rows.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1)))
+  }
+
+  test("HexCellExpr == hexAxial + hexPack columns") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val pts = (0 until 2000).map(_ =>
+      (rnd.nextDouble() * 2000 - 500, rnd.nextDouble() * 2000 - 500))
+    val df = pts.toDF("px", "py")
+    val (q, r) = graft.engine.Spatial.hexAxial(col("px"), col("py"), 62.5)
+    val rows = df.select(
+      graft.engine.Spatial.hexCellOfPoint(col("px"), col("py"), 62.5).as("k"),
+      graft.engine.Spatial.hexPack(q, r).as("ref")).collect()
+    rows.foreach(rw => assert(rw.getLong(0) == rw.getLong(1)))
   }
 
   test("tight covers are subsets of the bbox covers and lossless for the join") {
