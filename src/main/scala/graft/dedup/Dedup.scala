@@ -124,7 +124,11 @@ object Dedup {
     * intersect without hashing strings per pair. Shingles above the
     * document-frequency cap are dropped first (a shingle shared by f
     * docs adds f^2/2 join pairs and no near-dup signal; cap and hash
-    * are part of the operator contract, mirrored in the oracle). */
+    * are part of the operator contract, mirrored in the oracle).
+    * Precondition: one row per `idCol` value (every caller passes a
+    * document table) — the per-doc distinct runs row-locally in the
+    * shingle kernel, so duplicate-id rows would no longer be merged
+    * the way the old corpus-wide `.distinct()` merged them. */
   def shingleSets(
       df: DataFrame,
       idCol: String,
@@ -133,14 +137,16 @@ object Dedup {
       maxDocFreq: Long = 1000L): DataFrame = {
     // fused words -> shingle-hash kernel: the digest is fed word bytes
     // and separators directly (no shingle-string allocation, no hex
-    // round trip); values identical to hash32(explode(shingles(...)))
+    // round trip); values identical to hash32(explode(shingles(...))).
+    // The per-document DISTINCT is row-local set semantics, so it runs
+    // inside the kernel — the former corpus-wide `.distinct()` paid a
+    // full (id, h) exchange just to dedup within each document.
     val shingleHashes = org.apache.spark.sql.GraftColumnBridge.column(
       graft.sql.ShingleHash32Expr(
         org.apache.spark.sql.GraftColumnBridge.expression(
-          TextOps.words(col(textCol))), n))
+          TextOps.words(col(textCol))), n, distinct = true))
     val ds0 = parallelize(df)
       .select(col(idCol).as("id"), explode(shingleHashes).as("h"))
-      .distinct()
     val dfreq = ds0.groupBy("h").agg(count(lit(1)).as("__df"))
       .where(col("__df") <= maxDocFreq)
     ds0.join(dfreq, Seq("h"))
@@ -367,9 +373,10 @@ object Dedup {
       idB: String = "db",
       localEdgeLimit: Long = 1L << 22): DataFrame = {
     val spark = pairs.sparkSession
-    // the union-find shortcut is long-keyed; non-integral ids (strings,
-    // UUIDs) keep their type and take the generic distributed loop —
-    // a silent cast("long") would null them into one bogus cluster
+    // the union-find shortcut has typed fast paths for integral and
+    // string ids (string min/least follows UTF8String binary order —
+    // Spark's ordering — not java.lang.String UTF-16 order); other id
+    // types take the generic distributed loop
     val integralIds = Seq(idA, idB).forall { c =>
       pairs.schema(c).dataType match {
         case org.apache.spark.sql.types.LongType |
@@ -379,45 +386,72 @@ object Dedup {
         case _ => false
       }
     }
+    val stringIds = Seq(idA, idB).forall { c =>
+      pairs.schema(c).dataType == org.apache.spark.sql.types.StringType
+    }
     val undirected = pairs
       .select(
         (if (integralIds) col(idA).cast("long") else col(idA)).as("a"),
         (if (integralIds) col(idB).cast("long") else col(idB)).as("b"))
       .distinct()
       .cache()
-    val edgeCount = if (integralIds) undirected.count() else Long.MaxValue
+    val edgeCount =
+      if (integralIds || stringIds) undirected.count() else Long.MaxValue
     if (edgeCount <= localEdgeLimit) {
       // Near-dup edge sets are a tiny fraction of the corpus (the pairs
       // already survived LSH banding + verification), so the standard
       // large-graph pattern applies: iterate distributed only while the
       // graph is big, finish with driver union-find once edges fit in
-      // driver memory. The typed collect keeps edges as (Long, Long)
-      // tuples (~32 B each with boxing in the Scala tuple) — 2^22
-      // edges stay in the low hundreds of MB; above the limit the
-      // O(diameter) label loop below takes over.
+      // driver memory (2^22 edges stay in the low hundreds of MB; above
+      // the limit the O(diameter) label loop below takes over). String
+      // ids previously always took the distributed loop — for a
+      // near-dup edge set that is several rounds of join+aggregate jobs
+      // to label a graph that fits in one driver array (q57's ~160
+      // string edges spent ~2s there).
       import spark.implicits._
-      val es = undirected.as[(Long, Long)].collect()
-      undirected.unpersist()
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent(r) != r) r = parent(r)
-        var c = x
-        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-        r
+      def unionFind[T](es: Array[(T, T)], lessThan: (T, T) => Boolean)(
+          implicit ord: Ordering[T]): Seq[(T, T)] = {
+        val parent = scala.collection.mutable.HashMap.empty[T, T]
+        def find(x: T): T = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        es.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a)
+          val rb = find(b)
+          // union by min id: the component minimum is always a root, so
+          // every final root IS the component's min id (the contract)
+          if (ra != rb) {
+            if (lessThan(ra, rb)) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        parent.keys.toSeq.sorted.map(id => (id, find(id)))
       }
-      es.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a)
-        parent.getOrElseUpdate(b, b)
-        val ra = find(a)
-        val rb = find(b)
-        // union by min id: the component minimum is always a root, so
-        // every final root IS the component's min id (the contract)
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      if (integralIds) {
+        val es = undirected.as[(Long, Long)].collect()
+        undirected.unpersist()
+        return unionFind[Long](es, _ < _).toDF("id", "cluster_id")
+      } else {
+        // Spark's min/least on strings orders by UTF8String binary
+        // comparison (byte-wise unsigned = code-point order); mirror it
+        // exactly so the shortcut agrees with the distributed loop on
+        // every id set, supplementary characters included
+        val utf8Lt = (a: String, b: String) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(a)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+        implicit val utf8Ord: Ordering[String] =
+          (a: String, b: String) =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(a)
+              .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+        val es = undirected.as[(String, String)].collect()
+        undirected.unpersist()
+        return unionFind[String](es, utf8Lt).toDF("id", "cluster_id")
       }
-      return parent.keys.toSeq.sorted
-        .map(id => (id, find(id)))
-        .toDF("id", "cluster_id")
     }
     val edges = undirected
       .unionAll(undirected.select(col("b").as("a"), col("a").as("b")))

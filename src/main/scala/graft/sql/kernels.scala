@@ -193,8 +193,11 @@ object TextKernels {
     * space-joined shingle, first 8 hex digits), with no shingle-string
     * allocation: the digest is fed the word bytes and separators
     * directly. Fewer than n words yields an empty array (the
-    * `shingles` otherwise-branch). */
-  def shingleHash32(words: ArrayData, n: Int): ArrayData = {
+    * `shingles` otherwise-branch). `distinct = true` dedups values in
+    * first-occurrence order — the per-document distinct of the shingle
+    * set, computed row-locally instead of via a corpus-wide
+    * `.distinct()` exchange. */
+  def shingleHash32(words: ArrayData, n: Int, distinct: Boolean): ArrayData = {
     val sz = words.numElements()
     if (sz < n) return new GenericArrayData(Array.empty[Any])
     val wb = new Array[Array[Byte]](sz)
@@ -214,6 +217,39 @@ object TextKernels {
       val d = md.digest()
       out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    if (!distinct) return new GenericArrayData(out)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val ded = new java.util.ArrayList[Any]()
+    i = 0
+    while (i < out.length) {
+      if (seen.add(out(i))) ded.add(out(i))
+      i += 1
+    }
+    new GenericArrayData(ded.toArray)
+  }
+
+  /** Adjacent word bigrams ("a b") — value-identical to
+    * `transform(sequence(1, size(ws)-1), i => concat_ws(" ", ws[i],
+    * ws[i+1]))` with the under-two-words empty-array branch, without
+    * the per-bigram HOF/concat_ws evaluation. */
+  def bigrams(words: ArrayData): ArrayData = {
+    val sz = words.numElements()
+    if (sz < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](sz - 1)
+    var prev = words.getUTF8String(0)
+    var i = 1
+    while (i < sz) {
+      val cur = words.getUTF8String(i)
+      val pb = prev.getBytes
+      val cb = cur.getBytes
+      val b = new Array[Byte](pb.length + 1 + cb.length)
+      System.arraycopy(pb, 0, b, 0, pb.length)
+      b(pb.length) = ' '.toByte
+      System.arraycopy(cb, 0, b, pb.length + 1, cb.length)
+      out(i - 1) = UTF8String.fromBytes(b)
+      prev = cur
       i += 1
     }
     new GenericArrayData(out)
@@ -298,15 +334,29 @@ case class WordsExpr(child: Expression)
     copy(child = c)
 }
 
-/** `shingle_hash32(words, n)` — hash32 of each word n-gram. */
-case class ShingleHash32Expr(child: Expression, n: Int)
+/** `tc_bigrams(words)` — adjacent word bigram strings. */
+case class BigramsExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(words: Any): Any =
+    TextKernels.bigrams(words.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, ws => s"graft.sql.TextKernels.bigrams($ws)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `shingle_hash32(words, n)` — hash32 of each word n-gram, optionally
+  * deduped row-locally. */
+case class ShingleHash32Expr(child: Expression, n: Int, distinct: Boolean = false)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(n >= 1, s"n=$n must be positive")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(words: Any): Any =
-    TextKernels.shingleHash32(words.asInstanceOf[ArrayData], n)
+    TextKernels.shingleHash32(words.asInstanceOf[ArrayData], n, distinct)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, ws => s"graft.sql.TextKernels.shingleHash32($ws, $n)")
+    defineCodeGen(ctx, ev, ws =>
+      s"graft.sql.TextKernels.shingleHash32($ws, $n, $distinct)")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

@@ -99,9 +99,11 @@ object TextOps {
     * is the canonical repeated-boilerplate detector (Rae et al. 2021,
     * §A1.1). Returns an empty array below two words. */
   def bigrams(ws: Column): Column =
-    when(size(ws) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(ws) - 1), i =>
-        concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+    // kernel byte-concat — value-identical to the former
+    // transform/concat_ws HOF (incl. the <2-words empty array)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.sql.BigramsExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(ws)))
 
   /** The Gopher-style repetition signal as a relation: per document,
     * the most frequent word bigram (ties to the lexicographically

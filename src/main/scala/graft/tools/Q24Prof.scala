@@ -1,0 +1,32 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Dev: stage-by-stage wall breakdown of q24 (PPJoin jaccard pairs). */
+object Q24Prof {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = graft.Bench.mkSession(32)
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[q24prof] $label: ${(System.nanoTime() - t0) / 1e9}%.3fs")
+      r
+    }
+    (0 until 3).foreach { it =>
+      println(s"[q24prof] --- iter $it ---")
+      spark.sharedState.cacheManager.clearCache()
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val sets = t("shingleSets+cache+count") {
+        val x = graft.dedup.Dedup
+          .shingleSets(docs, "doc_id", "text", 2, 1000L).cache()
+        x.count(); x
+      }
+      t("full jaccardPairs (sets recomputed internally)") {
+        graft.dedup.Dedup.jaccardPairs(docs, "doc_id", "text").count()
+      }
+      sets.unpersist()
+    }
+    spark.stop()
+  }
+}

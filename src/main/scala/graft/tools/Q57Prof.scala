@@ -1,0 +1,36 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Dev: stage-by-stage wall breakdown of q57 (phash clusters). */
+object Q57Prof {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Bench.mkSession(32)
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[q57prof] $label: ${(System.nanoTime() - t0) / 1e9}%.3fs")
+      r
+    }
+    (0 until 3).foreach { it =>
+      println(s"[q57prof] --- iter $it ---")
+      val media = t("gen+count") {
+        val m = graft.engine.Corpus.generateNearDupMedia(spark, 400).toDF()
+        m.count(); m
+      }
+      val hashes = t("imagePhash+checkpoint") {
+        graft.multimodal.Multimodal.imagePhash(media)
+          .where(col("error").isNull)
+          .localCheckpoint()
+      }
+      val pairs = t("phashPairs") {
+        val p = graft.dedup.Dedup.phashPairs(hashes)
+        p.count(); p
+      }
+      t("clusters+orderBy") {
+        graft.dedup.Dedup.clusters(pairs).orderBy("id").count()
+      }
+    }
+    spark.stop()
+  }
+}

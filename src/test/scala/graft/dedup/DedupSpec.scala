@@ -157,6 +157,16 @@ class DedupSpec extends SparkTestBase {
     val sout = Dedup.clusters(spairs).collect()
       .map(r => r.getAs[String]("id") -> r.getAs[String]("cluster_id")).toMap
     assert(sout == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+    // string ids now take the driver union-find shortcut (round 6) —
+    // it must agree exactly with the distributed label loop, including
+    // the UTF8String binary min order on non-ASCII ids
+    val upairs = Seq(("é", "z"), ("z", "a"), ("中", "é")).toDF("da", "db")
+    val uShort = Dedup.clusters(upairs).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("cluster_id")).toMap
+    val uDist = Dedup.clusters(upairs, localEdgeLimit = 0L).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("cluster_id")).toMap
+    assert(uShort == uDist, "string shortcut == distributed loop")
+    assert(uShort.values.toSet == Set("a"), "min label is the UTF8 min")
   }
 
   test("text ops: token counts, langid, quality monotonic") {

@@ -74,6 +74,21 @@ class KernelParitySpec extends SparkTestBase {
     }
   }
 
+  test("BigramsExpr == transform/concat_ws bigrams") {
+    val s = spark
+    import s.implicits._
+    val rows = texts.toDF("t").select(
+      graft.text.TextOps.bigrams(graft.text.TextOps.words(col("t"))).as("k"),
+      {
+        val ws = graft.text.TextOps.words(col("t"))
+        when(size(ws) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(ws) - 1), i =>
+            concat_ws(" ", element_at(ws, i), element_at(ws, i + 1)))).as("r")
+      })
+      .as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (k, r) => assert(k == r) }
+  }
+
   test("MinHashSigWordsExpr == MinHashSigExpr over string shingles") {
     val s = spark
     import s.implicits._
