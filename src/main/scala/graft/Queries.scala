@@ -1914,11 +1914,20 @@ object GraftQueries {
     // replays the identical chain and ranking in DuckDB.
     ("q66_bpe_token_ids",
       (s: SparkSession, dir: String) => {
+        // posexplode_OUTER + null-drop, not posexplode: a plain
+        // explode lets InferFiltersFromGenerate push a size(tokens)>0
+        // filter below the projection, re-evaluating the BPE encode
+        // kernel once more per row in the filter (the q73 staging
+        // hazard). The outer variant infers no filter; the null-drop
+        // references the generated attribute, which cannot sink below
+        // the Generate. Output identical (posexplode skips empty
+        // arrays; outer+filter drops the same rows).
         val toks = graft.text.Bpe.encode(
           table(s, dir, "documents"), "doc_id", "text", BpeMerges)
           .select(
             col("id").as("doc_id"),
-            posexplode(col("tokens")).as(Seq("pos", "token")))
+            posexplode_outer(col("tokens")).as(Seq("pos", "token")))
+          .where(col("token").isNotNull)
         val vocab = toks.select("token").distinct()
           .withColumn(
             "token_id",

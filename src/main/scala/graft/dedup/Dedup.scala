@@ -996,7 +996,19 @@ object Dedup {
       keyCol: String,
       minShared: Long,
       dfCap: Long = 1000L): DataFrame = {
-    val d = df.select(col(idCol).as("id"), col(keyCol).as("k")).distinct()
+    // The explicit not-null filter makes the two consumers of `d`
+    // (the df-cap aggregate and the join side) CANONICALLY IDENTICAL:
+    // without it, the final `da < db` predicate back-infers
+    // isnotnull(id) into the join branch only, the two distinct
+    // exchanges no longer canonicalize equal, and AQE re-runs the
+    // whole upstream pipeline (winnow fingerprints included) once per
+    // branch instead of reusing one shuffle (observed: 2 full
+    // evaluations in q77's executed plan). Null ids/keys produce no
+    // pairs either way — a null key never equi-joins and a null id
+    // fails da < db — so output is unchanged.
+    val d = df.select(col(idCol).as("id"), col(keyCol).as("k"))
+      .where(col("id").isNotNull && col("k").isNotNull)
+      .distinct()
     // df-cap via groupBy, NOT a Window partitioned by k: the cap exists
     // precisely because some key is boilerplate-hot (10^9 ids), and a
     // count() OVER (PARTITION BY k) would ship every row of that key

@@ -1,0 +1,21 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Dev: formatted plans of operator sub-stages that hide behind
+  * localCheckpoint in the query-level plans. */
+object ExplainProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val spark = graft.Bench.mkSession(8)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    println("######## shingleSets ########")
+    graft.dedup.Dedup.shingleSets(docs, "doc_id", "text", 2, 1000L)
+      .explain("formatted")
+    println("######## winnowPairs fps stage ########")
+    graft.text.TextOps
+      .winnowPairs(docs, "doc_id", "text", 8, 7, 5L, 10L)
+      .explain("formatted")
+    spark.stop()
+  }
+}
