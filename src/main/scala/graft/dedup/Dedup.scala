@@ -502,20 +502,21 @@ object Dedup {
   }
 
   /** 60-bit SimHash: md5-derived word hashes vote per bit position;
-    * bit k of the signature is 1 iff the sum of votes is positive. */
+    * bit k of the signature is 1 iff the sum of votes is positive.
+    * Row-local kernel (graft.sql.TextKernels.simhash60): the votes of
+    * one document depend only on that document's words, so the former
+    * explode + groupBy(id) + 60-conditional-sum aggregate — a full
+    * (id, word-hash) exchange of corpus token volume — collapses to
+    * one expression per row with zero shuffle. Values identical
+    * (multiplicity-weighted votes, strict-positive bit rule); docs
+    * with no words drop out exactly as the explode dropped them. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val wordsDf = df.select(
-      col(idCol).as("id"),
-      explode(TextOps.words(col(textCol))).as("w"))
-      .withColumn("h", hash60(col("w")))
-    val bitTerms = (0 until 60).map { k =>
-      when(
-        sum(when(shiftright(col("h"), k).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)) > 0,
-        1L << k).otherwise(0L)
-    }
-    wordsDf
-      .groupBy("id")
-      .agg(bitTerms.reduce(_ + _).as("simhash"))
+    val sig = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.sql.SimHash60Expr(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("__ws"))))
+    df.select(col(idCol).as("id"), TextOps.words(col(textCol)).as("__ws"))
+      .where(size(col("__ws")) >= 1)
+      .select(col("id"), sig.as("simhash"))
   }
 
   /** Hamming distance between two 60-bit signatures. */

@@ -255,6 +255,45 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** 60-bit SimHash straight from the word array — value-identical to
+    * exploding words through hash60 and taking the 60 conditional-sum
+    * votes per doc (`Dedup.simhash`'s former aggregation): votes are
+    * summed per word WITH multiplicity, bit k set iff its vote sum is
+    * strictly positive. Row-local — the explode + groupBy(id) + 60-sum
+    * aggregate (one full (id, hash) exchange) disappears entirely. */
+  def simhash60(words: ArrayData): Long = {
+    val votes = new Array[Int](60)
+    val md = digests.get()
+    val sz = words.numElements()
+    var i = 0
+    while (i < sz) {
+      md.reset()
+      val d = md.digest(words.getUTF8String(i).getBytes)
+      // first 15 hex digits = 60 bits
+      var h = 0L
+      var j = 0
+      while (j < 15) {
+        val b = d(j >> 1) & 0xff
+        val nib = if ((j & 1) == 0) b >> 4 else b & 0xf
+        h = (h << 4) | nib
+        j += 1
+      }
+      var k = 0
+      while (k < 60) {
+        if (((h >> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 60) {
+      if (votes(k) > 0) sig |= 1L << k
+      k += 1
+    }
+    sig
+  }
+
   /** MinHash signature straight from the word array — the
     * [[MinHashKernel.signature]] update loop fed by [[shingleHash32]]'s
     * digest-direct shingle hashes (no shingle strings). */
@@ -330,6 +369,18 @@ case class WordsExpr(child: Expression)
     TextKernels.words(text.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t => s"graft.sql.TextKernels.words($t)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `simhash60(words)` — 60-bit SimHash of the word array. */
+case class SimHash60Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(words: Any): Any =
+    TextKernels.simhash60(words.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, ws => s"graft.sql.TextKernels.simhash60($ws)")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

@@ -100,6 +100,28 @@ class KernelParitySpec extends SparkTestBase {
     rows.foreach { case (k, r) => assert(k == r) }
   }
 
+  test("SimHash60Expr == explode + 60-conditional-sum aggregation") {
+    val s = spark
+    import s.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    // legacy aggregation, inlined
+    def legacyHash60(cc: Column): Column =
+      conv(substring(md5(cc.cast("binary")), 1, 15), 16, 10).cast("long")
+    val wordsDf = df.select(col("id"),
+        explode(graft.text.TextOps.words(col("t"))).as("w"))
+      .withColumn("h", legacyHash60(col("w")))
+    val bitTerms = (0 until 60).map { k =>
+      when(
+        sum(when(shiftright(col("h"), k).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)) > 0,
+        1L << k).otherwise(0L)
+    }
+    val legacy = wordsDf.groupBy("id").agg(bitTerms.reduce(_ + _).as("r"))
+      .as[(Long, Long)].collect().toMap
+    val kernel = graft.dedup.Dedup.simhash(df, "id", "t")
+      .as[(Long, Long)].collect().toMap
+    assert(kernel == legacy, "kernel simhash == exploded aggregation (same doc set)")
+  }
+
   test("Dot/L2/HammingWide kernels == HOF folds") {
     val s = spark
     import s.implicits._
