@@ -1,0 +1,33 @@
+package graft.tools
+import org.apache.spark.sql.functions._
+object Q64Prof {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Bench.mkSession(32)
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[q64prof] $label: ${(System.nanoTime() - t0) / 1e9}%.3fs"); r
+    }
+    (0 until 3).foreach { it =>
+      println(s"[q64prof] --- iter $it ---")
+      spark.sharedState.cacheManager.clearCache()
+      val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val pairs = t("jaccardPairs") {
+        graft.dedup.Dedup.jaccardPairs(docs, "doc_id", "text")
+      }
+      val cl = t("clusters") { graft.dedup.Dedup.clusters(pairs) }
+      t("keepReps rest + count") {
+        val labeled = docs
+          .select(col("doc_id").as("id"),
+            graft.text.TextOps.tokenCount(col("text")).as("__score"))
+          .join(cl, Seq("id"), "left")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id").orderBy(col("__score").desc, col("id"))
+        labeled.withColumn("__rk", row_number().over(w))
+          .select(col("id"), col("cluster_id"), (col("__rk") === 1).as("keep"))
+          .orderBy("id").count()
+      }
+    }
+    spark.stop()
+  }
+}
