@@ -1,0 +1,13 @@
+package graft.tools
+object DumpPlan {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.Bench.mkSession(32)
+    val df = graft.SparkEntry.queries(args(0))(spark, sfDir)
+    val qe = df.queryExecution
+    qe.toRdd.foreachPartition((_: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => ())
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(args(1)), qe.executedPlan.toString)
+    spark.stop()
+  }
+}

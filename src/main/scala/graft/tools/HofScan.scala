@@ -1,0 +1,24 @@
+package graft.tools
+
+/** Dev: scan every declared query's optimized plan for interpreted
+  * higher-order functions (transform/aggregate/zip_with/exists/
+  * array-lambda filter) — CodegenFallback per-row interpreters, the
+  * round-6 headline cost pattern. Prints only queries with hits.
+  */
+object HofScan {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.Bench.mkSession(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    val markers = Seq("lambdafunction", "zip_with", "aggregate(", "transform(",
+      "array_min(transform", "exists(")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString.toLowerCase
+        val hits = markers.filter(plan.contains).distinct
+        if (hits.nonEmpty) println(s"[hof] $name: ${hits.mkString(", ")}")
+      } catch { case e: Throwable => println(s"[hof] $name: ERROR ${e.getMessage}") }
+    }
+    spark.stop()
+  }
+}

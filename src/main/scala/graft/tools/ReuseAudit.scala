@@ -1,0 +1,51 @@
+package graft.tools
+
+/** Dev: executed-plan audit for exchange reuse. Runs each named query
+  * with a noop sink, then counts Exchange vs ReusedExchange nodes and
+  * expensive-kernel occurrences in the FINAL adaptive plan — a kernel
+  * (or full upstream pipeline) appearing more times than its logical
+  * arity means a branch failed to canonicalize and AQE re-ran it
+  * (the q77 class of bug fixed this round).
+  */
+object ReuseAudit {
+  private val kernels = Seq(
+    "winnowfpexpr", "simhash60", "minhashsigwords", "shinglehash32",
+    "bpeencode", "md5prefix", "pointinpolygon", "hexcell",
+    "hammingwide", "wordsexpr", "bigrams")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.Bench.mkSession(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    args.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val qe = df.queryExecution
+      qe.toRdd.foreachPartition(
+        (_: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => ())
+      // only the Final Plan section — the trailing Initial Plan dump
+      // re-prints every subtree and would inflate the counts
+      val plan = qe.executedPlan.toString.split("== Initial Plan ==")(0)
+      val lower = plan.toLowerCase
+      def cnt(s: String): Int = {
+        var i = 0; var c = 0
+        while ({ i = lower.indexOf(s, i); i >= 0 }) { c += 1; i += s.length }
+        c
+      }
+      // AQE prints a reused stage's subtree in full at every reference,
+      // same id — distinct ids = stages actually executed.
+      def stageIds(kind: String): (Int, Int) = {
+        val re = (kind + "querystage (\\d+)").r
+        val ids = re.findAllMatchIn(lower).map(_.group(1)).toSeq
+        (ids.distinct.size, ids.size)
+      }
+      val (sDistinct, sTotal) = stageIds("shuffle")
+      val (bDistinct, bTotal) = stageIds("broadcast")
+      val reused = cnt("reusedexchange")
+      val kernelHits = kernels.map(k => k -> cnt(k)).filter(_._2 > 0)
+      println(s"[reuse] $name shuffleStages=$sDistinct(refs=$sTotal) " +
+        s"broadcastStages=$bDistinct(refs=$bTotal) reusedExchange=$reused " +
+        s"kernelTextHits=${kernelHits.map { case (k, c) => s"$k:$c" }.mkString(",")}")
+    }
+    spark.stop()
+  }
+}
