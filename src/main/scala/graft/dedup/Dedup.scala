@@ -275,9 +275,17 @@ object Dedup {
     val sig = org.apache.spark.sql.GraftColumnBridge.column(
       graft.sql.MinHashSigWordsExpr(
         org.apache.spark.sql.GraftColumnBridge.expression(col("__ws")), k, n))
+    // row-set filter via the short-circuit count kernel: the collapsed
+    // plan evaluates the filter and the sig projection in separate
+    // operators, and size(words(text)) in the Filter paid a second full
+    // tokenization per row (no cross-operator CSE) — countWordsAtLeast
+    // is the same run scan, stopping at the nth word. Row set identical
+    // (KernelParitySpec property pin, Unicode included).
     parallelize(df)
       .withColumn("__ws", TextOps.words(col(textCol)))
-      .where(size(col("__ws")) >= n)
+      .where(org.apache.spark.sql.GraftColumnBridge.column(
+        graft.sql.WordCountAtLeastExpr(
+          org.apache.spark.sql.GraftColumnBridge.expression(col(textCol)), n)))
       .select(col(idCol).as("id"), sig.as("sig"))
   }
 
@@ -514,8 +522,12 @@ object Dedup {
     val sig = org.apache.spark.sql.GraftColumnBridge.column(
       graft.sql.SimHash60Expr(
         org.apache.spark.sql.GraftColumnBridge.expression(col("__ws"))))
-    df.select(col(idCol).as("id"), TextOps.words(col(textCol)).as("__ws"))
-      .where(size(col("__ws")) >= 1)
+    // short-circuit count kernel for the row-set filter — same rationale
+    // as minhashSigArray (Filter/Project don't share the tokenization)
+    df.where(org.apache.spark.sql.GraftColumnBridge.column(
+        graft.sql.WordCountAtLeastExpr(
+          org.apache.spark.sql.GraftColumnBridge.expression(col(textCol)), 1)))
+      .select(col(idCol).as("id"), TextOps.words(col(textCol)).as("__ws"))
       .select(col("id"), sig.as("simhash"))
   }
 

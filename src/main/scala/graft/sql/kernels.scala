@@ -164,6 +164,35 @@ object TextKernels {
     * pure ASCII and UTF-8 multi-byte sequences never contain ASCII
     * bytes, so a byte scan over the lowered string finds exactly the
     * regex's match runs without a Matcher per row. */
+  /** `words(text).length >= n` without building the array: the same
+    * lowered-byte run scan, counting runs and short-circuiting at the
+    * nth — O(bytes until the nth word) for the row-set filters that
+    * gate sig generation, instead of a second full tokenization in the
+    * Filter operator (Filter and Project never share subexpressions,
+    * even inside one WholeStageCodegen stage). The toLowerCase is kept:
+    * Unicode lowercasing can CREATE ASCII word bytes (U+0130 lowers to
+    * "i" + combining dot), so scanning the raw bytes would diverge. */
+  def countWordsAtLeast(text: UTF8String, n: Int): Boolean = {
+    if (n <= 0) return true
+    val bytes = text.toLowerCase.getBytes
+    var i = 0
+    var count = 0
+    val len = bytes.length
+    while (i < len) {
+      val b = bytes(i)
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+        count += 1
+        if (count >= n) return true
+        i += 1
+        while (i < len && {
+          val c = bytes(i)
+          (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+        }) i += 1
+      } else i += 1
+    }
+    false
+  }
+
   def words(text: UTF8String): ArrayData = {
     val lowered = text.toLowerCase
     val bytes = lowered.getBytes
@@ -367,6 +396,21 @@ case class WordsExpr(child: Expression)
     TextKernels.words(text.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t => s"graft.sql.TextKernels.words($t)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `word_count_at_least(text, n)` — `size(words(text)) >= n` with a
+  * short-circuiting run count (no word array). */
+case class WordCountAtLeastExpr(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = BooleanType
+  override protected def nullSafeEval(text: Any): Any =
+    TextKernels.countWordsAtLeast(text.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.sql.TextKernels.countWordsAtLeast($t, $n)")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

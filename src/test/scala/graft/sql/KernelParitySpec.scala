@@ -51,6 +51,24 @@ class KernelParitySpec extends SparkTestBase {
     rows.foreach { case (k, r) => assert(k == r) }
   }
 
+  test("WordCountAtLeastExpr == (size(words) >= n), Unicode included") {
+    val s = spark
+    import s.implicits._
+    // adversarial rows on top of the shared set: U+0130 lowercases to
+    // "i" + combining dot (an ASCII word byte the RAW bytes lack), and
+    // pure-symbol / whitespace-only strings have zero words
+    val extra = Seq("İ", "İİ x", "!!! *** ???", "   ", "0")
+    val df = (texts ++ extra).toDF("t")
+    (0 to 4).foreach { n =>
+      val rows = df.select(
+        c(WordCountAtLeastExpr(e(col("t")), n)).as("k"),
+        (size(c(WordsExpr(e(col("t"))))) >= n).as("r"),
+        col("t")).collect()
+      rows.foreach(r =>
+        assert(r.getBoolean(0) == r.getBoolean(1), s"n=$n t='${r.getString(2)}'"))
+    }
+  }
+
   test("ShingleHash32Expr == hash32 over exploded shingles") {
     val s = spark
     import s.implicits._
