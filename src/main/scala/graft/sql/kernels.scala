@@ -193,6 +193,49 @@ object TextKernels {
     false
   }
 
+  /** Count of `\S+` runs — value-identical to
+    * `size(regexp_extract_all(text, "\\S+", 0))` with no match-array
+    * materialization. Java regex `\s` without UNICODE flags is exactly
+    * the six ASCII bytes below (U+00A0 etc. are NOT whitespace and
+    * UTF-8 continuation bytes never alias ASCII), so a raw byte scan
+    * counts the regex's runs. */
+  def tokenCount(text: UTF8String): Int = {
+    val bytes = text.getBytes
+    var i = 0
+    var count = 0
+    val len = bytes.length
+    while (i < len) {
+      val b = bytes(i)
+      val ws = b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+      if (!ws) {
+        count += 1
+        i += 1
+        while (i < len && {
+          val c = bytes(i)
+          !(c == ' ' || c == '\t' || c == '\n' || c == 0x0b || c == '\f' || c == '\r')
+        }) i += 1
+      } else i += 1
+    }
+    count
+  }
+
+  /** Count of `[a-z]` chars in the lowered string — value-identical to
+    * `size(regexp_extract_all(lower(text), "[a-z]", 0))` (each match is
+    * one ASCII char, so the count is the a-z byte count of the lowered
+    * bytes; lowering first is load-bearing — see countWordsAtLeast). */
+  def alphaCount(text: UTF8String): Int = {
+    val bytes = text.toLowerCase.getBytes
+    var i = 0
+    var count = 0
+    val len = bytes.length
+    while (i < len) {
+      val b = bytes(i)
+      if (b >= 'a' && b <= 'z') count += 1
+      i += 1
+    }
+    count
+  }
+
   def words(text: UTF8String): ArrayData = {
     val lowered = text.toLowerCase
     val bytes = lowered.getBytes
@@ -396,6 +439,37 @@ case class WordsExpr(child: Expression)
     TextKernels.words(text.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t => s"graft.sql.TextKernels.words($t)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `token_count(text)` — `size(regexp_extract_all(text, "\\S+", 0))`
+  * as a raw byte-run count (no match array, no Matcher). */
+case class TokenCountExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(text: Any): Any =
+    TextKernels.tokenCount(text.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.sql.TextKernels.tokenCount($t)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** `alpha_count(text)` —
+  * `size(regexp_extract_all(lower(text), "[a-z]", 0))` as an a-z byte
+  * count of the lowered string. */
+case class AlphaCountExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(text: Any): Any =
+    TextKernels.alphaCount(text.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.sql.TextKernels.alphaCount($t)")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

@@ -19,9 +19,13 @@ object TextOps {
       graft.sql.WordsExpr(
         org.apache.spark.sql.GraftColumnBridge.expression(text)))
 
-  /** Whitespace-token count. */
+  /** Whitespace-token count — kernel byte-run scan, value-identical to
+    * `size(regexp_extract_all(text, "\\S+", 0))` without materializing
+    * the match array (KernelParitySpec pin). */
   def tokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.sql.TokenCountExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
 
   /** A BPE-ish subword count: words plus punctuation runs count as
     * separate tokens (approximates tokenizer inflation vs whitespace). */
@@ -30,10 +34,15 @@ object TextOps {
 
   def charCount(text: Column): Column = length(text)
 
-  /** Alphabetic-character ratio, floor-scaled e6. */
+  /** Alphabetic-character ratio, floor-scaled e6 — the [a-z] count is a
+    * kernel byte scan of the lowered string, value-identical to
+    * `size(regexp_extract_all(lower(text), "[a-z]", 0))`
+    * (KernelParitySpec pin). */
   def alphaRatioE6(text: Column): Column =
     floor(lit(1000000.0) *
-      size(regexp_extract_all(lower(text), lit("[a-z]"), lit(0))) /
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.sql.AlphaCountExpr(
+          org.apache.spark.sql.GraftColumnBridge.expression(text))) /
       greatest(length(text), lit(1))).cast("long")
 
   /** Mean word length, floor-scaled e6 (0 for wordless text). */

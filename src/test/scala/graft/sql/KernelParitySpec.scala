@@ -51,6 +51,37 @@ class KernelParitySpec extends SparkTestBase {
     rows.foreach { case (k, r) => assert(k == r) }
   }
 
+  test("TokenCountExpr == size(regexp_extract_all(text, \\S+))") {
+    val s = spark
+    import s.implicits._
+    // every Java \s byte, plus non-\s whitespace lookalikes (U+00A0
+    // NBSP, U+2003 EM SPACE are NOT \s without UNICODE flags and must
+    // count as token bytes), multi-byte runs, and boundary placements
+    val extra = Seq(
+      "a\tb\ncd\fe\rf", " lead", "trail ", "\t\n\f\r ",
+      "a b", " ", "中文 字", "a  b", "\r\n\r\nx")
+    val df = (texts ++ extra).toDF("t")
+    val rows = df.select(
+      c(TokenCountExpr(e(col("t")))).as("k"),
+      size(regexp_extract_all(col("t"), lit("\\S+"), lit(0))).as("r"),
+      col("t")).collect()
+    rows.foreach(r =>
+      assert(r.getInt(0) == r.getInt(1), s"t='${r.getString(2)}'"))
+  }
+
+  test("AlphaCountExpr == size(regexp_extract_all(lower, [a-z]))") {
+    val s = spark
+    import s.implicits._
+    val extra = Seq("İ", "ÀÉÎ", "ß", "ABC123xyz", "ΣΤΡ", "中文abc")
+    val df = (texts ++ extra).toDF("t")
+    val rows = df.select(
+      c(AlphaCountExpr(e(col("t")))).as("k"),
+      size(regexp_extract_all(lower(col("t")), lit("[a-z]"), lit(0))).as("r"),
+      col("t")).collect()
+    rows.foreach(r =>
+      assert(r.getInt(0) == r.getInt(1), s"t='${r.getString(2)}'"))
+  }
+
   test("WordCountAtLeastExpr == (size(words) >= n), Unicode included") {
     val s = spark
     import s.implicits._
