@@ -118,9 +118,19 @@ object Spatial {
     val n = 1L << zoom
     val cellW = width / n
     val cellH = height / n
+    // tight-cover kernel explode (same row-major ids and bbox clamp
+    // arithmetic as polygonCells, minus cells that cannot contain the
+    // polygon): lossless for the center refine below — a center-inside
+    // cell always passes cellMayIntersect — and one codegen loop per
+    // polygon instead of the interpreted 4-fold bbox aggregate + nested
+    // transform(sequence) cover enumeration (KernelParitySpec pins
+    // tight ⊆ bbox and the refined output equal on the slivered scene).
     polygons
       .withColumn("_cell",
-        explode(polygonCells(col(verticesCol), zoom, minX, minY, width, height)))
+        explode(org.apache.spark.sql.GraftColumnBridge.column(
+          graft.sql.QuadTightCoverExpr(
+            org.apache.spark.sql.GraftColumnBridge.expression(col(verticesCol)),
+            zoom, minX, minY, width, height))))
       .withColumn("cx", col("_cell").bitwiseAND(lit(n - 1)))
       .withColumn("cy", shiftright(col("_cell"), zoom))
       .where(pointInPolygon(

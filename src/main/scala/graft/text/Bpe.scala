@@ -177,12 +177,19 @@ object Bpe {
       textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val ws = TextOps.words(col(textCol))
-    val perWord = transform(ws, w => size(split(trim(encodeWord(w, merges)), "  ")))
+    // kernel token array (token-identical to the per-word spaced-string
+    // chain — the equivalence encode() cites and BpeSpec pins): the
+    // document's BPE token count is the size of the flattened array,
+    // so the former per-word interpreted transform (regex + replace
+    // chain + trim/split PER WORD) + aggregate fold collapses to one
+    // codegen size(); empty and null word arrays yield 0 both ways.
+    val tokens = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.sql.BpeEncodeExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(ws), merges))
     df.select(
       col(idCol).as("id"),
       size(ws).as("n_words"),
-      coalesce(aggregate(perWord, lit(0), (acc, n) => acc + n), lit(0))
-        .as("n_bpe_tokens"))
+      coalesce(size(tokens), lit(0)).as("n_bpe_tokens"))
   }
 
   /** Full token array per document (flattened across words).

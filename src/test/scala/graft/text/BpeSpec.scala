@@ -52,6 +52,27 @@ class BpeSpec extends SparkTestBase {
     assert(toks == Bpe.applyMerges("merger", merges) ++ Bpe.applyMerges("stern", merges))
   }
 
+  test("encodeStats kernel form == legacy per-word HOF fold") {
+    val s = spark
+    import s.implicits._
+    val merges = Seq(("e", "r"), ("i", "n"), ("m", "er"), ("s", "t"))
+    val docs = Seq(
+      (1L, "merger stern instant"), (2L, ""), (3L, "   "), (4L, "x"),
+      (5L, "MINIMUM 123 merger")).toDF("doc_id", "text")
+    // the pre-kernel composition, inlined
+    val ws = TextOps.words(col("text"))
+    val perWord = transform(ws,
+      w => size(split(trim(Bpe.encodeWord(w, merges)), "  ")))
+    val legacy = docs.select(
+      col("doc_id").as("id"),
+      size(ws).as("n_words"),
+      coalesce(aggregate(perWord, lit(0), (acc, n) => acc + n), lit(0))
+        .as("n_bpe_tokens"))
+    val got = Bpe.encodeStats(docs, "doc_id", "text", merges)
+      .orderBy("id").collect().toSeq
+    assert(got == legacy.orderBy("id").collect().toSeq)
+  }
+
   test("merge boundaries: prefix-extension and run cases match the reference") {
     val s = spark
     import s.implicits._
