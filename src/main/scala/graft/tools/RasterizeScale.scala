@@ -93,8 +93,8 @@ object RasterizeScale {
     sb.append("independent — no join to blow up).\n")
     sb.append("Single cold run per rung after one warmup. The law under test:\n")
     sb.append("wall ∝ output tiles — the plan is asserted shuffle- and join-free\n")
-    sb.append("(one codegen stage: bbox cell explode + exact ray-cast refine), so\n")
-    sb.append("unlike the join ladder there is no exchange to become the bottleneck;\n")
+    sb.append("(one codegen stage: tight-cover kernel explode + exact ray-cast\n")
+    sb.append("refine), so unlike the join ladder there is no exchange to bottleneck;\n")
     sb.append("throughput scales with cores until the sink saturates. 1-min loadavg\n")
     sb.append("per rung (shared box; treat walls as ±30%).\n\n")
     sb.append("| polygons | zoom | r | wall (s) | tiles burned | tiles/polygon | tiles/s | planted center cells | loadavg |\n")
@@ -104,13 +104,13 @@ object RasterizeScale {
     }
     sb.append("\nReading it:\n\n")
     sb.append("- tiles/polygon is CONSTANT across rungs (zoom rounding sets the\n")
-    sb.append("  exact value vs the ~100 target; the refine is exact — bbox slack\n")
-    sb.append("  explodes ~30% more candidates but never inflates the output).\n")
+    sb.append("  exact value vs the ~100 target; the refine is exact — the tight\n")
+    sb.append("  cover's residual slack never inflates the output).\n")
     sb.append("- planted m/m = the center cell of every polygon is burned at every\n")
     sb.append("  scale (no cell lost to boundary handling).\n")
     sb.append("- wall tracks output volume, not polygon count x grid size: the\n")
     sb.append("  oracle-side full enumeration (q70) is 4^zoom x m tests, infeasible\n")
-    sb.append("  past toy scale; the bbox explode makes burn cost proportional to\n")
+    sb.append("  past toy scale; the tight-cover explode keeps burn cost proportional to\n")
     sb.append("  polygon area — which IS the output size for a filled polygon.\n")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH/RASTERIZE_SCALE.md"), sb.toString)
