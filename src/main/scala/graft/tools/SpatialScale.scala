@@ -111,9 +111,12 @@ object SpatialScale {
     sb.append("1x/10x/100x points, m = n/1000 polygons, total polygon area pinned at\n")
     sb.append("~5% of the extent (the real-world shape: more polygons partition the\n")
     sb.append("same map). Single cold run per rung after one warmup; the timed window\n")
-    sb.append("covers the full join (cell assign + bbox-cover explode + equi-join +\n")
-    sb.append("exact ray-cast refine); candidate volume and planted recall measured\n")
-    sb.append("untimed afterwards. The sizing law under test: candidates ≈ points ×\n")
+    sb.append("covers the full join (cell assign + tight-cover kernel explode +\n")
+    sb.append("equi-join + exact ray-cast refine); the candidates column is the\n")
+    sb.append("BBOX-cover join volume measured untimed (the round-comparable upper\n")
+    sb.append("bound; the timed join explodes the tight cover, a subset) and\n")
+    sb.append("planted recall is checked untimed. The sizing law under test:\n")
+    sb.append("candidates ≈ points ×\n")
     sb.append("area-fraction — LINEAR in points, zoom-independent; a cartesian would\n")
     sb.append("be points × polygons. 1-min loadavg recorded per rung (shared box).\n\n")
     sb.append("| points | polygons | zoom | wall (s) | candidates | cand/point | matches | planted recall | loadavg |\n")
@@ -122,7 +125,7 @@ object SpatialScale {
       sb.append(f"| ${r.n}%,d | ${r.m}%,d | ${r.zoom} | ${r.secs}%.2f | ${r.candidates}%,d | ${r.candidates.toDouble / r.n}%.2f | ${r.matches}%,d | ${r.planted}/${r.m} | ${r.load} |\n")
     }
     sb.append("\ncand/point ≈ constant across rungs = the linear regime: candidate\n")
-    sb.append("volume tracks the 5% area fraction (plus bbox-vs-pentagon slack),\n")
+    sb.append("volume tracks the 5% area fraction (plus bbox-cover slack),\n")
     sb.append("not the polygon count. Planted recall m/m at every rung = no point\n")
     sb.append("lost to cell-boundary handling at any scale.\n")
     java.nio.file.Files.writeString(
